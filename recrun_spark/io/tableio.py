@@ -1,0 +1,95 @@
+"""TableIO seam (SURVEY.md §7): Iceberg-first write API with a partitioned-
+parquet + JSON-manifest fallback when no Iceberg catalog is configured (the
+sandbox has no Iceberg runtime jar).
+
+Both paths produce the same layout semantics: data partitioned by the given
+columns, plus a ``_MANIFEST.json`` carrying per-partition lineage (row
+counts, distinct doc ranges) and a completion marker — the unit of
+checkpoint/resume (north_rule stage 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_MANIFEST.json"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    cat = spark.conf.get("spark.sql.catalog.recrun", None)
+    return cat is not None
+
+
+def write_table(df: DataFrame, path: str, partition_by=None,
+                stage: str = "", lineage_key: str = "doc_id") -> dict:
+    """Write df; return the manifest dict (also persisted at path/_MANIFEST.json)."""
+    spark = df.sparkSession
+    partition_by = list(partition_by or [])
+    t0 = time.time()
+
+    if iceberg_available(spark):
+        # Iceberg path: identical call shape, catalog-managed table
+        table = "recrun." + os.path.basename(path.rstrip("/"))
+        w = df.writeTo(table)
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+        stored = spark.read.table(table)
+    else:
+        (df.write.mode("overwrite")
+         .partitionBy(*partition_by)
+         .parquet(path) if partition_by
+         else df.write.mode("overwrite").parquet(path))
+        stored = spark.read.parquet(path)
+
+    # per-partition lineage: counts + key ranges per logical partition value
+    if partition_by:
+        lineage_rows = (stored.groupBy(*partition_by)
+                        .agg(F.count(F.lit(1)).alias("rows"),
+                             F.min(lineage_key).alias("min_key"),
+                             F.max(lineage_key).alias("max_key"))
+                        .collect())
+        lineage = [{**{c: r[c] for c in partition_by},
+                    "rows": r["rows"], "min_key": r["min_key"],
+                    "max_key": r["max_key"]} for r in lineage_rows]
+    else:
+        r = stored.agg(F.count(F.lit(1)).alias("rows"),
+                       F.min(lineage_key).alias("min_key"),
+                       F.max(lineage_key).alias("max_key")).collect()[0]
+        lineage = [{"rows": r["rows"], "min_key": r["min_key"],
+                    "max_key": r["max_key"]}]
+
+    manifest = {
+        "stage": stage,
+        "path": path,
+        "format": "iceberg" if iceberg_available(spark) else "parquet",
+        "partition_by": partition_by,
+        "rows": int(sum(p["rows"] for p in lineage)),
+        "partitions": lineage,
+        "wall_sec": round(time.time() - t0, 3),
+        "complete": True,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    return manifest
+
+
+def read_manifest(path: str):
+    p = os.path.join(path, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        m = json.load(f)
+    return m if m.get("complete") else None
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    if iceberg_available(spark):
+        return spark.read.table("recrun." + os.path.basename(path.rstrip("/")))
+    return spark.read.parquet(path)

@@ -1,0 +1,110 @@
+"""Distributed operators the built-in DataFrame API doesn't provide directly:
+skew-salted equi-join and large-star/small-star connected components.
+
+Both are plain PySpark compositions (no custom Catalyst rules — SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(big: DataFrame, small: DataFrame, big_key: str,
+                small_key: str, buckets: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Repartition join with key salting for skewed hot keys.
+
+    The big side gets a deterministic salt in [0, buckets) (hash of the whole
+    row); the small side is replicated ``buckets`` times.  A hot key is
+    spread across ``buckets`` reducers instead of one.  AQE's skew-join split
+    is the backstop; explicit salting also covers aggregate-after-join
+    patterns AQE cannot rewrite (SURVEY.md §4 skew handling).
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                        F.lit(buckets)).cast("int"))
+    salted_small = small.crossJoin(
+        small.sparkSession.range(buckets).select(
+            F.col("id").cast("int").alias("_salt")))
+    out = salted_big.join(
+        salted_small,
+        (salted_big[big_key] == salted_small[small_key])
+        & (salted_big["_salt"] == salted_small["_salt"]),
+        how)
+    return out.drop("_salt")
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v")).distinct())
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = _symmetrize(e)
+    mins = (sym.groupBy("u").agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m")))
+    out = (sym.join(mins, "u")
+           .where(F.col("v") > F.col("u"))
+           .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (max → min); connect u and all its ≤-neighbors to the
+    minimum of the closed neighborhood."""
+    o = (e.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v"))
+         .where(F.col("u") != F.col("v")))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = o.select("u", "v").union(
+        o.select("u", F.col("u").alias("v")).distinct())
+    out = (nbrs.join(mins, "u")
+           .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
+    """Min-label connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond";
+    PAPERS.md).  Returns (node, component) for every node that appears in an
+    edge; component = min node id in the component.  Callers union in
+    singleton vertices separately.
+
+    Scale notes (north_rule stage 3):
+    * each iteration = two grouped shuffles on the node key, O(E) per round,
+      O(log n) rounds;
+    * ``localCheckpoint`` per iteration truncates lineage so the driver loop
+      does not build an exponentially deep plan;
+    * hot (head-entity) vertices are what large-star exists for: high-degree
+      nodes hand their neighbors directly to the component minimum instead
+      of funneling every path through the hot node again.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        canon_old = e.select(F.greatest("u", "v").alias("u"),
+                             F.least("u", "v").alias("v")).distinct()
+        canon_new = e2.select(F.greatest("u", "v").alias("u"),
+                              F.least("u", "v").alias("v")).distinct()
+        changed = (canon_new.exceptAll(canon_old).limit(1).count()
+                   + canon_old.exceptAll(canon_new).limit(1).count())
+        e = e2
+        if changed == 0:
+            break
+
+    # converged edges form a star forest (child > root); emit assignments
+    # for children and roots alike
+    o = e.select(F.greatest("u", "v").alias("node"),
+                 F.least("u", "v").alias("component"))
+    children = o.groupBy("node").agg(F.min("component").alias("component"))
+    roots = (o.select(F.col("component").alias("node"))
+             .distinct()
+             .join(children.select("node"), "node", "left_anti")
+             .withColumn("component", F.col("node")))
+    return children.unionByName(roots)

@@ -1,0 +1,41 @@
+"""SparkSession builder with the engine's scale-oriented defaults.
+
+Tuned for correctness tests on local[N] but configured the way a
+1000-executor cluster run would be: AQE on (runtime re-plan + skew-join
+backstop), Arrow-vectorized Python UDF transport, nested-schema pruning so
+span-array projections reach the parquet scan, and shuffle partitions sized
+to the parallelism actually available rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # 2x cores: enough tasks to rebalance, few enough to avoid tiny files
+        shuffle_partitions = max(2 * cpus, 8)
+    b = (SparkSession.builder.appName(app_name)
+         .master(f"local[{cpus}]")
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+         .config("spark.sql.parquet.filterPushdown", "true")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC"))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
