@@ -1,38 +1,653 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship mini-KG query over /root/testdata/sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data operator suite); each callable takes (spark, sf_dir).
+``oracle_sql()`` — matching ANSI SQL for DuckDB over the same parquet views.
+Column names/types are aligned pairwise (the driver hash-compares values
+sorted by column name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ---------------------------------------------------------------------------
+# shared bits
+# ---------------------------------------------------------------------------
+
+# closed mini alias dictionary over the testdata documents' vocabulary —
+# the flat-table analog of the KG pipeline's broadcast alias dict (stage 2)
+FLAT_ALIASES = [("spark", "E_SPARK"), ("hash", "E_HASH"), ("join", "E_JOIN"),
+                ("window", "E_WINDOW"), ("stream", "E_STREAM")]
+
+EVENT_SCORES = {"click": 50, "view": 25, "purchase": 100, "signup": 10,
+                "error": -15}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, entity, n_mentions) for the inline dictionary."""
+    docs = _t(spark, sf_dir, "documents")
+    aliases = spark.createDataFrame(FLAT_ALIASES, ["alias", "entity"])
+    hits = (docs.crossJoin(F.broadcast(aliases))
+            .select(
+                "doc_id", "entity",
+                F.size(F.expr(
+                    r"regexp_extract_all(lower(text), concat('\\b', alias, '\\b'), 0)"
+                )).cast("long").alias("n_mentions"))
+            .where(F.col("n_mentions") > 0))
+    return hits
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Mini KG over sf0.001: mention detection (broadcast dict) →
+    co-mention pairs → deduped triples (the flat-table analog of the full
+    interleaved pipeline in recrun_spark.pipeline)."""
+    sf_dir = "/root/testdata/sf0.001"
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    a, b = ments.alias("a"), ments.alias("b")
+    co = (a.join(b, "doc_id")
+          .where(F.col("a.entity") < F.col("b.entity"))
+          .select(F.col("a.entity").alias("subj"),
+                  F.lit("co_mentioned_with").alias("pred"),
+                  F.col("b.entity").alias("obj"),
+                  "doc_id"))
+    mentioned = ments.select(F.col("entity").alias("subj"),
+                             F.lit("mentioned_in").alias("pred"),
+                             F.col("doc_id").cast("string").alias("obj"),
+                             "doc_id")
+    return (mentioned.unionByName(co)
+            .dropDuplicates(["subj", "pred", "obj"])
+            .orderBy("subj", "pred", "obj"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing(spark, sf_dir):
+    """TPC-H Q1 style aggregation (A-family coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= "1998-09-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+def revenue_by_region(spark, sf_dir):
+    """Multi-way join with broadcast dims (J-family, SURVEY §2.3)."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(nation, cust.c_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def top_customer_per_nation(spark, sf_dir):
+    """W1 argmax analog: deterministic window top-1 (R:133-160)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (cust.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("c_nationkey").cast("int").alias("nationkey"),
+                    F.col("c_custkey").alias("custkey"),
+                    F.round("c_acctbal", 2).alias("acctbal")))
+
+
+def link_score_agg(spark, sf_dir):
+    """A6/W2 analog: per-key score aggregation with a floor, like the
+    scanned-links map + getNextPage score>49 rule (R:395-403, R:677-687)."""
+    ev = _t(spark, sf_dir, "events")
+    score = F.when(F.col("event_type") == "click", 50) \
+        .when(F.col("event_type") == "view", 25) \
+        .when(F.col("event_type") == "purchase", 100) \
+        .when(F.col("event_type") == "signup", 10) \
+        .otherwise(-15)
+    agg = (ev.groupBy("user_id")
+           .agg(F.sum(score).cast("long").alias("total_score"),
+                F.count(F.lit(1)).alias("n_events")))
+    return agg.where(F.col("total_score") > 49)
+
+
+def sibling_theta_join(spark, sf_dir):
+    """J1 analog: self theta-join with a score threshold (R:582-607)."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_nationkey").alias("nk"),
+                    F.col("c_custkey").alias("ck_a"),
+                    F.col("c_acctbal").alias("bal_a"))
+    b = cust.select(F.col("c_nationkey").alias("nk"),
+                    F.col("c_custkey").alias("ck_b"),
+                    F.col("c_acctbal").alias("bal_b"))
+    return (a.join(b, "nk")
+            .where((F.col("ck_a") < F.col("ck_b"))
+                   & (F.col("bal_b") >= 0.2 * F.col("bal_a"))
+                   & (F.col("bal_a") > 0))
+            .groupBy(F.col("nk").cast("int").alias("nationkey"))
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def customers_without_orders(spark, sf_dir):
+    """J2 anti-join analog (R:341 linksToSkip)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+def title_clean(spark, sf_dir):
+    """F3 getTitle ' - ' rule (R:657-662): keep lhs if >= 3 words, else
+    take the rhs after the separator."""
+    part = _t(spark, sf_dir, "part")
+    title = F.concat_ws(" - ", F.col("p_brand"), F.col("p_type"))
+    lhs = F.regexp_replace(title, r"(.*) - .*", r"$1")
+    rhs = F.regexp_replace(title, r"^.*? - ", "")
+    cleaned = F.when(F.size(F.split(lhs, " ")) >= 3, lhs).otherwise(rhs)
+    return part.select(F.col("p_partkey").alias("partkey"),
+                       title.alias("title"),
+                       cleaned.alias("title_clean"))
+
+
+def word_counts(spark, sf_dir):
+    """T8 split+explode: global top-20 words, deterministic rank."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return (docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                        .alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 20))
+
+
+def cc_components(spark, sf_dir):
+    """Stage-3 operator on a derived graph: large-star/small-star CC
+    (operators.connected_components) incl. singleton handling."""
+    from recrun_spark.operators import connected_components
+    orders = _t(spark, sf_dir, "orders")
+    edges = (orders.where(F.col("o_custkey") < 300)
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("o_custkey") % 97).alias("dst"))
+             .distinct())
+    comp = connected_components(edges, "src", "dst")
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    return (nodes.join(comp, "node", "left")
+            .select("node",
+                    F.coalesce("component", "node").alias("component")))
+
+
+def kg_mentions_flat(spark, sf_dir):
+    """Stage-2 analog on the flat documents table: broadcast-dict mention
+    counting (north_rule stage 2)."""
+    return (_mentions_df(spark, sf_dir)
+            .groupBy("entity")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_mentions").cast("long").alias("n_mentions")))
+
+
+def kg_comentions_flat(spark, sf_dir):
+    """Stage-4 co-mention pair assembly on the flat documents table."""
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    a = ments.select("doc_id", F.col("entity").alias("entity_a"))
+    b = ments.select("doc_id", F.col("entity").alias("entity_b"))
+    return (a.join(b, "doc_id")
+            .where(F.col("entity_a") < F.col("entity_b"))
+            .groupBy("entity_a", "entity_b")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def dedup_exact(spark, sf_dir):
+    from recrun_spark.functions.dedup import exact_duplicates
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def dedup_jaccard(spark, sf_dir):
+    from recrun_spark.functions.dedup import jaccard_pairs
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.30)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    from recrun_spark.functions.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.30)
+
+
+def text_stats(spark, sf_dir):
+    from recrun_spark.functions.text import text_stats as ts
+    return ts(_t(spark, sf_dir, "documents"))
+
+
+def lang_quality_summary(spark, sf_dir):
+    from recrun_spark.functions.text import lang_guess, quality_score
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(lang_guess(F.col("text")).alias("lang_guess"),
+                        quality_score(F.col("text")).alias("q"))
+            .groupBy("lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("q"), 6).alias("avg_quality")))
+
+
+def ann_cosine_topk(spark, sf_dir):
+    from recrun_spark.functions.similarity import cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_ids=list(range(10)), k=5)
+
+
+def ann_ivf_topk(spark, sf_dir):
+    from recrun_spark.functions.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_ids=list(range(10)), k=5,
+                    n_centroids=16, nprobe=4)
+
+
+def events_hourly(spark, sf_dir):
+    """Streaming-shaped windowed aggregation (batch equivalent of the
+    Structured-Streaming path in recrun_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.col("user_id"),
+                       F.window("ts", "1 hour")["start"].alias("hour_start"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def simhash_sigs(spark, sf_dir):
+    """SimHash signatures (rows-only check: engine-specific xxhash64)."""
+    from recrun_spark.functions.dedup import simhash
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def minhash_sigs(spark, sf_dir):
+    """MinHash signatures (rows-only: engine-specific xxhash64)."""
+    from recrun_spark.functions.dedup import minhash_signatures
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads → Arrow-batched feature
+    extraction (decode kernel stubbed — functions/multimodal.py)."""
+    from recrun_spark.functions.multimodal import extract_features, synth_media
+    return extract_features(synth_media(spark, n=64))
+
+
+def kg_triples_interleaved(spark, sf_dir):
+    """The real interleaved KG pipeline end-to-end on a synthesized corpus
+    (rows-only: the span fold is not SQL-expressible)."""
+    import tempfile
+
+    from recrun_spark.fixtures.generator import write_corpus_parquet
+    from recrun_spark.stage1 import extract_documents
+    from recrun_spark.stage2 import detect_mentions, link_mentions, load_aliases
+    from recrun_spark.stage3 import canonicalize
+    from recrun_spark.stage4 import assemble_triples
+    path = os.path.join(tempfile.gettempdir(), "entry_corpus_60.parquet")
+    if not os.path.exists(path):
+        write_corpus_parquet(path, 60)
+    docs = spark.read.parquet(path)
+    aliases = load_aliases(spark)
+    surfaces = [r["alias"] for r in aliases.select("alias").distinct().collect()]
+    ex = extract_documents(docs)
+    linked = link_mentions(detect_mentions(ex, surfaces), aliases)
+    return assemble_triples(ex, linked, canonicalize(aliases))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing": q1_pricing,
+        "revenue_by_region": revenue_by_region,
+        "top_customer_per_nation": top_customer_per_nation,
+        "link_score_agg": link_score_agg,
+        "sibling_theta_join": sibling_theta_join,
+        "customers_without_orders": customers_without_orders,
+        "title_clean": title_clean,
+        "word_counts": word_counts,
+        "cc_components": cc_components,
+        "kg_mentions_flat": kg_mentions_flat,
+        "kg_comentions_flat": kg_comentions_flat,
+        "dedup_exact": dedup_exact,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "text_stats": text_stats,
+        "lang_quality_summary": lang_quality_summary,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "events_hourly": events_hourly,
+        "simhash_sigs": simhash_sigs,
+        "minhash_sigs": minhash_sigs,
+        "media_features": media_features,
+        "kg_triples_interleaved": kg_triples_interleaved,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+_SHINGLE_CTE = f"""
+norm AS (
+  SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM norm
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.30
+"""
+
+_COS = ("list_inner_product(a.vec, b.vec) / "
+        "(sqrt(list_inner_product(a.vec, a.vec)) * "
+        "sqrt(list_inner_product(b.vec, b.vec)))")
+
+_ANN_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec_id, vec FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_COS}, 4) AS sim
+  FROM q a JOIN v b ON a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+"""
+
+_IVF_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) AS bucket, vec
+  FROM v ORDER BY vec_id ASC LIMIT 16
+),
+assign0 AS (
+  SELECT a.vec_id, b.bucket, round({_COS}, 6) AS csim,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS}, 6) DESC, b.bucket ASC) AS r
+  FROM v a, cents b
+),
+buckets AS (SELECT vec_id, bucket FROM assign0 WHERE r = 1),
+q AS (SELECT vec_id, vec FROM v WHERE vec_id < 10),
+qprobe AS (
+  SELECT a.vec_id AS query_id, a.vec AS qvec, b.bucket,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS}, 6) DESC, b.bucket ASC) AS r
+  FROM q a, cents b
+),
+qb AS (SELECT query_id, qvec, bucket FROM qprobe WHERE r <= 4),
+scored AS (
+  SELECT qb.query_id, a.vec_id AS neighbor_id,
+         round(list_inner_product(qb.qvec, a.vec) /
+               (sqrt(list_inner_product(qb.qvec, qb.qvec)) *
+                sqrt(list_inner_product(a.vec, a.vec))), 4) AS sim
+  FROM v a
+  JOIN buckets bk ON bk.vec_id = a.vec_id
+  JOIN qb ON qb.bucket = bk.bucket AND a.vec_id != qb.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+"""
+
+_STOP = {
+    "en": "['the','a','of','and','to','in','is','that','it','for']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','zu']",
+    "fr": "['le','la','les','et','est','une','que','pour','dans']",
+    "es": "['el','la','los','y','es','una','que','para','con']",
+}
+
+
+def _stop_count(lang: str) -> str:
+    return (f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+            f" t -> list_contains({_STOP[lang]}, t)))")
+
+
+_TEXT_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    CASE WHEN trim(text) = '' THEN 0 ELSE
+      list_reduce(list_prepend(0, list_transform(
+        string_split_regex(trim(text), '\\s+'),
+        w -> cast(ceil(length(w) / 4.0) AS int))), (a, b) -> a + b)
+    END AS n_subwords,
+    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+    {_stop_count("en")} AS n_stop_en,
+    {_stop_count("de")} AS c_de, {_stop_count("fr")} AS c_fr,
+    {_stop_count("es")} AS c_es,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_subwords, n_punct, n_stop_en,
+  round(0.5 * least(n_tokens / 100.0, 1.0)
+      + 0.3 * least(n_stop_en / greatest(n_tokens::DOUBLE, 1.0) * 5.0, 1.0)
+      + 0.2 * least(n_punct / 10.0, 1.0), 6) AS quality,
+  CASE WHEN greatest(n_stop_en, c_de, c_fr, c_es) = 0 THEN 'und'
+       WHEN n_stop_en = greatest(n_stop_en, c_de, c_fr, c_es) THEN 'en'
+       WHEN c_de = greatest(n_stop_en, c_de, c_fr, c_es) THEN 'de'
+       WHEN c_fr = greatest(n_stop_en, c_de, c_fr, c_es) THEN 'fr'
+       ELSE 'es' END AS lang_guess,
+  substr(md5(norm), 1, 16) AS fp_md5,
+  list_reduce(list_prepend(0::BIGINT, list_transform(
+      list_filter(string_split_regex(norm, ''), c -> c != ''),
+      c -> ascii(c)::BIGINT)),
+    (a, b) -> (a * 131 + b) % 1000000007) AS fp_roll
+FROM base
+"""
+
+_MENTIONS_CTE = """
+dict(alias, entity) AS (VALUES ('spark','E_SPARK'), ('hash','E_HASH'),
+  ('join','E_JOIN'), ('window','E_WINDOW'), ('stream','E_STREAM')),
+hits AS (
+  SELECT d.doc_id, m.entity,
+         len(regexp_extract_all(lower(d.text), '\\b' || m.alias || '\\b'))
+           AS n_mentions
+  FROM documents d, dict m
+),
+ments AS (SELECT * FROM hits WHERE n_mentions > 0)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS n_rows
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY 1, 2
+        """,
+        "revenue_by_region": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "top_customer_per_nation": """
+            SELECT c_nationkey::INT AS nationkey, custkey, acctbal FROM (
+              SELECT c_nationkey, c_custkey AS custkey,
+                     round(c_acctbal, 2) AS acctbal,
+                     row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer) WHERE rn = 1
+        """,
+        "link_score_agg": """
+            SELECT user_id, total_score, n_events FROM (
+              SELECT user_id,
+                     sum(CASE event_type WHEN 'click' THEN 50
+                         WHEN 'view' THEN 25 WHEN 'purchase' THEN 100
+                         WHEN 'signup' THEN 10 ELSE -15 END)::BIGINT
+                       AS total_score,
+                     count(*) AS n_events
+              FROM events GROUP BY 1)
+            WHERE total_score > 49
+        """,
+        "sibling_theta_join": """
+            SELECT a.c_nationkey::INT AS nationkey, count(*) AS n_pairs
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+             AND b.c_acctbal >= 0.2 * a.c_acctbal
+            WHERE a.c_acctbal > 0
+            GROUP BY 1
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY 1
+        """,
+        "title_clean": r"""
+            SELECT p_partkey AS partkey,
+                   p_brand || ' - ' || p_type AS title,
+                   CASE WHEN len(string_split(
+                          regexp_replace(p_brand || ' - ' || p_type,
+                                         '(.*) - .*', '\1'), ' ')) >= 3
+                        THEN regexp_replace(p_brand || ' - ' || p_type,
+                                            '(.*) - .*', '\1')
+                        ELSE regexp_replace(p_brand || ' - ' || p_type,
+                                            '^.*? - ', '')
+                   END AS title_clean
+            FROM part
+        """,
+        "word_counts": """
+            WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+                         AS word FROM documents),
+            c AS (SELECT word, count(*) AS n FROM w
+                  WHERE word != '' GROUP BY word)
+            SELECT word, n, rank FROM (
+              SELECT word, n, row_number() OVER
+                       (ORDER BY n DESC, word ASC) AS rank FROM c
+            ) WHERE rank <= 20
+        """,
+        "cc_components": """
+            WITH RECURSIVE
+            edges AS (SELECT DISTINCT o_custkey AS src, o_custkey % 97 AS dst
+                      FROM orders WHERE o_custkey < 300),
+            sym AS (SELECT src AS u, dst AS v FROM edges
+                    UNION SELECT dst, src FROM edges),
+            nodes AS (SELECT DISTINCT u AS n FROM sym),
+            reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT s.v, r.m FROM reach r JOIN sym s ON s.u = r.n
+            )
+            SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+        """,
+        "kg_mentions_flat": f"""
+            WITH {_MENTIONS_CTE}
+            SELECT entity, count(*) AS n_docs,
+                   sum(n_mentions)::BIGINT AS n_mentions
+            FROM ments GROUP BY 1
+        """,
+        "kg_comentions_flat": f"""
+            WITH {_MENTIONS_CTE},
+            e AS (SELECT DISTINCT doc_id, entity FROM ments)
+            SELECT a.entity AS entity_a, b.entity AS entity_b,
+                   count(*) AS n_docs
+            FROM e a JOIN e b ON a.doc_id = b.doc_id
+                             AND a.entity < b.entity
+            GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            WITH fp AS (
+              SELECT doc_id,
+                     substr(md5(trim(regexp_replace(lower(text), '\\s+',
+                                                    ' ', 'g'))), 1, 16) AS f
+              FROM documents)
+            SELECT a.doc_id, b.canonical_doc_id
+            FROM fp a JOIN (SELECT f, min(doc_id) AS canonical_doc_id
+                            FROM fp GROUP BY f) b ON a.f = b.f
+        """,
+        "dedup_jaccard": _JACCARD_SQL,
+        "dedup_minhash_lsh": _JACCARD_SQL,  # LSH must not lose pairs here
+        "text_stats": _TEXT_STATS_SQL,
+        "lang_quality_summary": f"""
+            WITH ts AS ({_TEXT_STATS_SQL})
+            SELECT lang_guess, count(*) AS n_docs,
+                   round(avg(quality), 6) AS avg_quality
+            FROM ts GROUP BY 1
+        """,
+        "ann_cosine_topk": _ANN_SQL,
+        "ann_ivf_topk": _IVF_SQL,
+        "events_hourly": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # simhash_sigs / minhash_sigs / media_features /
+        # kg_triples_interleaved: intentionally omitted (engine-specific
+        # hashes or non-SQL span fold) → driver rows-only check.
+    }
+
+
+if __name__ == "__main__":
+    from recrun_spark.session import get_spark
+    s = get_spark("entry_smoke", cpus=8)
+    df = entry(s)
+    print(df.count(), df.schema.simpleString())

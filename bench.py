@@ -1,0 +1,173 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workloads and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "extract_docs_per_sec": ..., "cpus": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     RECRUN_BENCH_DOCS (interleaved corpus size, default 200000).
+
+The KG corpus is generated once into .bench_cache/ by a Spark-parallel run
+of the deterministic generator (same seeds as the test fixtures) — the
+bench then measures realistic scan -> extract -> link -> triples work;
+generation cost is not part of the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("RECRUN_BENCH_DOCS", "200000"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+
+
+def ensure_corpus(spark) -> str:
+    """Generate the bench corpus in parallel on the executors (deterministic
+    per doc index — same generator as the test fixtures)."""
+    path = os.path.join(CACHE, f"corpus_{N_DOCS}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from recrun_spark.fixtures.aliases import head_alias, make_aliases
+        from recrun_spark.fixtures.generator import make_doc
+        surfaces = sorted({r[0] for r in make_aliases(42)})
+        head = head_alias()
+        span_t = pa.list_(pa.struct([
+            ("kind", pa.string()), ("text", pa.string()),
+            ("media_ref", pa.string()), ("offset", pa.int32())]))
+        for batch in batches:
+            ids, spans = [], []
+            for ix in batch.column("id").to_pylist():
+                ids.append(f"doc{ix:06d}")
+                spans.append([
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in make_doc(ix, 42, surfaces, head)])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(spans, span_t)],
+                names=["doc_id", "spans"])
+
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    (spark.range(N_DOCS).repartition(max(CPUS * 8, 64))
+     .mapInArrow(gen, schema=schema)
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
+def main():
+    from recrun_spark.session import get_spark
+    spark = get_spark("recrun_bench", cpus=CPUS, extra_conf={
+        # the KG corpus is many small shards: size splits so the scan
+        # parallelizes across all cores instead of packing into ~4 tasks
+        "spark.sql.files.maxPartitionBytes": "4m",
+        "spark.sql.files.openCostInBytes": "4m",
+    })
+    corpus_path = ensure_corpus(spark)
+
+    import __spark_entry__ as entry
+
+    # warm-up: JVM codegen + Python worker pool, outside all timings
+    import pandas as pd
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    spark.range(1000).selectExpr("id", "cast(id as string) s") \
+        .mapInPandas(_noop, "n long").agg(F.sum("n")).collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000) \
+        .groupBy("l_returnflag").count().collect()
+
+    timings: dict = {}
+
+    def timed(name, fn, repeats: int = 1):
+        """Record the MEDIAN wall time of `repeats` runs (this host shows
+        up to 3x run-to-run variance under noisy-neighbor load)."""
+        import statistics
+        durations, out = [], None
+        for _ in range(repeats):
+            t0 = time.time()
+            out = fn()
+            durations.append(time.time() - t0)
+        timings[name] = round(statistics.median(durations), 3)
+        return out
+
+    # -- headline: stage-1 extraction throughput (docs/sec) ---------------
+    docs_big = spark.read.parquet(corpus_path)
+    n_big = N_DOCS
+    from recrun_spark.stage1 import extract_documents
+
+    def run_extract():
+        return (extract_documents(docs_big)
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("text_length").alias("chars")).collect()[0])
+
+    row = timed("kg_stage1_extract", run_extract, repeats=3)
+    assert row["n"] == n_big, (row["n"], n_big)
+    extract_dps = round(n_big / timings["kg_stage1_extract"], 1)
+
+    # -- full KG pipeline (mentions -> link -> CC -> triples) -------------
+    from recrun_spark.stage2 import detect_mentions, link_mentions, load_aliases
+    from recrun_spark.stage3 import canonicalize
+    from recrun_spark.stage4 import assemble_triples
+
+    def run_pipeline():
+        aliases = load_aliases(spark)
+        surfaces = [r["alias"]
+                    for r in aliases.select("alias").distinct().collect()]
+        # persist the fan-in points (the on-disk pipeline materializes
+        # stage outputs instead — pipeline.py)
+        ex = extract_documents(docs_big).persist()
+        linked = link_mentions(detect_mentions(ex, surfaces),
+                               aliases).persist()
+        trips = assemble_triples(ex, linked, canonicalize(aliases))
+        n = trips.count()
+        ex.unpersist()
+        linked.unpersist()
+        return n
+
+    n_triples = timed("kg_full_pipeline", run_pipeline)
+    pipeline_dps = round(n_big / timings["kg_full_pipeline"], 1)
+
+    # -- relational / training-data queries at SF_DIR ---------------------
+    qs = entry.queries()
+    for name in ("q1_pricing", "revenue_by_region", "word_counts",
+                 "text_stats", "dedup_exact", "dedup_minhash_lsh",
+                 "ann_cosine_topk", "ann_ivf_topk", "cc_components",
+                 "kg_mentions_flat", "events_hourly", "simhash_sigs"):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR)
+              .agg(F.count(F.lit(1))).collect())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "recrun_spark_bench",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "kg_docs": n_big,
+        "extract_docs_per_sec": extract_dps,
+        "pipeline_docs_per_sec": pipeline_dps,
+        "kg_triples": n_triples,
+    }))
+
+
+if __name__ == "__main__":
+    main()

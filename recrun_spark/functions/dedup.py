@@ -1,0 +1,172 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design
+------------
+* **exact**: hash-groupBy on a 16-byte fingerprint — one shuffle keyed by
+  the fingerprint; canonical = min doc_id per group.
+* **n-gram Jaccard (exact)**: shingle co-occurrence join — pairs are
+  generated ONLY for docs sharing at least one shingle (inverted-index
+  pattern), never O(n²).  Hot shingles are capped (``max_shingle_freq``,
+  df-style stopword cut) — the standard trick to stop a boilerplate shingle
+  from exploding the candidate join at corpus scale.
+* **MinHash+LSH**: K permutation-free min-hashes h_i = (a_i*x + b_i) mod p
+  over xxhash64 shingle values; banded into B bands → candidates share a
+  band signature (groupBy band, join within bucket); exact-Jaccard verify
+  of candidates.  All built-ins: explode → groupBy(doc) with array of mins
+  via sequence+transform.
+* **SimHash**: 64-bit signature via per-bit majority over token hashes —
+  computed with explode + bit arithmetic, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5, normalize_text
+
+# deterministic MinHash parameters (Mersenne prime scheme).  31-bit space:
+# a*x+b stays < 2^62, safe under Spark 4's default ANSI overflow checking.
+MH_PRIME = (1 << 31) - 1
+MH_K = 64          # number of hash functions
+LSH_BANDS = 32     # bands of MH_K // LSH_BANDS rows each (r=2)
+
+
+def _mh_params(k: int = MH_K, seed: int = 7):
+    import random
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MH_PRIME), rng.randrange(0, MH_PRIME))
+            for _ in range(k)]
+
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_doc_id) — canonical = min doc_id per fingerprint."""
+    fp = documents.select(F.col(id_col).alias("doc_id"),
+                          fingerprint_md5(F.col(text_col)).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    return (fp.join(canon, "fp")
+            .select("doc_id", "canonical_doc_id"))
+
+
+def shingles(documents: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams of the normalized text."""
+    toks = F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^a-z0-9 ]", " ")), r"\s+")
+    d = documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    sh = d.select(
+        "doc_id",
+        F.explode(F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)))
+        ).otherwise(F.array(F.concat_ws(" ", "toks")))).alias("shingle"))
+    return sh.distinct()
+
+
+def jaccard_pairs(documents: DataFrame, threshold: float = 0.6,
+                  n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_shingle_freq: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via the inverted-index
+    co-occurrence join.  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = shingles(documents, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # df-cut: drop shingles present in too many docs (candidate explosion)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh_kept = (sh.join(freq.where(F.col("df") <= max_shingle_freq)
+                       .select("shingle"), "shingle"))
+    a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("n_inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def minhash_signatures(documents: DataFrame, k: int = MH_K, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       seed: int = 7) -> DataFrame:
+    """(doc_id, sig array<bigint>) — k min-hashes over shingle xxhash64s."""
+    params = _mh_params(k, seed)
+    sh = shingles(documents, n, text_col, id_col)
+    h = sh.select("doc_id",
+                  F.pmod(F.xxhash64("shingle"), F.lit(MH_PRIME)).alias("x"))
+    mins = h.groupBy("doc_id").agg(*[
+        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MH_PRIME)))
+        .alias(f"h{i}") for i, (a, b) in enumerate(params)])
+    return mins.select("doc_id", F.array(*[F.col(f"h{i}")
+                                           for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
+                      k: int = MH_K, bands: int = LSH_BANDS, n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      seed: int = 7) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, jaccard) — candidates that share at least one
+    band signature AND verify at exact Jaccard >= threshold.
+    """
+    rows = k // bands
+    sig = minhash_signatures(documents, k, n, text_col, id_col, seed)
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bnd: F.struct(
+                bnd.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(F.slice("sig", bnd * rows + 1, rows),
+                                     lambda v: v.cast("string")))
+                ).alias("bucket")))).alias("bb")) \
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (ca.join(cb, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    exact = jaccard_pairs(documents, threshold, n, text_col, id_col)
+    return (cands.join(exact, ["doc_a", "doc_b"])
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def simhash(documents: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash bigint) — 64-bit SimHash: bit b of the signature is
+    1 iff the majority of token hashes have bit b set.  Pure expressions:
+    explode tokens → per-bit ±1 sums via shiftright/bitwise-and → reassemble.
+    """
+    toks = F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^a-z0-9 ]", " ")), r"\s+")
+    t = (documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+         .select("doc_id", F.explode("toks").alias("tok"))
+         .where(F.col("tok") != "")
+         .select("doc_id", F.xxhash64("tok").alias("h")))
+    bit_sums = t.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)])
+    sig = bit_sums.select(
+        "doc_id",
+        sum((F.when(F.col(f"b{b}") > 0,
+                    F.lit(1).cast("long") * (1 << b) if b < 63
+                    else F.lit(-(1 << 63)).cast("long"))
+             .otherwise(F.lit(0).cast("long")) for b in range(64)),
+            start=F.lit(0).cast("long")).alias("simhash"))
+    return sig

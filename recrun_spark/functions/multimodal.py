@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The actual codecs are NOT available in this container, so the decode kernel
+is a clearly-marked deterministic fake (``_fake_decode``) behind the same
+batch interface a real decoder (PIL/ffmpeg) would use — the Spark-side
+plumbing (schema, batching, partition behavior, UDF signatures) is real and
+tested.  Swap ``_fake_decode`` for a real decoder on a cluster with codecs
+installed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+                               StringType, StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("modality", StringType()),      # image | audio | video
+    StructField("mime", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("payload", BinaryType()),       # opaque encoded bytes
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("modality", StringType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("sha1", StringType()),
+    StructField("feature", ArrayType(FloatType())),  # 8-dim embedding stub
+])
+
+REAL_DECODERS_AVAILABLE = False  # PIL / ffmpeg not installed in this sandbox
+
+
+def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
+    """DETERMINISTIC STAND-IN for image/audio decode.  Produces an 8-dim
+    float feature from the payload digest.  A real implementation would
+    decode pixels/samples here; raise if someone expects real decode."""
+    digest = hashlib.sha1(payload or b"").digest()
+    arr = np.frombuffer(digest[:16], dtype=np.uint8).astype(np.float32)
+    return (arr[:8] - arr[8:16]) / 255.0
+
+
+def decode_real(payload: bytes, modality: str):
+    raise NotImplementedError(
+        "real media decoding requires PIL/ffmpeg — not available in this "
+        "container; use the _fake_decode plumbing for tests")
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """media(MEDIA_SCHEMA) -> features(FEATURE_SCHEMA): Arrow-batched map,
+    zero shuffle; binary payloads never leave the executor as Python rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shas, sizes = [], [], []
+            for payload, modality in zip(pdf["payload"], pdf["modality"]):
+                raw = bytes(payload) if payload is not None else b""
+                feats.append([float(x) for x in _fake_decode(raw, modality)])
+                shas.append(hashlib.sha1(raw).hexdigest())
+                sizes.append(len(raw))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": sizes,
+                "sha1": shas,
+                "feature": feats,
+            })
+
+    return media.select("media_id", "doc_id", "modality", "payload") \
+        .mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: (media_id, frame_ts_ms) rows — pure
+    expression (sequence + explode), the real frame grab being the decode
+    kernel's job.  Demonstrates bounded fan-out of media rows."""
+    return (media.where(F.col("modality") == "video")
+            .select("media_id",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                        F.lit(every_ms))).alias("frame_ts_ms")))
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 42
+                ) -> DataFrame:
+    """Deterministic synthetic media table (payload = seeded bytes)."""
+    import random
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        modality = ("image", "audio", "video")[i % 3]
+        payload = bytes(rng.randrange(256) for _ in range(64 + (i % 5) * 32))
+        rows.append((
+            f"m{i:04d}", f"doc{i % 16:06d}", modality,
+            {"image": "image/png", "audio": "audio/wav",
+             "video": "video/mp4"}[modality],
+            64 + i % 512, 48 + i % 256,
+            (i % 10) * 1000 if modality == "video" else 0,
+            payload))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

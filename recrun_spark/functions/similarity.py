@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query set
+  against the corpus, dot products via ``F.zip_with``/``F.aggregate`` (pure
+  JVM expressions), per-query window top-k with deterministic tie-breaks.
+  This is the correctness baseline; it scales as |corpus| × |queries| with
+  the corpus side fully partitioned (no shuffle until the final top-k, which
+  AQE keeps tiny because scores are pre-filtered by row_number).
+* ``ivf_topk`` — the scale path: vectors are bucketed by nearest centroid
+  (deterministic centroids = first K corpus vectors), queries probe the
+  ``nprobe`` nearest buckets only.  Same expression kernels; the bucket
+  assignment is one broadcast join + argmin, so search cost drops by
+  ~K/nprobe.  Deterministic (no trained kmeans) so the DuckDB oracle can
+  reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"),
+                       lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_ids, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_dp: int = 4) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim) — exact brute-force top-k.
+
+    Deterministic: sim rounded to ``round_dp`` before ranking, ties broken
+    by neighbor_id asc; self-matches excluded.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"))
+    queries = (embeddings
+               .where(F.col(id_col).isin(list(query_ids)))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec")))
+    scored = (vecs.crossJoin(F.broadcast(queries))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_sim(F.col("qvec"), F.col("vec")),
+                              round_dp).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "sim"))
+
+
+def assign_buckets(embeddings: DataFrame, n_centroids: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """(vec_id, bucket) — nearest centroid by cosine; centroids are the
+    ``n_centroids`` lowest-id corpus vectors (deterministic IVF)."""
+    w = Window.orderBy(F.col(id_col).asc())
+    cents = (embeddings
+             .withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") <= n_centroids)
+             .select(F.col("_rn").alias("bucket"),
+                     F.col(vec_col).cast("array<double>").alias("cvec")))
+    vecs = embeddings.select(F.col(id_col),
+                             F.col(vec_col).cast("array<double>").alias("vec"))
+    scored = (vecs.crossJoin(F.broadcast(cents))
+              .select(id_col, "bucket",
+                      F.round(cosine_sim(F.col("vec"), F.col("cvec")), 6)
+                      .alias("csim")))
+    w2 = Window.partitionBy(id_col).orderBy(F.col("csim").desc(),
+                                            F.col("bucket").asc())
+    return (scored.withColumn("_r", F.row_number().over(w2))
+            .where(F.col("_r") == 1).select(id_col, "bucket"))
+
+
+def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_dp: int = 4) -> DataFrame:
+    """IVF-bucketed approximate top-k: search only the ``nprobe`` buckets
+    nearest to each query vector.  Same output shape as cosine_topk."""
+    w = Window.orderBy(F.col(id_col).asc())
+    cents = (embeddings
+             .withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") <= n_centroids)
+             .select(F.col("_rn").alias("bucket"),
+                     F.col(vec_col).cast("array<double>").alias("cvec")))
+    buckets = assign_buckets(embeddings, n_centroids, id_col, vec_col)
+    vecs = (embeddings.select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).cast("array<double>").alias("vec"))
+            .join(buckets.withColumnRenamed(id_col, "neighbor_id"),
+                  "neighbor_id"))
+    queries = (embeddings
+               .where(F.col(id_col).isin(list(query_ids)))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec")))
+    qprobe = (queries.crossJoin(F.broadcast(cents))
+              .select("query_id", "qvec", "bucket",
+                      F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6)
+                      .alias("csim")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(),
+                                                F.col("bucket").asc())
+    qb = (qprobe.withColumn("_r", F.row_number().over(wq))
+          .where(F.col("_r") <= nprobe).select("query_id", "qvec", "bucket"))
+    scored = (vecs.join(F.broadcast(qb), "bucket")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_sim(F.col("qvec"), F.col("vec")),
+                              round_dp).alias("sim")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "sim"))

@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All hot-path logic is JVM-side ``pyspark.sql.functions`` expressions (no
+Python UDFs) so plans stay inside whole-stage codegen and the same formulas
+are expressible as ANSI SQL for the DuckDB oracle (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic heuristic stopword lists (ASCII only, fixed order)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "una", "que", "para", "con"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break order
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text ('' -> empty array)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-ish token estimate: word pieces of <=4 chars via a regex
+    split (proxy for BPE segmentation; deterministic, SQL-expressible)."""
+    # each word contributes ceil(len/4) pieces
+    toks = tokens_col(text)
+    return F.aggregate(
+        toks, F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"))
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    toks = tokens_col(F.lower(text))
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality in [0,1]: length saturation + stopword ratio +
+    punctuation presence (the reference's text/link-density family of
+    heuristics, generalized — SURVEY.md §2.4 A1/A5)."""
+    n_tok = token_count(text)
+    stop = stopword_count(text, "en")
+    punct = punct_count(text)
+    len_part = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_part = F.least(stop / F.greatest(n_tok.cast("double"),
+                                          F.lit(1.0)) * 5.0, F.lit(1.0))
+    punct_part = F.least(punct / F.lit(10.0), F.lit(1.0))
+    return F.round(0.5 * len_part + 0.3 * stop_part + 0.2 * punct_part, 6)
+
+
+def lang_scores(text: Column) -> dict:
+    return {lang: stopword_count(text, lang) for lang in LANG_ORDER}
+
+
+def lang_guess(text: Column) -> Column:
+    """Argmax of per-language stopword hits; ties resolved by LANG_ORDER;
+    'und' (undetermined) when no stopwords hit at all."""
+    scores = lang_scores(text)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def normalize_text(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: first 16 hex chars of md5(normalized text)."""
+    return F.substring(F.md5(normalize_text(text)), 1, 16)
+
+
+ROLLING_BASE = 131
+ROLLING_MOD = 1_000_000_007
+
+
+def fingerprint_rolling(text: Column) -> Column:
+    """Polynomial rolling hash over the character codes of the normalized
+    text: acc = (acc*131 + ascii(ch)) mod 1e9+7 — pure expression (F.aggregate
+    over the char array), no Python."""
+    chars = F.split(normalize_text(text), "")
+    codes = F.filter(chars, lambda c: c != "")
+    return F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + F.ascii(c)) % ROLLING_MOD)
+
+
+def text_stats(documents: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document text-analysis projection (one pass, no shuffle)."""
+    t = F.col(text_col)
+    return documents.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subwords"),
+        punct_count(t).alias("n_punct"),
+        stopword_count(t, "en").alias("n_stop_en"),
+        quality_score(t).alias("quality"),
+        lang_guess(t).alias("lang_guess"),
+        fingerprint_md5(t).alias("fp_md5"),
+        fingerprint_rolling(t).alias("fp_roll"),
+    )

@@ -29,11 +29,13 @@ def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
          .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
          .config("spark.sql.parquet.filterPushdown", "true")
          .config("spark.driver.memory",
-                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                 # local mode: driver heap IS the executor heap — size it
+                 # for 32 concurrent tasks buffering Arrow batches
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
          .config("spark.ui.enabled", "false")
          .config("spark.sql.session.timeZone", "UTC"))
     for k, v in (extra_conf or {}).items():

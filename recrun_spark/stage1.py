@@ -53,37 +53,78 @@ EXTRACTION_SCHEMA = StructType([
 ])
 
 
-def _spans_to_tuples(spans) -> list:
-    # Arrow hands array<struct> to pandas as a numpy array of dicts
-    return [(s["kind"], s["text"], s["media_ref"], s["offset"])
-            for s in spans]
+def _unpack_spans_batch(batch, spans_col: str = "spans"):
+    """Decompose an Arrow batch's array<struct> column into flat Python
+    lists + per-doc offsets WITHOUT per-span dict materialization (the
+    pandas path builds a dict per span — ~3x slower than the fold itself).
+    """
+    import numpy as np
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans = batch.column(spans_col)
+    lengths = np.asarray([s if s is not None else 0
+                          for s in _pc().list_value_length(spans).to_pylist()],
+                         dtype=np.int64)
+    flat = spans.flatten()
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    refs = flat.field("media_ref").to_pylist()
+    offs = flat.field("offset").to_pylist()
+    bounds = np.concatenate([[0], np.cumsum(lengths)])
+    return doc_ids, kinds, texts, refs, offs, bounds
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame], settings: Settings
-                     ) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        out = {"doc_id": [], "title": [], "next_page": [], "text_length": [],
-               "score": [], "retained_spans": []}
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-            rec = extract(_spans_to_tuples(spans), settings)
-            out["doc_id"].append(doc_id)
-            out["title"].append(rec["title"])
-            out["next_page"].append(rec["next_page"])
-            out["text_length"].append(rec["text_length"])
-            out["score"].append(rec["score"])
-            out["retained_spans"].append(
-                [{"kind": k, "text": t, "media_ref": m, "offset": o}
+def _pc():
+    import pyarrow.compute as pc
+    return pc
+
+
+def _extract_arrow_batches(batches, settings: Settings):
+    import pyarrow as pa
+    out_schema = pa.schema([
+        ("doc_id", pa.string()),
+        ("title", pa.string()),
+        ("next_page", pa.string()),
+        ("text_length", pa.int32()),
+        ("score", pa.int32()),
+        ("retained_spans", pa.list_(pa.struct([
+            ("kind", pa.string()), ("text", pa.string()),
+            ("media_ref", pa.string()), ("offset", pa.int32())]))),
+    ])
+    for batch in batches:
+        doc_ids, kinds, texts, refs, offs, bounds = _unpack_spans_batch(batch)
+        titles, nexts, tlens, scores, retained = [], [], [], [], []
+        for i in range(len(doc_ids)):
+            s, e = bounds[i], bounds[i + 1]
+            rec = extract(zip(kinds[s:e], texts[s:e], refs[s:e], offs[s:e]),
+                          settings)
+            titles.append(rec["title"])
+            nexts.append(rec["next_page"])
+            tlens.append(rec["text_length"])
+            scores.append(rec["score"])
+            retained.append(
+                [{"kind": k, "text": t, "media_ref": m, "offset": int(o)}
                  for k, t, m, o in rec["retained_spans"]])
-        yield pd.DataFrame(out)
+        yield pa.RecordBatch.from_arrays([
+            pa.array(doc_ids, pa.string()),
+            pa.array(titles, pa.string()),
+            pa.array(nexts, pa.string()),
+            pa.array(tlens, pa.int32()),
+            pa.array(scores, pa.int32()),
+            pa.array(retained, out_schema.field("retained_spans").type),
+        ], schema=out_schema)
 
 
 def extract_documents(documents: DataFrame,
                       settings: Optional[Settings] = None) -> DataFrame:
-    """documents(doc_id, spans) -> extractions (EXTRACTION_SCHEMA)."""
+    """documents(doc_id, spans) -> extractions (EXTRACTION_SCHEMA).
+
+    Uses ``mapInArrow`` (not ``mapInPandas``): the spans column is consumed
+    straight from the Arrow buffers, skipping the pandas dict-per-struct
+    conversion that would otherwise dominate the stage."""
     settings = settings or Settings.shipped()
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _extract_batches(batches, settings)
+    def fn(batches):
+        return _extract_arrow_batches(batches, settings)
 
-    return documents.select("doc_id", "spans").mapInPandas(
+    return documents.select("doc_id", "spans").mapInArrow(
         fn, schema=EXTRACTION_SCHEMA)

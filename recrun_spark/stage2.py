@@ -47,27 +47,41 @@ ALIAS_SCHEMA = StructType([
 
 
 def detect_mentions(extractions: DataFrame, surfaces: list) -> DataFrame:
-    """extractions(doc_id, retained_spans) -> mentions(MENTION_SCHEMA)."""
+    """extractions(doc_id, retained_spans) -> mentions(MENTION_SCHEMA).
+
+    Arrow-native map (``mapInArrow``): spans are read from the Arrow
+    buffers; the alias automaton is compiled once per task from the Spark
+    broadcast."""
     spark = extractions.sparkSession
     bc = spark.sparkContext.broadcast(sorted(set(surfaces)))
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pattern = build_alias_pattern(bc.value)  # compiled once per task
-        for pdf in batches:
-            out = {"doc_id": [], "surface": [], "span_offset": [],
-                   "start": []}
-            for doc_id, spans in zip(pdf["doc_id"], pdf["retained_spans"]):
-                for s in spans:
-                    if s["kind"] != "text" or not s["text"]:
-                        continue
-                    for surface, start in find_mentions(s["text"], pattern):
-                        out["doc_id"].append(doc_id)
-                        out["surface"].append(surface)
-                        out["span_offset"].append(s["offset"])
-                        out["start"].append(start)
-            yield pd.DataFrame(out)
+    def fn(batches):
+        import pyarrow as pa
 
-    return extractions.select("doc_id", "retained_spans").mapInPandas(
+        from .stage1 import _unpack_spans_batch
+        out_schema = pa.schema([
+            ("doc_id", pa.string()), ("surface", pa.string()),
+            ("span_offset", pa.int32()), ("start", pa.int32())])
+        pattern = build_alias_pattern(bc.value)  # compiled once per task
+        for batch in batches:
+            doc_ids, kinds, texts, _refs, offs, bounds = \
+                _unpack_spans_batch(batch, "retained_spans")
+            o_doc, o_surf, o_off, o_start = [], [], [], []
+            for i in range(len(doc_ids)):
+                for j in range(bounds[i], bounds[i + 1]):
+                    if kinds[j] != "text" or not texts[j]:
+                        continue
+                    for surface, start in find_mentions(texts[j], pattern):
+                        o_doc.append(doc_ids[i])
+                        o_surf.append(surface)
+                        o_off.append(int(offs[j]))
+                        o_start.append(start)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_doc, pa.string()), pa.array(o_surf, pa.string()),
+                 pa.array(o_off, pa.int32()), pa.array(o_start, pa.int32())],
+                schema=out_schema)
+
+    return extractions.select("doc_id", "retained_spans").mapInArrow(
         fn, schema=MENTION_SCHEMA)
 
 

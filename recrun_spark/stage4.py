@@ -38,7 +38,9 @@ def doc_entities(linked_mentions: DataFrame, canonical: DataFrame
 
 def assemble_triples(extractions: DataFrame, linked_mentions: DataFrame,
                      canonical: DataFrame) -> DataFrame:
-    ents = doc_entities(linked_mentions, canonical)
+    # ents feeds three branches (mentioned_in / co-mention self-join /
+    # illustrated_by) — persist so the join+distinct runs once
+    ents = doc_entities(linked_mentions, canonical).persist()
 
     mentioned_in = ents.select(
         F.col("entity").alias("subj"),
