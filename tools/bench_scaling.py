@@ -1,0 +1,105 @@
+"""Scaling-efficiency evidence (north_rule): run the SAME stage-1 extraction
+job at local[8] and local[32] (the sandbox proxy for N vs 4N executors) and
+report throughput at both plus efficiency = dps(4N) / (4 * dps(N)).
+
+Each parallelism level runs in a FRESH JVM (subprocess) so thread pools,
+GC sizing, and shuffle partitioning are configured per level, exactly as
+separate cluster sizes would be.  Median of `repeats` runs per level (this
+host shows up to 3x noisy-neighbor variance).
+
+Usage: python tools/bench_scaling.py [--docs 200000] [--repeats 3]
+Writes BENCH_SCALING.json at the repo root and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, statistics, sys, time
+sys.path.insert(0, {repo!r})
+from recrun_spark.session import get_spark
+from pyspark.sql import functions as F
+from recrun_spark.stage1 import extract_documents
+
+cpus = {cpus}
+spark = get_spark(f"scale{{cpus}}", cpus=cpus, extra_conf={{
+    "spark.sql.files.maxPartitionBytes": "4m",
+    "spark.sql.files.openCostInBytes": "4m"}})
+docs = spark.read.parquet({corpus!r})
+# warm-up (python worker pool + codegen), untimed
+extract_documents(docs.limit(2000)).agg(F.count(F.lit(1))).collect()
+ds = []
+for _ in range({repeats}):
+    t0 = time.time()
+    n = extract_documents(docs).agg(F.count(F.lit(1))).collect()[0][0]
+    ds.append(time.time() - t0)
+print(json.dumps({{"cpus": cpus, "n": n, "runs": ds,
+                   "median_sec": statistics.median(ds)}}))
+"""
+
+
+def ensure_corpus(n_docs: int) -> str:
+    path = os.path.join(REPO, ".bench_cache", f"corpus_{n_docs}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    env = dict(os.environ, RECRUN_BENCH_DOCS=str(n_docs),
+               PYTHONPATH=REPO)
+    code = (f"import sys; sys.path.insert(0, {REPO!r});\n"
+            "from recrun_spark.session import get_spark\n"
+            "import bench\n"
+            "bench.ensure_corpus(get_spark('gen', cpus=32))\n")
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   cwd=REPO)
+    return path
+
+
+def run_level(cpus: int, corpus: str, repeats: int) -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, repeats=repeats)
+    out = subprocess.run([sys.executable, "-c", code], check=True,
+                         capture_output=True, text=True, cwd=REPO)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int,
+                    default=int(os.environ.get("RECRUN_BENCH_DOCS",
+                                               "200000")))
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--levels", type=str, default="8,32")
+    args = ap.parse_args()
+
+    corpus = ensure_corpus(args.docs)
+    levels = [int(x) for x in args.levels.split(",")]
+    results = {c: run_level(c, corpus, args.repeats) for c in levels}
+
+    lo, hi = min(levels), max(levels)
+    dps = {c: args.docs / results[c]["median_sec"] for c in levels}
+    eff = dps[hi] / ((hi / lo) * dps[lo])
+    report = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "docs": args.docs,
+        "levels": {str(c): {"median_sec": round(results[c]["median_sec"], 2),
+                            "docs_per_sec": round(dps[c], 1),
+                            "runs": [round(x, 2) for x in results[c]["runs"]]}
+                   for c in levels},
+        "rule": f"eff = dps[{hi}] / ({hi // lo} * dps[{lo}]) >= 0.8",
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
