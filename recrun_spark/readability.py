@@ -189,6 +189,10 @@ RE_TITLE_DROP_TO_SEP = re.compile(r".*?[|\-] ")
 
 TEXT_NODE = 3
 
+# the reference's accidental global `text` (R:123) — single-threaded per
+# worker process, reset at each to_string entry, exactly like the JS module
+_TOSTRING_GLOBAL: dict = {"text": None}
+
 
 # ---------------------------------------------------------------------------
 # Tree model (R:14-31)
@@ -249,19 +253,24 @@ class Element:
             info["density"] = info["linkLength"] / (
                 info["textLength"] + info["linkLength"])
 
-    # R:122-132 — raw concatenated text (no normalization)
+    # R:122-132 — toString with the ACCIDENTAL-GLOBAL `text` quirk (R:123):
+    # `text = []` assigns a module global, so recursing into an element child
+    # re-points it at the child's array; subsequent pushes in the outer call
+    # land on the inner array, and the final join reads whatever array the
+    # deepest-last recursion left behind.  JS evaluation order detail: the
+    # receiver of `text.push(child.toString())` is bound BEFORE the argument
+    # runs, so the child's result is appended to the outer array even though
+    # later reads see the inner one.  Verified against the Node oracle
+    # (differential fuzz: a header whose last child is an element yields "").
     def to_string(self) -> str:
-        parts = []
-        stack = [self]
-        # iterative pre-order to avoid recursion limits on deep docs
-        def rec(el):
-            for ch in el.children:
-                if ch.node_type == TEXT_NODE:
-                    parts.append(ch.text)
-                else:
-                    rec(ch)
-        rec(self)
-        return "".join(parts)
+        _TOSTRING_GLOBAL["text"] = []
+        for ch in self.children:
+            if ch.node_type == TEXT_NODE:
+                _TOSTRING_GLOBAL["text"].append(ch.text)
+            else:
+                receiver = _TOSTRING_GLOBAL["text"]
+                receiver.append(ch.to_string())
+        return "".join(_TOSTRING_GLOBAL["text"])
 
     # R:133-160 — recursive argmax with in-place tag prior mutation
     def get_top_candidate(self):
@@ -787,7 +796,11 @@ def extract(spans, settings: Optional[Settings] = None) -> dict:
         if kind == "text":
             rd.ontext(text or "", offset)
         elif kind.startswith("open:"):
-            tag = kind[5:]
+            # saxParser lowercases tag names (R:739) — so e.g. a "toString"
+            # tag becomes "tostring", an ordinary element, NOT a noContent
+            # hit; only all-lowercase Object.prototype names ("constructor",
+            # "__proto__") can trigger the proto quirk through a real DOM.
+            tag = kind[5:].lower()
             rd.onopentagname(tag, offset)
             if tag in MEDIA_TAGS and media_ref:
                 url, w, h = parse_media_ref(media_ref)
@@ -800,7 +813,7 @@ def extract(spans, settings: Optional[Settings] = None) -> dict:
         elif kind.startswith("attr:"):
             rd.onattribute(kind[5:], text)
         elif kind.startswith("close:"):
-            rd.onclosetag(kind[6:])
+            rd.onclosetag(kind[6:].lower())
         else:
             raise ValueError(f"unknown span kind: {kind!r}")
 
