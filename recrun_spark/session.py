@@ -22,6 +22,12 @@ def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
     if shuffle_partitions is None:
         # 2x cores: enough tasks to rebalance, few enough to avoid tiny files
         shuffle_partitions = max(2 * cpus, 8)
+    # local mode: make this package importable in the executor-side Python
+    # workers regardless of the driver script's cwd (on a real cluster the
+    # package ships via spark-submit --py-files — tools/submit_pipeline.sh)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_path = pkg_parent + (
+        ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else "")
     b = (SparkSession.builder.appName(app_name)
          .master(f"local[{cpus}]")
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -36,6 +42,7 @@ def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
                  # local mode: driver heap IS the executor heap — size it
                  # for 32 concurrent tasks buffering Arrow batches
                  os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+         .config("spark.executorEnv.PYTHONPATH", worker_path)
          .config("spark.ui.enabled", "false")
          .config("spark.sql.session.timeZone", "UTC"))
     for k, v in (extra_conf or {}).items():

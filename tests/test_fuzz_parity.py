@@ -19,6 +19,43 @@ def fuzz_records():
     return corpus, run_oracle(corpus)
 
 
+def test_fuzz_parity_with_page_url():
+    """F1/F2/P11 coverage: _convertLinks, _getBaseURL, and the link-scan
+    domain checks only activate when settings.pageURL is provided."""
+    import json
+    import subprocess
+
+    from tools.oracle.run_oracle import ORACLE_JS
+    page_urls = ["http://ex.com/story/part-1", "http://ex.com/a/b/c.html?x=1",
+                 "https://news.site.org/2024/05/article_p2", "http://ex.com/",
+                 "http://ex.com/index", "http://ex.com/p/3/"]
+    corpus = fuzz_corpus(60)
+    in_path, out_path = "/tmp/fz_url_in.jsonl", "/tmp/fz_url_out.jsonl"
+    with open(in_path, "w") as f:
+        for i, (doc_id, spans) in enumerate(corpus):
+            f.write(json.dumps({
+                "doc_id": doc_id, "config": "shipped", "spans": spans,
+                "page_url": page_urls[i % len(page_urls)]}) + "\n")
+    subprocess.run(["node", ORACLE_JS, in_path, out_path], check=True)
+    gold = {}
+    with open(out_path) as f:
+        for line in f:
+            r = json.loads(line)
+            gold[r["doc_id"]] = r
+    bad = []
+    for i, (doc_id, spans) in enumerate(corpus):
+        st = Settings(clean_attributes=False, skip_level=3,
+                      page_url=page_urls[i % len(page_urls)])
+        mine = extract(spans, st)
+        ref = gold[doc_id]
+        if ([list(s) for s in mine["retained_spans"]]
+                != ref["retained_spans"]
+                or mine["next_page"] != ref["next_page"]
+                or mine["score"] != ref["score"]):
+            bad.append(doc_id)
+    assert not bad, bad[:5]
+
+
 @pytest.mark.parametrize("config", ["shipped", "full"])
 def test_fuzz_differential_parity(fuzz_records, config):
     corpus, records = fuzz_records
