@@ -140,6 +140,8 @@ _JS_OBJECT_PROTO_PROPS = {
 }
 NO_CONTENT = {"font", "input", "link", "meta", "span"} | _JS_OBJECT_PROTO_PROPS
 HEADER_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+FORMAT_TAGS = {"br", "hr"}                      # void-serialized <br/> (R:78)
+NEW_LINES_AFTER = HEADER_TAGS | {"br", "li", "p"}   # R:174
 DIV_TO_P_ELEMENTS = ["a", "blockquote", "dl", "img", "ol", "p", "pre",
                      "table", "ul"]
 OKAY_IF_EMPTY = ["audio", "embed", "iframe", "img", "object", "video"]
@@ -182,6 +184,13 @@ RE_CLOSING = re.compile(r"/?(?:#.*)?$")
 RE_IMG_URL = re.compile(r"\.(gif|jpe?g|png|webp)$", re.I)
 _COMMAS_PATTERN = ",[" + _JS_WS + ",]*"
 RE_COMMAS_SPLIT = re.compile(_COMMAS_PATTERN)
+
+# getHTML cleanup regexes (R:693-697); \s = the JS class
+RE_BR_BEFORE_P = re.compile(
+    r"(?:<br/>(?:" + _JS_WS_CLASS + r"|&nbsp;?)*)+(?=</?p)")
+RE_WS_BEFORE_BR = re.compile(r"(?:" + _JS_WS_CLASS + r"|&nbsp;?)+(?=<br/>)")
+RE_BR_RUN = re.compile(r"(?:<br/>){2,}")
+RE_NEWLINE_RUNS = re.compile(r"\n+(?=\n{2})")   # R:704
 
 RE_TITLE_SEP = re.compile(r" [|\-] ")
 RE_TITLE_KEEP_LHS = re.compile(r"(.*) [|\-] .*")
@@ -271,6 +280,36 @@ class Element:
                 receiver = _TOSTRING_GLOBAL["text"]
                 receiver.append(ch.to_string())
         return "".join(_TOSTRING_GLOBAL["text"])
+
+    # R:70-83 — outer HTML; attribute insertion order; void form for br/hr
+    def get_outer_html(self) -> str:
+        ret = "<" + self.name
+        for k, v in self.attributes.items():
+            ret += f' {k}="{v}"'
+        if not self.children:
+            if self.name in FORMAT_TAGS:
+                return ret + "/>"
+            return ret + "></" + self.name + ">"
+        return ret + ">" + self.get_inner_html() + "</" + self.name + ">"
+
+    # R:84-92
+    def get_inner_html(self) -> str:
+        return "".join(ch.text if ch.node_type == TEXT_NODE
+                       else ch.get_outer_html() for ch in self.children)
+
+    # R:93-105 — whitespace-normalized text with newlines around p/headers
+    def get_formatted_text(self) -> str:
+        ret = []
+        for ch in self.children:
+            if ch.node_type == TEXT_NODE:
+                ret.append(RE_WHITESPACE.sub(" ", ch.text))
+            else:
+                if ch.name == "p" or ch.name in HEADER_TAGS:
+                    ret.append("\n")
+                ret.append(ch.get_formatted_text())
+                if ch.name in NEW_LINES_AFTER:
+                    ret.append("\n")
+        return "".join(ret)
 
     # R:133-160 — recursive argmax with in-place tag prior mutation
     def get_top_candidate(self):
@@ -734,6 +773,18 @@ class Readability:
             return self.orig_title
         return cur
 
+    # R:689-700 — HTML output with <br>-run → paragraph rewrite (T5)
+    def get_html(self, node: Element) -> str:
+        html = node.get_inner_html()
+        html = RE_BR_BEFORE_P.sub("", html)
+        html = RE_WS_BEFORE_BR.sub("", html)
+        html = RE_BR_RUN.sub("</p><p>", html)
+        return js_trim(html)
+
+    # R:702-705 — formatted text, trimmed, 3+ newline runs collapsed to 2
+    def get_text(self, node: Element) -> str:
+        return RE_NEWLINE_RUNS.sub("", js_trim(node.get_formatted_text()))
+
     def get_next_page(self) -> str:
         top_score, top_link = 49.0, ""
         for link in js_object_keys(self.scanned_links):
@@ -826,4 +877,6 @@ def extract(spans, settings: Optional[Settings] = None) -> dict:
         "text_length": int(elem.info["textLength"]),
         "score": int(rd.top_candidate.total_score) if rd.top_candidate else 0,
         "retained_spans": retained,
+        "text": rd.get_text(elem),      # Article.getText (R:789-793)
+        "html": rd.get_html(elem),      # Article.getHTML (R:799-803)
     }

@@ -1,7 +1,7 @@
 """Stage 1 — distributed content-retention extraction.
 
 Runs the per-document readability fold (``recrun_spark.readability``) as an
-Arrow-vectorized ``mapInPandas`` over the interleaved documents table
+Arrow-vectorized ``mapInArrow`` over the interleaved documents table
 (``doc_id, spans array<struct<kind,text,media_ref,offset>>`` —
 BASELINE.json input_hint).
 
@@ -12,7 +12,7 @@ Scale design (SURVEY.md §3/§4):
   cluster this scales linearly with input splits; parallelism is governed by
   ``spark.sql.files.maxPartitionBytes`` on the scan, not by shuffle
   partitions.
-* **Arrow batching, no per-row Python.**  ``mapInPandas`` moves docs
+* **Arrow batching, no per-row Python.**  ``mapInArrow`` moves docs
   executor→Python in Arrow record batches; the only Python work is the fold
   itself (the reference's algorithm is inherently per-document, exactly like
   the reference's own single-pass SAX handler, R:733-765).
@@ -50,6 +50,8 @@ EXTRACTION_SCHEMA = StructType([
     StructField("text_length", IntegerType()),
     StructField("score", IntegerType()),
     StructField("retained_spans", ArrayType(SPAN_TYPE)),
+    StructField("text", StringType()),   # Article.getText  (R:789-793)
+    StructField("html", StringType()),   # Article.getHTML  (R:799-803)
 ])
 
 
@@ -89,10 +91,13 @@ def _extract_arrow_batches(batches, settings: Settings):
         ("retained_spans", pa.list_(pa.struct([
             ("kind", pa.string()), ("text", pa.string()),
             ("media_ref", pa.string()), ("offset", pa.int32())]))),
+        ("text", pa.string()),
+        ("html", pa.string()),
     ])
     for batch in batches:
         doc_ids, kinds, texts, refs, offs, bounds = _unpack_spans_batch(batch)
         titles, nexts, tlens, scores, retained = [], [], [], [], []
+        art_texts, art_htmls = [], []
         for i in range(len(doc_ids)):
             s, e = bounds[i], bounds[i + 1]
             rec = extract(zip(kinds[s:e], texts[s:e], refs[s:e], offs[s:e]),
@@ -104,6 +109,8 @@ def _extract_arrow_batches(batches, settings: Settings):
             retained.append(
                 [{"kind": k, "text": t, "media_ref": m, "offset": int(o)}
                  for k, t, m, o in rec["retained_spans"]])
+            art_texts.append(rec["text"])
+            art_htmls.append(rec["html"])
         yield pa.RecordBatch.from_arrays([
             pa.array(doc_ids, pa.string()),
             pa.array(titles, pa.string()),
@@ -111,6 +118,8 @@ def _extract_arrow_batches(batches, settings: Settings):
             pa.array(tlens, pa.int32()),
             pa.array(scores, pa.int32()),
             pa.array(retained, out_schema.field("retained_spans").type),
+            pa.array(art_texts, pa.string()),
+            pa.array(art_htmls, pa.string()),
         ], schema=out_schema)
 
 

@@ -69,6 +69,8 @@ def test_fuzz_differential_parity(fuzz_records, config):
                 or mine["title"] != ref["title"]
                 or mine["next_page"] != ref["next_page"]
                 or mine["text_length"] != ref["text_length"]
-                or mine["score"] != ref["score"]):
+                or mine["score"] != ref["score"]
+                or mine["text"] != ref["text"]
+                or mine["html"] != ref["html"]):
             bad.append(doc_id)
     assert not bad, f"{len(bad)} fuzz mismatches: {bad[:5]}"

@@ -47,7 +47,8 @@ def test_span_equality(golden, corpus, config):
         mine = extract(spans, settings)
         if [list(s) for s in mine["retained_spans"]] != ref["retained_spans"]:
             failures.append((doc_id, "spans"))
-        for k in ("title", "next_page", "text_length", "score"):
+        for k in ("title", "next_page", "text_length", "score", "text",
+                  "html"):
             if mine[k] != ref[k]:
                 failures.append((doc_id, k))
     assert not failures, f"{len(failures)} mismatches: {failures[:10]}"

@@ -33,7 +33,8 @@ def test_stage1_matches_oracle(spark, corpus_parquet, golden_shipped):
                 for s in row["retained_spans"]]
         if mine != ref["retained_spans"]:
             bad.append((row["doc_id"], "spans"))
-        for k in ("title", "next_page", "text_length", "score"):
+        for k in ("title", "next_page", "text_length", "score", "text",
+                  "html"):
             if row[k] != ref[k]:
                 bad.append((row["doc_id"], k))
     assert not bad, bad[:5]

@@ -111,6 +111,16 @@ function extractDoc(rec) {
     const cand = readable._getCandidateNode();
     const retained = [];
     collectRetained(cand, retained);
+    // the synthetic `title` offset attributes must not leak into the HTML
+    // rendering (scores are already computed; deletion is inert otherwise)
+    (function stripTitles(el) {
+        if (el.attributes) delete el.attributes['title'];
+        if (el.children) {
+            for (const ch of el.children) {
+                if (ch.nodeType !== Node.TEXT_NODE) stripTitles(ch);
+            }
+        }
+    })(cand);
     return {
         doc_id: rec.doc_id,
         config: rec.config,
@@ -119,6 +129,8 @@ function extractDoc(rec) {
         text_length: article.textLength,
         score: article.score,
         retained_spans: retained,
+        text: readable.getText(cand),
+        html: readable.getHTML(cand),
     };
 }
 
