@@ -34,7 +34,8 @@ spark = get_spark(f"scale{{cpus}}", cpus=cpus, extra_conf={{
     "spark.sql.files.maxPartitionBytes": "4m",
     "spark.sql.files.openCostInBytes": "4m"}})
 docs = spark.read.parquet({corpus!r})
-# warm-up (python worker pool + codegen), untimed
+# warm-up, untimed: full scan (page cache) + python worker pool + codegen
+docs.agg(F.sum(F.size("spans"))).collect()
 extract_documents(docs.limit(2000)).agg(F.count(F.lit(1))).collect()
 ds = []
 for _ in range({repeats}):
