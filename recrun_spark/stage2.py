@@ -86,7 +86,7 @@ def detect_mentions(extractions: DataFrame, surfaces: list) -> DataFrame:
 
 
 def link_mentions(mentions: DataFrame, aliases: DataFrame,
-                  broadcast_limit: int = 50_000_000,
+                  broadcast_max_rows: int = 1_000_000,
                   salt_buckets: int = 16) -> DataFrame:
     """Join mentions to the alias dictionary and pick the best candidate
     per mention: max prior, ties -> min entity_id (linking.build_link_map).
@@ -106,7 +106,7 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame,
             .where(F.col("_rn") == 1)
             .select("alias", "entity_id", "prior"))
 
-    if _estimate_small(aliases, broadcast_limit):
+    if _estimate_small(aliases, broadcast_max_rows):
         joined = mentions.join(F.broadcast(best),
                                mentions["surface"] == best["alias"], "inner")
     else:
@@ -116,10 +116,10 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame,
                          "entity_id", "prior")
 
 
-def _estimate_small(df: DataFrame, limit_bytes: int) -> bool:
-    # alias dictionaries are metadata-scale; a cheap count guard suffices
+def _estimate_small(df: DataFrame, max_rows: int) -> bool:
+    # alias dictionaries are metadata-scale; a cheap bounded count suffices
     try:
-        return df.limit(1_000_001).count() <= 1_000_000
+        return df.limit(max_rows + 1).count() <= max_rows
     except Exception:
         return False
 

@@ -1,0 +1,72 @@
+"""Invariant tests for the training-data operators that have no SQL oracle
+(engine-specific hashes / stubbed decode) + the stage-2 salted-join path."""
+
+from pyspark.sql import functions as F
+
+
+def test_simhash_invariants(spark):
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"),
+         ("b", "the quick brown fox jumps over the lazy dog"),
+         ("c", "the quick brown fox jumps over the lazy cat"),
+         ("d", "completely different vocabulary entirely unrelated words")],
+        ["doc_id", "text"])
+    from recrun_spark.functions.dedup import simhash
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sig["a"] == sig["b"]  # identical text -> identical signature
+
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sig["a"], sig["c"]) < hamming(sig["a"], sig["d"])
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    from recrun_spark.functions.dedup import MH_K, minhash_signatures
+    docs = spark.createDataFrame(
+        [("a", "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"])
+    s1 = minhash_signatures(docs).collect()[0]["sig"]
+    s2 = minhash_signatures(docs).collect()[0]["sig"]
+    assert len(s1) == MH_K and s1 == s2
+    assert all(0 <= v < (1 << 31) for v in s1)
+
+
+def test_multimodal_features_deterministic(spark):
+    from recrun_spark.functions.multimodal import (extract_features,
+                                                   frame_sample_plan,
+                                                   synth_media)
+    media = synth_media(spark, n=24)
+    f1 = sorted((r["media_id"], r["sha1"], tuple(r["feature"]))
+                for r in extract_features(media).collect())
+    f2 = sorted((r["media_id"], r["sha1"], tuple(r["feature"]))
+                for r in extract_features(media).collect())
+    assert f1 == f2
+    assert all(len(t[2]) == 8 for t in f1)
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.groupBy("media_id").count().collect()
+    # every video contributes >= 1 frame timestamp; non-videos contribute 0
+    vids = media.where(F.col("modality") == "video").count()
+    assert len(rows) == vids
+    assert all(r["count"] >= 1 for r in rows)
+
+
+def test_stage2_salted_path_equivalence(spark, corpus_parquet):
+    """Forcing the salted repartition-join must produce byte-identical
+    linking to the broadcast path (skew handling is a physical choice,
+    not a semantic one)."""
+    from recrun_spark.stage1 import extract_documents
+    from recrun_spark.stage2 import detect_mentions, link_mentions, load_aliases
+    docs = spark.read.parquet(corpus_parquet).limit(50)
+    aliases = load_aliases(spark)
+    surfaces = [r["alias"] for r in aliases.select("alias").distinct().collect()]
+    mentions = detect_mentions(extract_documents(docs), surfaces).persist()
+    cols = ["doc_id", "surface", "span_offset", "start", "entity_id", "prior"]
+    broadcasted = sorted(map(tuple, link_mentions(mentions, aliases)
+                             .select(*cols).collect()))
+    salted = sorted(map(tuple, link_mentions(mentions, aliases,
+                                             broadcast_max_rows=0,
+                                             salt_buckets=7)
+                        .select(*cols).collect()))
+    assert broadcasted == salted and len(broadcasted) > 0
+    mentions.unpersist()
