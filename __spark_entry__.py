@@ -19,6 +19,32 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship recrun_spark to executor Python workers for UDF-bearing queries
+    (the driver harness may run these with its own SparkSession whose
+    workers can't import the repo path)."""
+    if getattr(_ensure_pkg, "_done", None) is spark:
+        return
+    import zipfile
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", "recrun_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(repo, "recrun_spark")
+            for root, _dirs, files in os.walk(pkg):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        p = os.path.join(root, fn)
+                        z.write(p, os.path.relpath(p, repo))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    _ensure_pkg._done = spark
+
 # ---------------------------------------------------------------------------
 # shared bits
 # ---------------------------------------------------------------------------
@@ -296,6 +322,7 @@ def media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → Arrow-batched feature
     extraction (decode kernel stubbed — functions/multimodal.py)."""
     from recrun_spark.functions.multimodal import extract_features, synth_media
+    _ensure_pkg(spark)
     return extract_features(synth_media(spark, n=64))
 
 
@@ -309,6 +336,7 @@ def kg_triples_interleaved(spark, sf_dir):
     from recrun_spark.stage2 import detect_mentions, link_mentions, load_aliases
     from recrun_spark.stage3 import canonicalize
     from recrun_spark.stage4 import assemble_triples
+    _ensure_pkg(spark)
     path = os.path.join(tempfile.gettempdir(), "entry_corpus_60.parquet")
     if not os.path.exists(path):
         write_corpus_parquet(path, 60)
