@@ -121,6 +121,21 @@ def main():
     assert row["n"] == n_big, (row["n"], n_big)
     extract_dps = round(n_big / timings["kg_stage1_extract"], 1)
 
+    # leaner KG-only path: skip text/html renders (~50% of fold cost)
+    timed("kg_stage1_spans_only",
+          lambda: extract_documents(docs_big, include_renders=False)
+          .agg(F.count(F.lit(1))).collect(), repeats=3)
+    spans_only_dps = round(n_big / timings["kg_stage1_spans_only"], 1)
+
+    # -- relational / training-data queries at SF_DIR ---------------------
+    qs = entry.queries()
+    for name in ("q1_pricing", "revenue_by_region", "word_counts",
+                 "text_stats", "dedup_exact", "dedup_minhash_lsh",
+                 "ann_cosine_topk", "ann_ivf_topk", "cc_components",
+                 "kg_mentions_flat", "events_hourly", "simhash_sigs"):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR)
+              .agg(F.count(F.lit(1))).collect())
+
     # -- full KG pipeline (mentions -> link -> CC -> triples) -------------
     from recrun_spark.stage2 import detect_mentions, link_mentions, load_aliases
     from recrun_spark.stage3 import canonicalize
@@ -144,15 +159,6 @@ def main():
     n_triples = timed("kg_full_pipeline", run_pipeline)
     pipeline_dps = round(n_big / timings["kg_full_pipeline"], 1)
 
-    # -- relational / training-data queries at SF_DIR ---------------------
-    qs = entry.queries()
-    for name in ("q1_pricing", "revenue_by_region", "word_counts",
-                 "text_stats", "dedup_exact", "dedup_minhash_lsh",
-                 "ann_cosine_topk", "ann_ivf_topk", "cc_components",
-                 "kg_mentions_flat", "events_hourly", "simhash_sigs"):
-        timed(name, lambda n=name: qs[n](spark, SF_DIR)
-              .agg(F.count(F.lit(1))).collect())
-
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -164,6 +170,7 @@ def main():
         "cpus": CPUS,
         "kg_docs": n_big,
         "extract_docs_per_sec": extract_dps,
+        "extract_spans_only_docs_per_sec": spans_only_dps,
         "pipeline_docs_per_sec": pipeline_dps,
         "kg_triples": n_triples,
     }))

@@ -87,6 +87,11 @@ def connected_components(edges: DataFrame, src: str = "src",
          .localCheckpoint(eager=True))
 
     for _ in range(max_iter):
+        # localCheckpoint (not persist): it REPLACES the logical plan with a
+        # scan of the materialized blocks, so per-iteration analysis cost
+        # stays constant instead of growing with the plan tree.  Edge lists
+        # are small (entity-graph scale), so block accumulation across the
+        # few iterations to convergence is negligible.
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         canon_old = e.select(F.greatest("u", "v").alias("u"),
                              F.least("u", "v").alias("v")).distinct()

@@ -67,7 +67,9 @@ def js_trim(s: str) -> str:
 
 
 def js_len(s: str) -> int:
-    """JS String.length = UTF-16 code units."""
+    """JS String.length = UTF-16 code units (ASCII fast path)."""
+    if s.isascii():
+        return len(s)
     return len(s.encode("utf-16-le")) // 2
 
 
@@ -835,12 +837,15 @@ def collect_retained(elem: Element, out: list) -> None:
             collect_retained(ch, out)
 
 
-def extract(spans, settings: Optional[Settings] = None) -> dict:
+def extract(spans, settings: Optional[Settings] = None,
+            renders: bool = True) -> dict:
     """Run the full fold over one document's span sequence.
 
     ``spans``: iterable of (kind, text, media_ref, offset) tuples (document
     order).  Returns the Article record (SURVEY.md §1.1c) plus the ordered
-    retained spans.
+    retained spans.  ``renders=False`` skips the text/html renderings
+    (~50%% of per-doc cost — the reference computes them lazily, R:779-804;
+    use when only the span/KG outputs are consumed).
     """
     rd = Readability(settings)
     for kind, text, media_ref, offset in spans:
@@ -877,6 +882,6 @@ def extract(spans, settings: Optional[Settings] = None) -> dict:
         "text_length": int(elem.info["textLength"]),
         "score": int(rd.top_candidate.total_score) if rd.top_candidate else 0,
         "retained_spans": retained,
-        "text": rd.get_text(elem),      # Article.getText (R:789-793)
-        "html": rd.get_html(elem),      # Article.getHTML (R:799-803)
+        "text": rd.get_text(elem) if renders else "",   # getText R:789-793
+        "html": rd.get_html(elem) if renders else "",   # getHTML R:799-803
     }

@@ -80,7 +80,8 @@ def _pc():
     return pc
 
 
-def _extract_arrow_batches(batches, settings: Settings):
+def _extract_arrow_batches(batches, settings: Settings,
+                           include_renders: bool = True):
     import pyarrow as pa
     out_schema = pa.schema([
         ("doc_id", pa.string()),
@@ -101,7 +102,7 @@ def _extract_arrow_batches(batches, settings: Settings):
         for i in range(len(doc_ids)):
             s, e = bounds[i], bounds[i + 1]
             rec = extract(zip(kinds[s:e], texts[s:e], refs[s:e], offs[s:e]),
-                          settings)
+                          settings, renders=include_renders)
             titles.append(rec["title"])
             nexts.append(rec["next_page"])
             tlens.append(rec["text_length"])
@@ -124,7 +125,8 @@ def _extract_arrow_batches(batches, settings: Settings):
 
 
 def extract_documents(documents: DataFrame,
-                      settings: Optional[Settings] = None) -> DataFrame:
+                      settings: Optional[Settings] = None,
+                      include_renders: bool = True) -> DataFrame:
     """documents(doc_id, spans) -> extractions (EXTRACTION_SCHEMA).
 
     Uses ``mapInArrow`` (not ``mapInPandas``): the spans column is consumed
@@ -133,7 +135,7 @@ def extract_documents(documents: DataFrame,
     settings = settings or Settings.shipped()
 
     def fn(batches):
-        return _extract_arrow_batches(batches, settings)
+        return _extract_arrow_batches(batches, settings, include_renders)
 
     return documents.select("doc_id", "spans").mapInArrow(
         fn, schema=EXTRACTION_SCHEMA)
