@@ -296,6 +296,13 @@ def ann_ivf_topk(spark, sf_dir):
                     n_centroids=16, nprobe=4)
 
 
+def ann_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family #5)."""
+    from recrun_spark.functions.similarity import embedding_near_dups
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.45)
+
+
 def events_hourly(spark, sf_dir):
     """Streaming-shaped windowed aggregation (batch equivalent of the
     Structured-Streaming path in recrun_spark.streaming)."""
@@ -368,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_summary": lang_quality_summary,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_near_dups": ann_near_dups,
         "events_hourly": events_hourly,
         "simhash_sigs": simhash_sigs,
         "minhash_sigs": minhash_sigs,
@@ -661,6 +669,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
+        "ann_near_dups": f"""
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_COS}, 4) AS sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round({_COS}, 4) >= 0.45
+        """,
         "events_hourly": """
             SELECT user_id,
                    time_bucket(INTERVAL '1 hour', ts) AS hour_start,

@@ -62,6 +62,32 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 5,
             .select("query_id", "neighbor_id", "rank", "sim"))
 
 
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        round_dp: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    id_a < id_b and sim >= threshold.
+
+    Exact all-pairs via a block-nested join on the id inequality — the
+    correctness baseline.  At corpus scale, swap the join input for
+    ``assign_buckets`` output and compare within buckets only (same kernel,
+    candidate set reduced by ~n_centroids), or pre-filter with
+    ``minhash``/``simhash`` text signals; the threshold semantics stay
+    identical.
+    """
+    vecs = embeddings.select(F.col(id_col).alias("id_a"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("vec_a"))
+    vecs_b = embeddings.select(F.col(id_col).alias("id_b"),
+                               F.col(vec_col).cast("array<double>")
+                               .alias("vec_b"))
+    return (vecs.join(vecs_b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")),
+                            round_dp).alias("sim"))
+            .where(F.col("sim") >= threshold))
+
+
 def assign_buckets(embeddings: DataFrame, n_centroids: int = 16,
                    id_col: str = "vec_id", vec_col: str = "embedding"
                    ) -> DataFrame:

@@ -124,6 +124,20 @@ def _extract_arrow_batches(batches, settings: Settings,
         ], schema=out_schema)
 
 
+def explode_retained(extractions: DataFrame) -> DataFrame:
+    """Re-emit retained spans as rows — the analog of the reference's
+    getEvents replay (R:712-723): (doc_id, pos, kind, text, media_ref,
+    offset), document order carried by (doc_id, pos)."""
+    from pyspark.sql import functions as F
+    return (extractions
+            .select("doc_id",
+                    F.posexplode("retained_spans").alias("pos", "s"))
+            .select("doc_id", "pos", F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").alias("offset")))
+
+
 def extract_documents(documents: DataFrame,
                       settings: Optional[Settings] = None,
                       include_renders: bool = True) -> DataFrame:

@@ -49,3 +49,20 @@ def test_stage1_determinism_across_partitionings(spark, corpus_parquet):
     b = sorted(map(tuple, extract_documents(docs.repartition(16))
                    .select("doc_id", "score", "text_length").collect()))
     assert a == b
+
+
+def test_explode_retained_order(spark, corpus_parquet):
+    """getEvents-replay analog: posexplode preserves document order."""
+    from recrun_spark.stage1 import explode_retained, extract_documents
+    docs = spark.read.parquet(corpus_parquet).limit(20)
+    rows = (explode_retained(extract_documents(docs))
+            .orderBy("doc_id", "pos").collect())
+    assert rows, "no retained spans"
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["offset"]))
+    for doc_id, seq in by_doc.items():
+        poss = [p for p, _ in seq]
+        offs = [o for _, o in seq]
+        assert poss == list(range(len(poss))), doc_id
+        assert offs == sorted(offs), doc_id
