@@ -394,13 +394,20 @@ _SHINGLE_CTE = f"""
 norm AS (
   SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS toks FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
     unnest(CASE WHEN len(toks) >= 3
       THEN list_transform(range(1, len(toks) - 1),
                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       ELSE [array_to_string(toks, ' ')] END) AS shingle
   FROM norm
+),
+-- df-cut mirrors dedup.jaccard_pairs(max_shingle_freq=1000): both the
+-- intersection AND the set sizes use the kept-shingle universe
+sh AS (
+  SELECT s.doc_id, s.shingle FROM sh0 s
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING count(*) <= 1000) keep USING (shingle)
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (

@@ -66,25 +66,35 @@ def shingles(documents: DataFrame, n: int = 3, text_col: str = "text",
     return sh.distinct()
 
 
-def jaccard_pairs(documents: DataFrame, threshold: float = 0.6,
-                  n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id",
-                  max_shingle_freq: int = 1000) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs via the inverted-index
-    co-occurrence join.  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
-    """
+def _kept_shingles(documents: DataFrame, n: int, text_col: str,
+                   id_col: str, max_shingle_freq: int) -> DataFrame:
+    """Distinct doc shingles after the df-cut (drop shingles present in more
+    than ``max_shingle_freq`` docs — boilerplate that would explode the
+    candidate join).  Numerator AND denominator of the Jaccard are computed
+    over this same kept universe, so the score stays a true Jaccard of the
+    kept-shingle sets (identical docs always score 1.0)."""
     sh = shingles(documents, n, text_col, id_col)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # df-cut: drop shingles present in too many docs (candidate explosion)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sh_kept = (sh.join(freq.where(F.col("df") <= max_shingle_freq)
-                       .select("shingle"), "shingle"))
+    return sh.join(freq.where(F.col("df") <= max_shingle_freq)
+                   .select("shingle"), "shingle")
+
+
+def _jaccard_of_pairs(pairs: DataFrame, sh_kept: DataFrame,
+                      threshold: float) -> DataFrame:
+    """Exact Jaccard for the given (doc_a, doc_b) candidate pairs over the
+    kept-shingle sets; pairs=None means all co-occurring pairs."""
+    sizes = sh_kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    if pairs is not None:
+        a = a.join(pairs.select("doc_a").distinct(), "doc_a")
+        b = b.join(pairs.select("doc_b").distinct(), "doc_b")
     inter = (a.join(b, "shingle")
              .where(F.col("doc_a") < F.col("doc_b"))
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"])
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
@@ -96,6 +106,18 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.6,
                                    - F.col("n_inter")), 6))
             .where(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def jaccard_pairs(documents: DataFrame, threshold: float = 0.6,
+                  n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_shingle_freq: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via the inverted-index
+    co-occurrence join.  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh_kept = _kept_shingles(documents, n, text_col, id_col,
+                             max_shingle_freq)
+    return _jaccard_of_pairs(None, sh_kept, threshold)
 
 
 def minhash_signatures(documents: DataFrame, k: int = MH_K, n: int = 3,
@@ -141,9 +163,11 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
     cands = (ca.join(cb, ["band", "bucket"])
              .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b").distinct())
-    exact = jaccard_pairs(documents, threshold, n, text_col, id_col)
-    return (cands.join(exact, ["doc_a", "doc_b"])
-            .select("doc_a", "doc_b", "jaccard"))
+    # exact-Jaccard verification restricted to the CANDIDATE pairs only —
+    # the whole point of LSH is to never run the full co-occurrence join
+    sh_kept = _kept_shingles(documents, n, text_col, id_col,
+                             max_shingle_freq=1000)
+    return _jaccard_of_pairs(cands, sh_kept, threshold)
 
 
 def simhash(documents: DataFrame, text_col: str = "text",

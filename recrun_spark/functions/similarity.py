@@ -88,17 +88,29 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
             .where(F.col("sim") >= threshold))
 
 
+def _centroids(embeddings: DataFrame, n_centroids: int,
+               id_col: str, vec_col: str) -> DataFrame:
+    """(bucket 1..n, cvec) — deterministic centroids = the n lowest-id
+    vectors.  orderBy().limit() compiles to TakeOrderedAndProject (fully
+    parallel top-n), unlike a global-window row_number which funnels the
+    whole corpus through one partition; the tiny result then gets bucket
+    ids from a window over n rows only."""
+    small = (embeddings.select(F.col(id_col).alias("_cid"),
+                               F.col(vec_col).cast("array<double>")
+                               .alias("cvec"))
+             .orderBy(F.col("_cid").asc()).limit(n_centroids))
+    w = Window.orderBy(F.col("_cid").asc())
+    return (small.withColumn("bucket", F.row_number().over(w))
+            .select("bucket", "cvec"))
+
+
 def assign_buckets(embeddings: DataFrame, n_centroids: int = 16,
-                   id_col: str = "vec_id", vec_col: str = "embedding"
-                   ) -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cents: DataFrame | None = None) -> DataFrame:
     """(vec_id, bucket) — nearest centroid by cosine; centroids are the
     ``n_centroids`` lowest-id corpus vectors (deterministic IVF)."""
-    w = Window.orderBy(F.col(id_col).asc())
-    cents = (embeddings
-             .withColumn("_rn", F.row_number().over(w))
-             .where(F.col("_rn") <= n_centroids)
-             .select(F.col("_rn").alias("bucket"),
-                     F.col(vec_col).cast("array<double>").alias("cvec")))
+    if cents is None:
+        cents = _centroids(embeddings, n_centroids, id_col, vec_col)
     vecs = embeddings.select(F.col(id_col),
                              F.col(vec_col).cast("array<double>").alias("vec"))
     scored = (vecs.crossJoin(F.broadcast(cents))
@@ -117,13 +129,9 @@ def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
              round_dp: int = 4) -> DataFrame:
     """IVF-bucketed approximate top-k: search only the ``nprobe`` buckets
     nearest to each query vector.  Same output shape as cosine_topk."""
-    w = Window.orderBy(F.col(id_col).asc())
-    cents = (embeddings
-             .withColumn("_rn", F.row_number().over(w))
-             .where(F.col("_rn") <= n_centroids)
-             .select(F.col("_rn").alias("bucket"),
-                     F.col(vec_col).cast("array<double>").alias("cvec")))
-    buckets = assign_buckets(embeddings, n_centroids, id_col, vec_col)
+    cents = _centroids(embeddings, n_centroids, id_col, vec_col)
+    buckets = assign_buckets(embeddings, n_centroids, id_col, vec_col,
+                             cents=cents)
     vecs = (embeddings.select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).cast("array<double>").alias("vec"))
             .join(buckets.withColumnRenamed(id_col, "neighbor_id"),

@@ -90,6 +90,11 @@ def read_manifest(path: str):
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    if iceberg_available(spark):
+    """Resolve by the MANIFEST's recorded format, not the current session's
+    catalog config — a parquet-written stage must remain readable (and a
+    resume valid) even if an Iceberg catalog appears later, and vice versa."""
+    m = read_manifest(path)
+    fmt = (m or {}).get("format")
+    if fmt == "iceberg" or (fmt is None and iceberg_available(spark)):
         return spark.read.table("recrun." + os.path.basename(path.rstrip("/")))
     return spark.read.parquet(path)

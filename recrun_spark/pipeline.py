@@ -73,10 +73,19 @@ def run_pipeline(spark: SparkSession, input_path: str, out_dir: str,
         lambda: canonicalize(aliases),
         lineage_key="entity_id", force=force)
 
+    built4 = {}
+
+    def _build4():
+        df = assemble_triples(extractions, linked, canonical)
+        built4["df"] = df
+        return df
+
     triples = _stage(
-        spark, out_dir, "stage4_triples",
-        lambda: assemble_triples(extractions, linked, canonical),
+        spark, out_dir, "stage4_triples", _build4,
         partition_by=["pred"], force=force)
+    ents = getattr(built4.get("df"), "_recrun_ents", None)
+    if ents is not None:
+        ents.unpersist()
 
     summary = {
         "input": input_path,

@@ -802,8 +802,6 @@ class Readability:
 
 MEDIA_TAGS = {"img", "embed", "iframe", "object", "video", "audio"}
 
-_MEDIA_REF_RE = re.compile(r"^(.*?)(?:#(?:w=([0-9]+))?&?(?:h=([0-9]+))?)?$")
-
 
 def parse_media_ref(media_ref: str):
     """media_ref = url + optional '#w=<int>&h=<int>' (FIXTURES.md §1)."""

@@ -14,6 +14,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _submit_master():
+    """Master already provided by spark-submit (java system property
+    spark.master reaches PySpark via SparkConf) — None when absent."""
+    try:
+        from pyspark import SparkConf
+        m = SparkConf().get("spark.master", None)
+        return m
+    except Exception:
+        return None
+
+
 def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
@@ -28,8 +39,17 @@ def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker_path = pkg_parent + (
         ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else "")
-    b = (SparkSession.builder.appName(app_name)
-         .master(f"local[{cpus}]")
+    b = SparkSession.builder.appName(app_name)
+    # honor an externally-provided master (spark-submit --master yarn/k8s):
+    # builder.master() would silently override it and run single-node
+    external_master = os.environ.get("SPARK_MASTER") or _submit_master()
+    if external_master is None:
+        b = b.master(f"local[{cpus}]")
+        b = b.config("spark.driver.memory",
+                     # local mode: driver heap IS the executor heap — size
+                     # it for 32 concurrent tasks buffering Arrow batches
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    b = (b
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -38,10 +58,6 @@ def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
          .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
          .config("spark.sql.parquet.filterPushdown", "true")
-         .config("spark.driver.memory",
-                 # local mode: driver heap IS the executor heap — size it
-                 # for 32 concurrent tasks buffering Arrow batches
-                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
          .config("spark.executorEnv.PYTHONPATH", worker_path)
          .config("spark.ui.enabled", "false")
          .config("spark.sql.session.timeZone", "UTC"))

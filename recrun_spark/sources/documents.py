@@ -35,5 +35,8 @@ def read_documents(spark: SparkSession, path: str, fmt: str = "parquet",
         raise ValueError(f"unsupported documents format: {fmt!r}")
 
     if content_type is not None and "content_type" in df.columns:
-        df = df.where(F.col("content_type") == content_type)
+        # containment, not equality: the reference checks
+        # document.contentType.indexOf('text/html') > -1, and real headers
+        # carry parameters ("text/html; charset=utf-8")
+        df = df.where(F.col("content_type").contains(content_type))
     return df.select("doc_id", "spans")

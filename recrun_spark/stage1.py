@@ -67,10 +67,14 @@ def _unpack_spans_batch(batch, spans_col: str = "spans"):
                           for s in _pc().list_value_length(spans).to_pylist()],
                          dtype=np.int64)
     flat = spans.flatten()
-    kinds = flat.field("kind").to_pylist()
-    texts = flat.field("text").to_pylist()
-    refs = flat.field("media_ref").to_pylist()
-    offs = flat.field("offset").to_pylist()
+    # defensive null coercion: the schema allows nulls (e.g. JSONL rows
+    # missing a field); one malformed span must not fail the whole task
+    kinds = ["" if k is None else k for k in flat.field("kind").to_pylist()]
+    texts = ["" if t is None else t for t in flat.field("text").to_pylist()]
+    refs = ["" if r is None else r
+            for r in flat.field("media_ref").to_pylist()]
+    offs = [-1 if o is None else o
+            for o in flat.field("offset").to_pylist()]
     bounds = np.concatenate([[0], np.cumsum(lengths)])
     return doc_ids, kinds, texts, refs, offs, bounds
 
@@ -101,8 +105,17 @@ def _extract_arrow_batches(batches, settings: Settings,
         art_texts, art_htmls = [], []
         for i in range(len(doc_ids)):
             s, e = bounds[i], bounds[i + 1]
-            rec = extract(zip(kinds[s:e], texts[s:e], refs[s:e], offs[s:e]),
-                          settings, renders=include_renders)
+            try:
+                rec = extract(zip(kinds[s:e], texts[s:e], refs[s:e],
+                                  offs[s:e]),
+                              settings, renders=include_renders)
+            except ValueError:
+                # malformed span stream (unknown kind): per-document error
+                # isolation — one bad doc must not fail a 10^12-doc job;
+                # emit an empty extraction (score 0, nothing retained)
+                rec = {"title": "", "next_page": "", "text_length": 0,
+                       "score": 0, "retained_spans": [], "text": "",
+                       "html": ""}
             titles.append(rec["title"])
             nexts.append(rec["next_page"])
             tlens.append(rec["text_length"])

@@ -74,8 +74,12 @@ def assemble_triples(extractions: DataFrame, linked_mentions: DataFrame,
                          F.col("doc_id").alias("obj"),
                          "doc_id"))
 
-    return (mentioned_in
-            .unionByName(co_mentioned)
-            .unionByName(illustrated)
-            .unionByName(next_page)
-            .dropDuplicates(list(TRIPLE_COLS)))
+    out = (mentioned_in
+           .unionByName(co_mentioned)
+           .unionByName(illustrated)
+           .unionByName(next_page)
+           .dropDuplicates(list(TRIPLE_COLS)))
+    # expose the persisted intermediate so long-lived sessions can release
+    # it after materializing (pipeline.py and bench.py do)
+    out._recrun_ents = ents
+    return out
