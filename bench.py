@@ -28,7 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("RECRUN_BENCH_DOCS", "200000"))
+N_DOCS = int(os.environ.get("RECRUN_BENCH_DOCS", "100000"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
@@ -117,14 +117,14 @@ def main():
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.sum("text_length").alias("chars")).collect()[0])
 
-    row = timed("kg_stage1_extract", run_extract, repeats=3)
+    row = timed("kg_stage1_extract", run_extract, repeats=2)
     assert row["n"] == n_big, (row["n"], n_big)
     extract_dps = round(n_big / timings["kg_stage1_extract"], 1)
 
     # leaner KG-only path: skip text/html renders (~50% of fold cost)
     timed("kg_stage1_spans_only",
           lambda: extract_documents(docs_big, include_renders=False)
-          .agg(F.count(F.lit(1))).collect(), repeats=3)
+          .agg(F.count(F.lit(1))).collect(), repeats=2)
     spans_only_dps = round(n_big / timings["kg_stage1_spans_only"], 1)
 
     # -- relational / training-data queries at SF_DIR ---------------------
