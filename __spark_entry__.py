@@ -26,19 +26,29 @@ def _ensure_pkg(spark: SparkSession) -> None:
     workers can't import the repo path)."""
     if getattr(_ensure_pkg, "_done", None) is spark:
         return
+    import hashlib
     import zipfile
     repo = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join("/tmp", "recrun_spark_pkg.zip")
+    pkg = os.path.join(repo, "recrun_spark")
+    sources = []
+    for root, _dirs, files in os.walk(pkg):
+        if "__pycache__" in root:
+            continue
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    # content-hash the zip name: a stale cached zip from an older source
+    # tree would otherwise shadow the driver-side code on the workers
+    digest = hashlib.sha1()
+    for p in sorted(sources):
+        digest.update(p.encode())
+        digest.update(open(p, "rb").read())
+    zip_path = os.path.join(
+        "/tmp", f"recrun_spark_pkg_{digest.hexdigest()[:12]}.zip")
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-            pkg = os.path.join(repo, "recrun_spark")
-            for root, _dirs, files in os.walk(pkg):
-                if "__pycache__" in root:
-                    continue
-                for fn in files:
-                    if fn.endswith(".py"):
-                        p = os.path.join(root, fn)
-                        z.write(p, os.path.relpath(p, repo))
+            for p in sorted(sources):
+                z.write(p, os.path.relpath(p, repo))
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
