@@ -50,7 +50,8 @@ def _stage(spark: SparkSession, out_dir: str, name: str, build,
 def run_pipeline(spark: SparkSession, input_path: str, out_dir: str,
                  aliases_df: DataFrame | None = None,
                  settings: Settings | None = None,
-                 force: bool = False) -> dict:
+                 force: bool = False,
+                 include_renders: bool = True) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     aliases = aliases_df if aliases_df is not None else load_aliases(spark)
@@ -61,7 +62,9 @@ def run_pipeline(spark: SparkSession, input_path: str, out_dir: str,
 
     extractions = _stage(
         spark, out_dir, "stage1_extract",
-        lambda: extract_documents(documents, settings), force=force)
+        lambda: extract_documents(documents, settings,
+                                  include_renders=include_renders),
+        force=force)
 
     linked = _stage(
         spark, out_dir, "stage2_mentions",
@@ -104,11 +107,23 @@ def main():
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--no-renders", action="store_true",
+                    help="skip text/html renderings (KG-only outputs; "
+                         "halves fold cost and most of stage-1 write bytes)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
     from .session import get_spark
-    spark = get_spark("recrun_pipeline", cpus=args.cpus)
-    summary = run_pipeline(spark, args.input, args.out, force=args.force)
+    # Python-fold cost per input byte is ~100x a columnar scan's, so size
+    # splits for CPU balance, not IO: small maxPartitionBytes keeps every
+    # core busy in stage 1 (at real cluster scale, tune to ~docs-per-task
+    # x fold-cost; the default 128m would starve a 32-core node on a
+    # sub-GB corpus)
+    spark = get_spark("recrun_pipeline", cpus=args.cpus, extra_conf={
+        "spark.sql.files.maxPartitionBytes": "8m",
+        "spark.sql.files.openCostInBytes": "2m",
+    })
+    summary = run_pipeline(spark, args.input, args.out, force=args.force,
+                           include_renders=not args.no_renders)
     print(json.dumps({k: v for k, v in summary.items() if k != "stages"}))
 
 
