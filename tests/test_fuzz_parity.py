@@ -74,3 +74,40 @@ def test_fuzz_differential_parity(fuzz_records, config):
                 or mine["html"] != ref["html"]):
             bad.append(doc_id)
     assert not bad, f"{len(bad)} fuzz mismatches: {bad[:5]}"
+
+
+def test_unicode_bmp_parity():
+    """Non-ASCII BMP text (umlauts, CJK, NBSP, unicode titles) must match
+    the reference exactly — UTF-16 lengths and JS whitespace classes are
+    emulated; only astral (non-BMP) chars are out of scope (documented)."""
+    long_u = ("Längere Absätze über die Einführung, mit Umlauten, çédilles, "
+              "中文字符 und geschützten Leerzeichen, genug Text um die "
+              "Schwelle zu überschreiten.")
+    docs = []
+    for i, title in enumerate(["Überschrift mit Wörtern - Seite",
+                               "日本語 | サイト",
+                               "Ünïcode: Tëst Tïtle Hère Wörds"]):
+        spans = []
+
+        def emit(k, t="", m=""):
+            spans.append((k, t, m, len(spans)))
+
+        emit("open:html"); emit("open:head"); emit("open:title")
+        emit("text", title); emit("close:title"); emit("close:head")
+        emit("open:body"); emit("open:div"); emit("attr:class", "content")
+        for _ in range(3):
+            emit("open:p"); emit("text", long_u); emit("close:p")
+        emit("open:h2"); emit("text", "中文标题"); emit("close:h2")
+        emit("close:div"); emit("close:body"); emit("close:html")
+        docs.append((f"u{i}", spans))
+    records = run_oracle(docs)
+    for doc_id, spans in docs:
+        for cfg in ("shipped", "full"):
+            ref = records[(doc_id, cfg)]
+            mine = extract(spans, Settings.shipped() if cfg == "shipped"
+                           else Settings.full())
+            assert [list(s) for s in mine["retained_spans"]] == \
+                ref["retained_spans"], (doc_id, cfg)
+            for k in ("title", "next_page", "text_length", "score",
+                      "text", "html"):
+                assert mine[k] == ref[k], (doc_id, cfg, k)
