@@ -58,6 +58,9 @@ def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
          .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
          .config("spark.sql.parquet.filterPushdown", "true")
+         # zstd: ~30-40% smaller than snappy on text-heavy extraction
+         # tables at similar CPU — stage-1 output is write-bound
+         .config("spark.sql.parquet.compression.codec", "zstd")
          .config("spark.executorEnv.PYTHONPATH", worker_path)
          .config("spark.ui.enabled", "false")
          .config("spark.sql.session.timeZone", "UTC"))
