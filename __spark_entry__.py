@@ -313,6 +313,35 @@ def ann_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.45)
 
 
+def rollup_pricing(spark, sf_dir):
+    """Hierarchical aggregation (ROLLUP) — subtotals per returnflag and
+    grand total; grouping ids disambiguate NULL dimension values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.grouping_id().alias("gid")))
+
+
+def events_sessionized(spark, sf_dir):
+    """Sessionization via lag + cumulative gap counting (the batch analog
+    of stateful streaming sessions): new session when >30 min idle."""
+    ev = _t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    epoch = F.col("ts").cast("timestamp").cast("long")  # ntz → utc seconds
+    gap = epoch - F.lag(epoch).over(w_ord)
+    with_gap = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = with_gap.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id")
+            .agg(F.max("session_id").cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 def events_hourly(spark, sf_dir):
     """Streaming-shaped windowed aggregation (batch equivalent of the
     Structured-Streaming path in recrun_spark.streaming)."""
@@ -386,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_near_dups": ann_near_dups,
+        "rollup_pricing": rollup_pricing,
+        "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
         "simhash_sigs": simhash_sigs,
         "minhash_sigs": minhash_sigs,
@@ -693,6 +724,35 @@ def oracle_sql() -> dict[str, str]:
                    round({_COS}, 4) AS sim
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE round({_COS}, 4) >= 0.45
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_rows,
+                   grouping(l_returnflag, l_linestatus) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "events_sessionized": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC)
+            ),
+            s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, max(session_id)::BIGINT AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY 1
         """,
         "events_hourly": """
             SELECT user_id,

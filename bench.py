@@ -36,7 +36,8 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def ensure_corpus(spark) -> str:
     """Generate the bench corpus in parallel on the executors (deterministic
     per doc index — same generator as the test fixtures)."""
-    path = os.path.join(CACHE, f"corpus_{N_DOCS}")
+    from recrun_spark.fixtures.generator import GEN_VERSION
+    path = os.path.join(CACHE, f"corpus_v{GEN_VERSION}_{N_DOCS}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
 

@@ -198,11 +198,18 @@ def _article_paragraphs(rng, mentions, n_paras=None):
     return paras
 
 
+GEN_VERSION = 2  # bump when generated content changes (invalidates caches)
+
+
 def _pick_mentions(rng, surfaces, head, k=None):
     k = k if k is not None else rng.randint(1, 4)
     picks = []
-    if rng.random() < 0.45:  # skewed head alias >30% of mentions
+    # deliberately skewed head alias: present in most docs, often twice,
+    # so it carries >30% of all mentions (FIXTURES.md §2 skew invariant)
+    if rng.random() < 0.85:
         picks.append(head)
+        if rng.random() < 0.55:
+            picks.append(head)
     while len(picks) < k:
         s = rng.choice(surfaces)
         if s not in picks:

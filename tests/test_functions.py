@@ -70,3 +70,25 @@ def test_stage2_salted_path_equivalence(spark, corpus_parquet):
                         .select(*cols).collect()))
     assert broadcasted == salted and len(broadcasted) > 0
     mentions.unpersist()
+
+
+def test_head_alias_skew_share(spark, corpus_parquet):
+    """FIXTURES.md §2 invariant: the head alias accounts for >30% of all
+    mentions — the skew the salted join / AQE skew handling is sized for."""
+    from pyspark.sql import functions as F
+
+    from recrun_spark.fixtures.aliases import head_alias, make_aliases
+    from recrun_spark.stage1 import extract_documents
+    from recrun_spark.stage2 import detect_mentions
+    surfaces = sorted({r[0] for r in make_aliases(42)})
+    docs = spark.read.parquet(corpus_parquet)
+    mentions = detect_mentions(extract_documents(docs), surfaces)
+    head = head_alias()
+    counts = dict(mentions.groupBy(
+        F.col("surface").startswith(head).alias("is_head")).count().collect()
+        and [(r[0], r[1]) for r in mentions.groupBy(
+            F.col("surface").startswith(head).alias("is_head"))
+            .count().collect()])
+    total = sum(counts.values())
+    share = counts.get(True, 0) / total
+    assert share > 0.30, f"head share {share:.2f}"

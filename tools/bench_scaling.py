@@ -48,7 +48,9 @@ print(json.dumps({{"cpus": cpus, "n": n, "runs": ds,
 
 
 def ensure_corpus(n_docs: int) -> str:
-    path = os.path.join(REPO, ".bench_cache", f"corpus_{n_docs}")
+    sys.path.insert(0, REPO)
+    from recrun_spark.fixtures.generator import GEN_VERSION
+    path = os.path.join(REPO, ".bench_cache", f"corpus_v{GEN_VERSION}_{n_docs}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     env = dict(os.environ, RECRUN_BENCH_DOCS=str(n_docs),
