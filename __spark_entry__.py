@@ -329,10 +329,19 @@ def events_sessionized(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w_ord = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc())
-    epoch = F.col("ts").cast("timestamp").cast("long")  # ntz → utc seconds
-    gap = epoch - F.lag(epoch).over(w_ord)
-    with_gap = ev.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    # timestampdiff is pure calendar arithmetic on the NTZ values — unlike a
+    # cast-to-timestamp (which applies the session timezone and could flip a
+    # gap across a DST transition under a non-UTC harness session).  The
+    # comparison runs at exact integer MICROSECONDS (ts carries sub-second
+    # precision) so it matches DuckDB's epoch_us() arithmetic with no
+    # floor-of-difference vs difference-of-floors ambiguity.
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    with_gap = (ev.withColumn("_prev_ts", F.lag("ts").over(w_ord))
+                .withColumn(
+                    "new_sess",
+                    F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+                    .otherwise(0))
+                .drop("_prev_ts"))
     sess = with_gap.withColumn(
         "session_id",
         F.sum("new_sess").over(
@@ -377,13 +386,16 @@ def kg_triples_interleaved(spark, sf_dir):
     (rows-only: the span fold is not SQL-expressible)."""
     import tempfile
 
-    from recrun_spark.fixtures.generator import write_corpus_parquet
+    from recrun_spark.fixtures.generator import (GEN_VERSION,
+                                                 write_corpus_parquet)
     from recrun_spark.stage1 import extract_documents
     from recrun_spark.stage2 import detect_mentions, link_mentions, load_aliases
     from recrun_spark.stage3 import canonicalize
     from recrun_spark.stage4 import assemble_triples
     _ensure_pkg(spark)
-    path = os.path.join(tempfile.gettempdir(), "entry_corpus_60.parquet")
+    # key the cache on GEN_VERSION so a generator change invalidates it
+    path = os.path.join(tempfile.gettempdir(),
+                        f"entry_corpus_v{GEN_VERSION}_60.parquet")
     if not os.path.exists(path):
         write_corpus_parquet(path, 60)
     docs = spark.read.parquet(path)
@@ -737,7 +749,8 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT user_id, event_id, ts,
                      CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id

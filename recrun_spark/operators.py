@@ -20,7 +20,16 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
     spread across ``buckets`` reducers instead of one.  AQE's skew-join split
     is the backstop; explicit salting also covers aggregate-after-join
     patterns AQE cannot rewrite (SURVEY.md §4 skew handling).
+
+    Only ``inner`` and ``left`` are supported: the small side is replicated
+    ``buckets`` times, so right/full-outer would emit each unmatched
+    small-side row once per replica.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} — the "
+            "replicated small side would duplicate unmatched rows under "
+            "right/full-outer semantics")
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
                         F.lit(buckets)).cast("int"))
@@ -86,6 +95,19 @@ def connected_components(edges: DataFrame, src: str = "src",
          .where(F.col("u") != F.col("v")).distinct()
          .localCheckpoint(eager=True))
 
+    def _canon_sig(edge_df: DataFrame):
+        """(count, hash-sum) fingerprint of the canonicalized edge set.
+        One small aggregate per call (vs the former double exceptAll = 4
+        extra shuffles/iteration); equal fingerprints ≡ equal sets up to a
+        ~2^-64 xxhash64 collision — decimal(38,0) sum cannot overflow."""
+        c = edge_df.select(F.greatest("u", "v").alias("cu"),
+                           F.least("u", "v").alias("cv")).distinct()
+        row = c.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.xxhash64("cu", "cv").cast("decimal(38,0)"))
+                    .alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _canon_sig(e)
     for _ in range(max_iter):
         # localCheckpoint (not persist): it REPLACES the logical plan with a
         # scan of the materialized blocks, so per-iteration analysis cost
@@ -93,15 +115,11 @@ def connected_components(edges: DataFrame, src: str = "src",
         # are small (entity-graph scale), so block accumulation across the
         # few iterations to convergence is negligible.
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        canon_old = e.select(F.greatest("u", "v").alias("u"),
-                             F.least("u", "v").alias("v")).distinct()
-        canon_new = e2.select(F.greatest("u", "v").alias("u"),
-                              F.least("u", "v").alias("v")).distinct()
-        changed = (canon_new.exceptAll(canon_old).limit(1).count()
-                   + canon_old.exceptAll(canon_new).limit(1).count())
+        sig_new = _canon_sig(e2)
         e = e2
-        if changed == 0:
+        if sig_new == sig:
             break
+        sig = sig_new
 
     # converged edges form a star forest (child > root); emit assignments
     # for children and roots alike

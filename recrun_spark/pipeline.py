@@ -58,7 +58,6 @@ def run_pipeline(spark: SparkSession, input_path: str, out_dir: str,
     surfaces = [r["alias"] for r in aliases.select("alias").distinct().collect()]
 
     documents = spark.read.parquet(input_path)
-    n_docs = documents.count()
 
     extractions = _stage(
         spark, out_dir, "stage1_extract",
@@ -90,9 +89,13 @@ def run_pipeline(spark: SparkSession, input_path: str, out_dir: str,
     if ents is not None:
         ents.unpersist()
 
+    # doc count comes from the stage-1 manifest lineage (one extraction row
+    # per document) — NOT an upfront documents.count(), which would be a
+    # full extra scan of the input at 10^12-doc scale
+    stage1_manifest = read_manifest(os.path.join(out_dir, "stage1_extract"))
     summary = {
         "input": input_path,
-        "docs": n_docs,
+        "docs": (stage1_manifest or {}).get("rows"),
         "triples": triples.count(),
         "wall_sec": round(time.time() - t0, 3),
         "stages": {s: read_manifest(os.path.join(out_dir, s)) for s in STAGES},

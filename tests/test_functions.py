@@ -84,11 +84,10 @@ def test_head_alias_skew_share(spark, corpus_parquet):
     docs = spark.read.parquet(corpus_parquet)
     mentions = detect_mentions(extract_documents(docs), surfaces)
     head = head_alias()
-    counts = dict(mentions.groupBy(
-        F.col("surface").startswith(head).alias("is_head")).count().collect()
-        and [(r[0], r[1]) for r in mentions.groupBy(
-            F.col("surface").startswith(head).alias("is_head"))
-            .count().collect()])
+    # exact equality: startswith would also count 'orion dynamics' etc. —
+    # distinct join keys — overstating the single hot key's share
+    counts = {r["is_head"]: r["count"] for r in mentions.groupBy(
+        (F.col("surface") == head).alias("is_head")).count().collect()}
     total = sum(counts.values())
     share = counts.get(True, 0) / total
     assert share > 0.30, f"head share {share:.2f}"
