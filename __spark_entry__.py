@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 
 def _ensure_pkg(spark: SparkSession) -> None:
     """Ship recrun_spark to executor Python workers for UDF-bearing queries
@@ -362,28 +364,43 @@ def events_hourly(spark, sf_dir):
 
 
 def simhash_sigs(spark, sf_dir):
-    """SimHash signatures (rows-only check: engine-specific xxhash64)."""
+    """SimHash signatures — portable md5-derived token hash (dedup._hash60),
+    so the DuckDB oracle reproduces the 60-bit signature exactly."""
     from recrun_spark.functions.dedup import simhash
     return simhash(_t(spark, sf_dir, "documents"))
 
 
 def minhash_sigs(spark, sf_dir):
-    """MinHash signatures (rows-only: engine-specific xxhash64)."""
+    """MinHash signatures, exploded to (doc_id, i, h) rows — scalar columns
+    the driver's canonicalizer can sort/hash, and a portable md5-derived
+    shingle hash the DuckDB oracle reproduces value-for-value."""
     from recrun_spark.functions.dedup import minhash_signatures
-    return minhash_signatures(_t(spark, sf_dir, "documents"))
+    sig = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return sig.select("doc_id", F.posexplode("sig").alias("i", "h"))
 
 
 def media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → Arrow-batched feature
-    extraction (decode kernel stubbed — functions/multimodal.py)."""
+    extraction (decode kernel stubbed — functions/multimodal.py).  The
+    array<float> feature is exploded to (idx, val float64) rows — scalar
+    columns for the driver, exact float32→float64 widening — and checked
+    against a single-node golden evaluation of the same kernel
+    (tools/oracle/make_entry_golden.py)."""
     from recrun_spark.functions.multimodal import extract_features, synth_media
     _ensure_pkg(spark)
-    return extract_features(synth_media(spark, n=64))
+    feats = extract_features(synth_media(spark, n=64))
+    return feats.select(
+        "media_id", "doc_id", "modality", "n_bytes", "sha1",
+        F.posexplode(F.col("feature").cast("array<double>"))
+        .alias("idx", "val"))
 
 
 def kg_triples_interleaved(spark, sf_dir):
-    """The real interleaved KG pipeline end-to-end on a synthesized corpus
-    (rows-only: the span fold is not SQL-expressible)."""
+    """The real interleaved KG pipeline end-to-end on a synthesized corpus.
+    Value oracle: data/golden/entry_triples_60.parquet — the Node reference
+    oracle's retained spans run through the same fixed linking rules
+    single-node (tools/oracle/make_entry_golden.py), so this row measures
+    distributed-vs-reference triple parity in the driver's hard signal."""
     import tempfile
 
     from recrun_spark.fixtures.generator import (GEN_VERSION,
@@ -586,6 +603,60 @@ SELECT doc_id, n_tokens, n_subwords, n_punct, n_stop_en,
 FROM base
 """
 
+# portable 60-bit hash (first 15 hex chars of md5 as an integer) — the
+# DuckDB mirror of recrun_spark.functions.dedup._hash60
+def _ddb_hash60(expr: str) -> str:
+    return (f"list_reduce(list_prepend(0::BIGINT, list_transform("
+            f"list_filter(string_split_regex(substr(md5({expr}), 1, 15), ''),"
+            f" c -> c != ''),"
+            f" c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),"
+            f" (a, b) -> a * 16 + b)")
+
+
+def _minhash_sql() -> str:
+    from recrun_spark.functions.dedup import MH_PRIME, _mh_params
+    params = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                       for i, (a, b) in enumerate(_mh_params()))
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            unnest(CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [array_to_string(toks, ' ')] END) AS shingle
+          FROM norm
+        ),
+        x AS (SELECT doc_id, ({_ddb_hash60('shingle')}) % {MH_PRIME} AS x
+              FROM sh),
+        params(i, a, b) AS (VALUES {params})
+        SELECT doc_id, i, min((a * x + b) % {MH_PRIME}) AS h
+        FROM x CROSS JOIN params GROUP BY doc_id, i
+    """
+
+
+def _simhash_sql() -> str:
+    from recrun_spark.functions.dedup import SIMHASH_BITS
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS))
+    recon = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS))
+    return f"""
+        WITH t AS (
+          SELECT doc_id, unnest(list_filter({_TOKS}, t -> t != '')) AS tok
+          FROM documents
+        ),
+        h AS (SELECT doc_id, {_ddb_hash60('tok')} AS h FROM t),
+        bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, ({recon})::BIGINT AS simhash FROM bits
+    """
+
+
 _MENTIONS_CTE = """
 dict(alias, entity) AS (VALUES ('spark','E_SPARK'), ('hash','E_HASH'),
   ('join','E_JOIN'), ('window','E_WINDOW'), ('stream','E_STREAM')),
@@ -774,9 +845,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        # simhash_sigs / minhash_sigs / media_features /
-        # kg_triples_interleaved: intentionally omitted (engine-specific
-        # hashes or non-SQL span fold) → driver rows-only check.
+        # portable md5-derived hashes make the signature queries
+        # value-checkable; the two golden parquets are produced by
+        # independent single-node evaluation (Node reference oracle +
+        # fixed linking rules; local kernel run) — see
+        # tools/oracle/make_entry_golden.py
+        "simhash_sigs": _simhash_sql(),
+        "minhash_sigs": _minhash_sql(),
+        "media_features": f"""
+            SELECT media_id, doc_id, modality, n_bytes, sha1, idx, val
+            FROM read_parquet('{_REPO}/data/golden/media_features_64.parquet')
+        """,
+        "kg_triples_interleaved": f"""
+            SELECT subj, pred, obj, doc_id
+            FROM read_parquet('{_REPO}/data/golden/entry_triples_60.parquet')
+        """,
     }
 
 

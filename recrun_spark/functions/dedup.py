@@ -10,17 +10,23 @@ Scale design
   df-style stopword cut) — the standard trick to stop a boilerplate shingle
   from exploding the candidate join at corpus scale.
 * **MinHash+LSH**: K permutation-free min-hashes h_i = (a_i*x + b_i) mod p
-  over xxhash64 shingle values; banded into B bands → candidates share a
+  over md5-derived shingle values; banded into B bands → candidates share a
   band signature (groupBy band, join within bucket); exact-Jaccard verify
   of candidates.  All built-ins: explode → groupBy(doc) with array of mins
   via sequence+transform.
-* **SimHash**: 64-bit signature via per-bit majority over token hashes —
+* **SimHash**: 60-bit signature via per-bit majority over token hashes —
   computed with explode + bit arithmetic, JVM-side.
+
+Hash portability: token/shingle hashes are md5-derived (``_hash60``) rather
+than engine-specific xxhash64, so any engine with md5 (DuckDB, Trino, …)
+reproduces the signatures bit-for-bit — this is what makes the driver's
+value-level oracle possible for minhash_sigs/simhash_sigs.  xxhash64 is
+still used where the value never leaves the engine (LSH band buckets).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint_md5, normalize_text
@@ -30,6 +36,16 @@ from .text import fingerprint_md5, normalize_text
 MH_PRIME = (1 << 31) - 1
 MH_K = 64          # number of hash functions
 LSH_BANDS = 32     # bands of MH_K // LSH_BANDS rows each (r=2)
+
+SIMHASH_BITS = 60  # md5-prefix width that stays within signed 64-bit in
+                   # every engine (15 hex chars = 60 bits, no sign games)
+
+
+def _hash60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as an integer.
+    Same cost class as xxhash64 (one digest per value) but reproducible in
+    any SQL engine: DuckDB mirror is a fold over the hex digits."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _mh_params(k: int = MH_K, seed: int = 7):
@@ -123,11 +139,12 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.6,
 def minhash_signatures(documents: DataFrame, k: int = MH_K, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
                        seed: int = 7) -> DataFrame:
-    """(doc_id, sig array<bigint>) — k min-hashes over shingle xxhash64s."""
+    """(doc_id, sig array<bigint>) — k min-hashes over md5-derived shingle
+    hashes (``_hash60`` — portable across engines for the value oracle)."""
     params = _mh_params(k, seed)
     sh = shingles(documents, n, text_col, id_col)
     h = sh.select("doc_id",
-                  F.pmod(F.xxhash64("shingle"), F.lit(MH_PRIME)).alias("x"))
+                  F.pmod(_hash60(F.col("shingle")), F.lit(MH_PRIME)).alias("x"))
     mins = h.groupBy("doc_id").agg(*[
         F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MH_PRIME)))
         .alias(f"h{i}") for i, (a, b) in enumerate(params)])
@@ -172,25 +189,26 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
 
 def simhash(documents: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash bigint) — 64-bit SimHash: bit b of the signature is
-    1 iff the majority of token hashes have bit b set.  Pure expressions:
-    explode tokens → per-bit ±1 sums via shiftright/bitwise-and → reassemble.
+    """(doc_id, simhash bigint) — SIMHASH_BITS-bit SimHash: bit b of the
+    signature is 1 iff the majority of token hashes have bit b set.  Pure
+    expressions: explode tokens → per-bit ±1 sums via shiftright/bitwise-and
+    → reassemble.  60 bits (``_hash60``) keeps the signature non-negative
+    and bit-identical across engines, so the DuckDB oracle reproduces it.
     """
     toks = F.split(F.trim(F.regexp_replace(
         F.lower(F.col(text_col)), r"[^a-z0-9 ]", " ")), r"\s+")
     t = (documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
          .select("doc_id", F.explode("toks").alias("tok"))
          .where(F.col("tok") != "")
-         .select("doc_id", F.xxhash64("tok").alias("h")))
+         .select("doc_id", _hash60(F.col("tok")).alias("h")))
     bit_sums = t.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
                      1).otherwise(-1)).alias(f"b{b}")
-        for b in range(64)])
+        for b in range(SIMHASH_BITS)])
     sig = bit_sums.select(
         "doc_id",
-        sum((F.when(F.col(f"b{b}") > 0,
-                    F.lit(1).cast("long") * (1 << b) if b < 63
-                    else F.lit(-(1 << 63)).cast("long"))
-             .otherwise(F.lit(0).cast("long")) for b in range(64)),
+        sum((F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long"))
+             .otherwise(F.lit(0).cast("long"))
+             for b in range(SIMHASH_BITS)),
             start=F.lit(0).cast("long")).alias("simhash"))
     return sig

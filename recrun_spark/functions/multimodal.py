@@ -96,9 +96,11 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         F.lit(every_ms))).alias("frame_ts_ms")))
 
 
-def synth_media(spark: SparkSession, n: int = 64, seed: int = 42
-                ) -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded bytes)."""
+def synth_media_rows(n: int = 64, seed: int = 42) -> list:
+    """Deterministic synthetic media rows (payload = seeded bytes) — pure
+    Python, shared by the Spark table builder AND the single-node golden
+    generator (tools/oracle/make_entry_golden.py), so the golden features
+    verify the distributed Arrow plumbing against local evaluation."""
     import random
     rng = random.Random(seed)
     rows = []
@@ -112,4 +114,11 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42
             64 + i % 512, 48 + i % 256,
             (i % 10) * 1000 if modality == "video" else 0,
             payload))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 42
+                ) -> DataFrame:
+    """Deterministic synthetic media table (payload = seeded bytes)."""
+    return spark.createDataFrame(synth_media_rows(n, seed),
+                                 schema=MEDIA_SCHEMA)
