@@ -309,7 +309,9 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def ann_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (dedup family #5)."""
+    """Embedding-cosine near-duplicate pairs (dedup family #5) — bucketed
+    IVF multi-probe candidates + exact-cosine verify; every join is an
+    equi-join (no all-pairs nested loop)."""
     from recrun_spark.functions.similarity import embedding_near_dups
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, threshold=0.45)
@@ -800,13 +802,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
+        # mirrors the bucketed (IVF multi-probe) candidate generation of
+        # functions.similarity.embedding_near_dups — candidates are pairs
+        # where one side's top-1 bucket is in the other's 6 probe buckets,
+        # verified at exact cosine (same deterministic centroids as the
+        # ann_ivf_topk oracle)
         "ann_near_dups": f"""
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec
-                       FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round({_COS}, 4) AS sim
-            FROM v a JOIN v b ON a.vec_id < b.vec_id
-            WHERE round({_COS}, 4) >= 0.45
+                       FROM embeddings),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id ASC) AS bucket, vec
+              FROM v ORDER BY vec_id ASC LIMIT 16
+            ),
+            ranked AS (
+              SELECT a.vec_id, b.bucket,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round({_COS}, 6) DESC, b.bucket ASC) AS r
+              FROM v a, cents b
+            ),
+            probe AS (SELECT vec_id AS pid, bucket FROM ranked WHERE r <= 6),
+            top1 AS (SELECT vec_id AS qid, bucket FROM ranked WHERE r = 1),
+            cand AS (
+              SELECT DISTINCT least(pid, qid) AS id_a,
+                              greatest(pid, qid) AS id_b
+              FROM probe JOIN top1 USING (bucket) WHERE pid != qid
+            ),
+            verified AS (
+              SELECT id_a, id_b,
+                     round(list_inner_product(a.vec, b.vec) /
+                           (sqrt(list_inner_product(a.vec, a.vec)) *
+                            sqrt(list_inner_product(b.vec, b.vec))), 4) AS sim
+              FROM cand
+              JOIN v a ON a.vec_id = id_a
+              JOIN v b ON b.vec_id = id_b
+            )
+            SELECT id_a, id_b, sim FROM verified WHERE sim >= 0.45
         """,
         "rollup_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -64,28 +64,62 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 5,
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        round_dp: int = 4) -> DataFrame:
+                        round_dp: int = 4, method: str = "bucketed",
+                        n_centroids: int = 16, nprobe: int = 6) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
     id_a < id_b and sim >= threshold.
 
-    Exact all-pairs via a block-nested join on the id inequality — the
-    correctness baseline.  At corpus scale, swap the join input for
-    ``assign_buckets`` output and compare within buckets only (same kernel,
-    candidate set reduced by ~n_centroids), or pre-filter with
-    ``minhash``/``simhash`` text signals; the threshold semantics stay
-    identical.
+    ``method='bucketed'`` (default — the 100 TB shape): candidates are pairs
+    where one side's top-1 IVF bucket falls in the other side's ``nprobe``
+    probe buckets, verified by the exact cosine kernel.  Every join is an
+    equi-join (bucket key, then id keys) — never an all-pairs nested loop.
+    Candidate volume scales as ~n²·nprobe/n_centroids per skew-free bucket;
+    at corpus scale set ``n_centroids ≈ corpus/target_bucket_size`` so each
+    bucket's self-join stays bounded.  Recall loss is confined to pairs whose
+    probe sets are disjoint in BOTH directions (multi-probe covers boundary
+    pairs; tests measure recall 1.0 vs exact at sf0.01).
+
+    ``method='exact'``: the all-pairs block-nested join — correctness
+    baseline for small inputs and recall measurement ONLY; O(n²), a
+    scale-killer on a real corpus.
     """
-    vecs = embeddings.select(F.col(id_col).alias("id_a"),
-                             F.col(vec_col).cast("array<double>")
-                             .alias("vec_a"))
+    vecs_a = embeddings.select(F.col(id_col).alias("id_a"),
+                               F.col(vec_col).cast("array<double>")
+                               .alias("vec_a"))
     vecs_b = embeddings.select(F.col(id_col).alias("id_b"),
                                F.col(vec_col).cast("array<double>")
                                .alias("vec_b"))
-    return (vecs.join(vecs_b, F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")),
-                            round_dp).alias("sim"))
-            .where(F.col("sim") >= threshold))
+    if method == "exact":
+        return (vecs_a.join(vecs_b, F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b",
+                        F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")),
+                                round_dp).alias("sim"))
+                .where(F.col("sim") >= threshold))
+    if method != "bucketed":
+        raise ValueError(f"method must be 'bucketed' or 'exact', got {method!r}")
+
+    # rank the corpus against the centroids ONCE and persist the tiny
+    # (id, bucket, rank<=nprobe) frame — probe and top1 are two filters of
+    # the same cache, so the corpus×centroids pass isn't computed twice
+    probes = (_bucket_ranks(embeddings, n_centroids, id_col, vec_col)
+              .where(F.col("_r") <= nprobe)
+              .select(F.col(id_col).alias("pid"), "bucket", "_r")
+              .persist())
+    top1 = probes.where(F.col("_r") == 1).select(
+        F.col("pid").alias("qid"), "bucket")
+    cand = (probes.select("pid", "bucket").join(top1, "bucket")
+            .where(F.col("pid") != F.col("qid"))
+            .select(F.least("pid", "qid").alias("id_a"),
+                    F.greatest("pid", "qid").alias("id_b"))
+            .distinct())
+    out = (cand.join(vecs_a, "id_a").join(vecs_b, "id_b")
+           .select("id_a", "id_b",
+                   F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")),
+                           round_dp).alias("sim"))
+           .where(F.col("sim") >= threshold))
+    # expose the cached intermediate so long-lived sessions can release it
+    out._recrun_probes = probes
+    return out
 
 
 def _centroids(embeddings: DataFrame, n_centroids: int,
@@ -104,11 +138,12 @@ def _centroids(embeddings: DataFrame, n_centroids: int,
             .select("bucket", "cvec"))
 
 
-def assign_buckets(embeddings: DataFrame, n_centroids: int = 16,
-                   id_col: str = "vec_id", vec_col: str = "embedding",
-                   cents: DataFrame | None = None) -> DataFrame:
-    """(vec_id, bucket) — nearest centroid by cosine; centroids are the
-    ``n_centroids`` lowest-id corpus vectors (deterministic IVF)."""
+def _bucket_ranks(embeddings: DataFrame, n_centroids: int,
+                  id_col: str, vec_col: str,
+                  cents: DataFrame | None = None) -> DataFrame:
+    """(id_col, bucket, _r) — every (vector, centroid) pair ranked by cosine
+    (1 = nearest).  The shared kernel behind top-1 assignment and
+    multi-probe candidate generation."""
     if cents is None:
         cents = _centroids(embeddings, n_centroids, id_col, vec_col)
     vecs = embeddings.select(F.col(id_col),
@@ -119,8 +154,16 @@ def assign_buckets(embeddings: DataFrame, n_centroids: int = 16,
                       .alias("csim")))
     w2 = Window.partitionBy(id_col).orderBy(F.col("csim").desc(),
                                             F.col("bucket").asc())
-    return (scored.withColumn("_r", F.row_number().over(w2))
-            .where(F.col("_r") == 1).select(id_col, "bucket"))
+    return scored.withColumn("_r", F.row_number().over(w2))
+
+
+def assign_buckets(embeddings: DataFrame, n_centroids: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cents: DataFrame | None = None) -> DataFrame:
+    """(vec_id, bucket) — nearest centroid by cosine; centroids are the
+    ``n_centroids`` lowest-id corpus vectors (deterministic IVF)."""
+    ranked = _bucket_ranks(embeddings, n_centroids, id_col, vec_col, cents)
+    return ranked.where(F.col("_r") == 1).select(id_col, "bucket")
 
 
 def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,

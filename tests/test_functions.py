@@ -51,6 +51,24 @@ def test_multimodal_features_deterministic(spark):
     assert all(r["count"] >= 1 for r in rows)
 
 
+def test_near_dups_bucketed_recall_vs_exact(spark):
+    """The bucketed (IVF multi-probe) near-dup path must be a subset of the
+    exact all-pairs result (verification is exact cosine) and recover every
+    exact pair at sf0.01 with the default 16 centroids / 4 probes — the
+    boundary-pair coverage multi-probe exists for."""
+    from recrun_spark.functions.similarity import embedding_near_dups
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups(emb, threshold=0.45,
+                                 method="exact").collect()}
+    bucketed = {(r["id_a"], r["id_b"]) for r in
+                embedding_near_dups(emb, threshold=0.45).collect()}
+    assert bucketed <= exact            # exact verify => no false positives
+    assert len(exact) > 0
+    recall = len(bucketed) / len(exact)
+    assert recall == 1.0, f"recall {recall:.3f}: missed {exact - bucketed}"
+
+
 def test_stage2_salted_path_equivalence(spark, corpus_parquet):
     """Forcing the salted repartition-join must produce byte-identical
     linking to the broadcast path (skew handling is a physical choice,

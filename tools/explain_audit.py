@@ -126,6 +126,27 @@ def main():
          lambda p: "BatchEvalPython" not in p),
     ])
 
+    # 7. ann_near_dups: the bucketed path must never all-pairs the corpus —
+    # the only nested-loop join allowed is the n_centroids-row centroid
+    # broadcast (IVF assignment, same shape ann_ivf_topk uses); candidate
+    # generation + verification must be equi-joins (bucket key, id keys)
+    import re as _re
+
+    def _distinct_bnlj(p):
+        # a cached (InMemoryRelation) subtree prints once per scan; count
+        # DISTINCT plan-node ids so a reused cache isn't double-counted
+        return len(set(_re.findall(
+            r"BroadcastNestedLoopJoin[^\n(]*\((\d+)\)", p)))
+
+    audit("ann_near_dups", qs["ann_near_dups"](spark, SF_DIR), [
+        ("no corpus-scale nested loop (≤1 BNLJ = centroid broadcast only)",
+         lambda p: _distinct_bnlj(p) <= 1),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("equi-joins for candidates + verify (bucket/id hash joins)",
+         lambda p: (p.count("BroadcastHashJoin") + p.count("SortMergeJoin")
+                    + p.count("ShuffledHashJoin")) >= 3),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
