@@ -137,6 +137,30 @@ def main():
         timed(name, lambda n=name: qs[n](spark, SF_DIR)
               .agg(F.count(F.lit(1))).collect())
 
+    # -- mention detection at dictionary scale -----------------------------
+    # throughput with a >=100k-surface dictionary (TrieMatcher path) vs the
+    # fixture dictionary (regex path) over the SAME extracted docs — the
+    # large-dictionary path must stay within ~2x (VERDICT r01 item 5)
+    from recrun_spark.fixtures.aliases import make_aliases
+    from recrun_spark.stage1 import extract_documents
+    from recrun_spark.stage2 import detect_mentions
+    n_sub = min(20000, N_DOCS)
+    ex_sub = (extract_documents(docs_big.limit(n_sub))
+              .select("doc_id", "retained_spans").persist())
+    ex_sub.count()  # materialize outside the timings
+    small_surfaces = sorted({r[0] for r in make_aliases(42)})
+    big_surfaces = sorted(set(small_surfaces)
+                          | {f"syn{i:05d}entity" for i in range(100_000)})
+    timed("mentions_small_dict",
+          lambda: detect_mentions(ex_sub, small_surfaces)
+          .agg(F.count(F.lit(1))).collect(), repeats=3)
+    timed("mentions_100k_dict",
+          lambda: detect_mentions(ex_sub, big_surfaces)
+          .agg(F.count(F.lit(1))).collect(), repeats=3)
+    ex_sub.unpersist()
+    dict_ratio = round(timings["mentions_100k_dict"]
+                       / max(timings["mentions_small_dict"], 1e-9), 3)
+
     # -- full KG pipeline (mentions -> link -> CC -> triples) -------------
     from recrun_spark.stage2 import detect_mentions, link_mentions, load_aliases
     from recrun_spark.stage3 import canonicalize
@@ -177,6 +201,7 @@ def main():
         "extract_spans_only_docs_per_sec": spans_only_dps,
         "pipeline_docs_per_sec": pipeline_dps,
         "kg_triples": n_triples,
+        "mentions_dict_scale_ratio": dict_ratio,
     }))
 
 

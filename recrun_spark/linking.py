@@ -28,16 +28,118 @@ from collections import defaultdict
 from .fixtures.aliases import STRONG_PRIOR
 
 
-def build_alias_pattern(surfaces) -> "re.Pattern":
-    """Longest-match alternation with word boundaries over lowercased text."""
+_RE_WORD_CHAR = re.compile(r"\w")
+_RE_TOKEN = re.compile(r"\w+")
+_WORD_CACHE: dict = {}
+
+# above this many surfaces, build_alias_pattern returns a TrieMatcher: a
+# 10^5-10^6-entry regex alternation degrades to O(alternatives) per position
+# (sre has no Aho-Corasick), while the trie costs one dict probe per token
+# start plus a walk bounded by the longest alias.  Below it, the compiled
+# C-speed regex wins (and keeps the golden fixtures on the exact code path
+# that generated them).
+TRIE_MIN_SURFACES = 512
+
+
+def _is_word(ch: str) -> bool:
+    r = _WORD_CACHE.get(ch)
+    if r is None:
+        r = _WORD_CACHE[ch] = bool(_RE_WORD_CHAR.match(ch))
+    return r
+
+
+class TrieMatcher:
+    """Trie-based longest-match scanner with semantics IDENTICAL to the
+    regex path (``\\b(?:longest|...|shortest)\\b`` + ``finditer``):
+    leftmost scan, at each start the longest alias whose trailing word
+    boundary holds, non-overlapping (resume at match end).
+
+    Matching starts only at token starts (``\\w+`` boundaries), which is
+    exactly where ``\\b<word-char>`` can match — hence the constructor
+    requires every surface to start AND end with a word character (other
+    surfaces fall back to the regex path in build_alias_pattern).
+
+    Differential-fuzzed against the regex path (tests/test_properties.py);
+    verified within the same parity suite as the reference-derived rules.
+    """
+
+    __slots__ = ("root", "n_surfaces")
+    _END = ""  # terminal marker key — single chars can never collide
+
+    def __init__(self, surfaces):
+        root: dict = {}
+        n = 0
+        for s in sorted(set(surfaces)):
+            if not s or not _is_word(s[0]) or not _is_word(s[-1]):
+                raise ValueError(
+                    f"TrieMatcher requires surfaces that start and end with "
+                    f"a word character, got {s!r} — use the regex path")
+            node = root
+            for ch in s:
+                nxt = node.get(ch)
+                if nxt is None:
+                    nxt = node[ch] = {}
+                node = nxt
+            node[self._END] = True
+            n += 1
+        self.root = root
+        self.n_surfaces = n
+
+    def find(self, low: str):
+        """[(surface, start)] over already-lowercased text."""
+        out = []
+        root, END = self.root, self._END
+        isw = _is_word
+        n = len(low)
+        resume = 0
+        for m in _RE_TOKEN.finditer(low):
+            i = m.start()
+            if i < resume:
+                continue
+            node = root.get(low[i])
+            if node is None:
+                continue
+            j = i + 1
+            best = -1
+            while True:
+                if END in node and (isw(low[j - 1])
+                                    != (j < n and isw(low[j]))):
+                    best = j
+                if j >= n:
+                    break
+                node = node.get(low[j])
+                if node is None:
+                    break
+                j += 1
+            if best > 0:
+                out.append((low[i:best], i))
+                resume = best
+        return out
+
+
+def build_alias_pattern(surfaces, trie_min: int | None = None):
+    """Longest-match matcher with word boundaries over lowercased text.
+
+    Returns a compiled regex (small dictionaries — C-speed alternation,
+    byte-identical to the golden-fixture generator) or a TrieMatcher (large
+    dictionaries — linear in text, not in |dictionary|).  Both implement
+    the same semantics; ``find_mentions`` accepts either.
+    """
     ordered = sorted(set(surfaces), key=lambda s: (-len(s), s))
+    threshold = TRIE_MIN_SURFACES if trie_min is None else trie_min
+    if (len(ordered) >= threshold
+            and all(s and _is_word(s[0]) and _is_word(s[-1])
+                    for s in ordered)):
+        return TrieMatcher(ordered)
     return re.compile(r"\b(?:" + "|".join(re.escape(s) for s in ordered)
                       + r")\b")
 
 
-def find_mentions(text: str, pattern: "re.Pattern"):
+def find_mentions(text: str, pattern):
     """[(surface, start)] — non-overlapping, left-to-right, longest-first."""
     low = text.lower()
+    if isinstance(pattern, TrieMatcher):
+        return pattern.find(low)
     return [(m.group(0), m.start()) for m in pattern.finditer(low)]
 
 

@@ -32,6 +32,21 @@ from pyspark.sql.types import (DoubleType, IntegerType, StringType,
 from .linking import build_alias_pattern, find_mentions
 from .operators import salted_join
 
+# worker-local matcher cache: Python workers are reused across tasks
+# (spark.python.worker.reuse), so a large-dictionary TrieMatcher is built
+# once per worker process instead of once per task.  Keyed by the surfaces
+# tuple itself (exact), hashing cost ~ms at 10^5 surfaces.
+_PATTERN_CACHE: dict = {}
+
+
+def _cached_pattern(surfaces_tuple: tuple):
+    pat = _PATTERN_CACHE.get(surfaces_tuple)
+    if pat is None:
+        pat = _PATTERN_CACHE[surfaces_tuple] = build_alias_pattern(
+            surfaces_tuple)
+    return pat
+
+
 MENTION_SCHEMA = StructType([
     StructField("doc_id", StringType()),
     StructField("surface", StringType()),
@@ -62,7 +77,7 @@ def detect_mentions(extractions: DataFrame, surfaces: list) -> DataFrame:
         out_schema = pa.schema([
             ("doc_id", pa.string()), ("surface", pa.string()),
             ("span_offset", pa.int32()), ("start", pa.int32())])
-        pattern = build_alias_pattern(bc.value)  # compiled once per task
+        pattern = _cached_pattern(tuple(bc.value))  # built once per worker
         for batch in batches:
             doc_ids, kinds, texts, _refs, offs, bounds = \
                 _unpack_spans_batch(batch, "retained_spans")

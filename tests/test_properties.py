@@ -51,3 +51,40 @@ def test_media_retention_invariant(ix):
         src_ref = by_offset[off][2]
         if media_ref:
             assert src_ref.startswith(media_ref) or media_ref in src_ref
+
+
+@settings(max_examples=120, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10**9))
+def test_trie_matcher_matches_regex_semantics(seed):
+    """Differential fuzz: the TrieMatcher (large-dictionary path) must agree
+    with the regex alternation (small-dictionary / golden-fixture path) on
+    every (dictionary, text) — same matches, same offsets, same order."""
+    import random
+
+    from recrun_spark.linking import (TrieMatcher, build_alias_pattern,
+                                      find_mentions)
+    rng = random.Random(seed)
+    base = ["orion", "corp", "vega", "nova", "data", "x1", "éclair",
+            "co_op", "mail", "e-mail", "alpha", "7even", "a"]
+    surfaces = set()
+    for _ in range(rng.randrange(1, 12)):
+        surfaces.add(" ".join(rng.choice(base)
+                              for _ in range(rng.randrange(1, 4))))
+    regex = build_alias_pattern(surfaces, trie_min=10**9)   # force regex
+    trie = build_alias_pattern(surfaces, trie_min=1)        # force trie
+    assert isinstance(trie, TrieMatcher)
+
+    pieces = []
+    for _ in range(rng.randrange(0, 60)):
+        r = rng.random()
+        if r < 0.45:
+            pieces.append(rng.choice(base))
+        elif r < 0.75:
+            pieces.append(rng.choice(sorted(surfaces)))
+        else:
+            pieces.append(rng.choice(["...", "—", "7", "_", "FooBar", "co",
+                                      "orionx", "xorion", "ÉCLAIR", "", "é"]))
+        pieces.append(rng.choice([" ", "  ", ", ", ".", "-", "\n", ""]))
+    text = "".join(pieces)
+    assert find_mentions(text, regex) == find_mentions(text, trie), \
+        (sorted(surfaces), text)
