@@ -397,27 +397,44 @@ def media_features(spark, sf_dir):
         .alias("idx", "val"))
 
 
+def _entry_corpus(spark):
+    """The 60-doc interleaved entry corpus (cache keyed on GEN_VERSION so a
+    generator change invalidates it)."""
+    import tempfile
+
+    from recrun_spark.fixtures.generator import (GEN_VERSION,
+                                                 write_corpus_parquet)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"entry_corpus_v{GEN_VERSION}_60.parquet")
+    if not os.path.exists(path):
+        write_corpus_parquet(path, 60)
+    return spark.read.parquet(path)
+
+
+def render_overlay(spark, sf_dir):
+    """Render-egress (reference iframe.js sanitize + figure wrap —
+    T6/T7/F11): stage-1 html renders → sanitized overlay html, distributed
+    as a zero-shuffle Arrow map.  Oracle: single-node extract+sanitize of
+    the same corpus (tools/oracle/make_entry_golden.py)."""
+    from recrun_spark.render import render_overlays
+    from recrun_spark.stage1 import extract_documents
+    _ensure_pkg(spark)
+    ex = extract_documents(_entry_corpus(spark))
+    return render_overlays(ex, base_uri="http://news.example/a/b?x=1")
+
+
 def kg_triples_interleaved(spark, sf_dir):
     """The real interleaved KG pipeline end-to-end on a synthesized corpus.
     Value oracle: data/golden/entry_triples_60.parquet — the Node reference
     oracle's retained spans run through the same fixed linking rules
     single-node (tools/oracle/make_entry_golden.py), so this row measures
     distributed-vs-reference triple parity in the driver's hard signal."""
-    import tempfile
-
-    from recrun_spark.fixtures.generator import (GEN_VERSION,
-                                                 write_corpus_parquet)
     from recrun_spark.stage1 import extract_documents
     from recrun_spark.stage2 import detect_mentions, link_mentions, load_aliases
     from recrun_spark.stage3 import canonicalize
     from recrun_spark.stage4 import assemble_triples
     _ensure_pkg(spark)
-    # key the cache on GEN_VERSION so a generator change invalidates it
-    path = os.path.join(tempfile.gettempdir(),
-                        f"entry_corpus_v{GEN_VERSION}_60.parquet")
-    if not os.path.exists(path):
-        write_corpus_parquet(path, 60)
-    docs = spark.read.parquet(path)
+    docs = _entry_corpus(spark)
     aliases = load_aliases(spark)
     surfaces = [r["alias"] for r in aliases.select("alias").distinct().collect()]
     ex = extract_documents(docs)
@@ -452,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sigs": simhash_sigs,
         "minhash_sigs": minhash_sigs,
         "media_features": media_features,
+        "render_overlay": render_overlay,
         "kg_triples_interleaved": kg_triples_interleaved,
     }
 
@@ -889,6 +907,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_interleaved": f"""
             SELECT subj, pred, obj, doc_id
             FROM read_parquet('{_REPO}/data/golden/entry_triples_60.parquet')
+        """,
+        "render_overlay": f"""
+            SELECT doc_id, overlay_html
+            FROM read_parquet('{_REPO}/data/golden/entry_overlays_60.parquet')
         """,
     }
 

@@ -82,17 +82,22 @@ def shingles(documents: DataFrame, n: int = 3, text_col: str = "text",
     return sh.distinct()
 
 
-def _kept_shingles(documents: DataFrame, n: int, text_col: str,
-                   id_col: str, max_shingle_freq: int) -> DataFrame:
-    """Distinct doc shingles after the df-cut (drop shingles present in more
-    than ``max_shingle_freq`` docs — boilerplate that would explode the
-    candidate join).  Numerator AND denominator of the Jaccard are computed
-    over this same kept universe, so the score stays a true Jaccard of the
-    kept-shingle sets (identical docs always score 1.0)."""
-    sh = shingles(documents, n, text_col, id_col)
+def _df_cut(sh: DataFrame, max_shingle_freq: int) -> DataFrame:
+    """Drop shingles present in more than ``max_shingle_freq`` docs —
+    boilerplate that would explode the candidate join.  Numerator AND
+    denominator of the Jaccard are computed over this same kept universe,
+    so the score stays a true Jaccard of the kept-shingle sets (identical
+    docs always score 1.0)."""
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return sh.join(freq.where(F.col("df") <= max_shingle_freq)
                    .select("shingle"), "shingle")
+
+
+def _kept_shingles(documents: DataFrame, n: int, text_col: str,
+                   id_col: str, max_shingle_freq: int) -> DataFrame:
+    """Distinct doc shingles after the df-cut."""
+    return _df_cut(shingles(documents, n, text_col, id_col),
+                   max_shingle_freq)
 
 
 def _jaccard_of_pairs(pairs: DataFrame, sh_kept: DataFrame,
@@ -136,13 +141,8 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.6,
     return _jaccard_of_pairs(None, sh_kept, threshold)
 
 
-def minhash_signatures(documents: DataFrame, k: int = MH_K, n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id",
-                       seed: int = 7) -> DataFrame:
-    """(doc_id, sig array<bigint>) — k min-hashes over md5-derived shingle
-    hashes (``_hash60`` — portable across engines for the value oracle)."""
+def _signatures_from_shingles(sh: DataFrame, k: int, seed: int) -> DataFrame:
     params = _mh_params(k, seed)
-    sh = shingles(documents, n, text_col, id_col)
     h = sh.select("doc_id",
                   F.pmod(_hash60(F.col("shingle")), F.lit(MH_PRIME)).alias("x"))
     mins = h.groupBy("doc_id").agg(*[
@@ -150,6 +150,15 @@ def minhash_signatures(documents: DataFrame, k: int = MH_K, n: int = 3,
         .alias(f"h{i}") for i, (a, b) in enumerate(params)])
     return mins.select("doc_id", F.array(*[F.col(f"h{i}")
                                            for i in range(k)]).alias("sig"))
+
+
+def minhash_signatures(documents: DataFrame, k: int = MH_K, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       seed: int = 7) -> DataFrame:
+    """(doc_id, sig array<bigint>) — k min-hashes over md5-derived shingle
+    hashes (``_hash60`` — portable across engines for the value oracle)."""
+    return _signatures_from_shingles(shingles(documents, n, text_col, id_col),
+                                     k, seed)
 
 
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
@@ -162,7 +171,11 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
     band signature AND verify at exact Jaccard >= threshold.
     """
     rows = k // bands
-    sig = minhash_signatures(documents, k, n, text_col, id_col, seed)
+    # shingle the corpus ONCE: the same persisted frame feeds signature
+    # computation AND the exact-Jaccard verification of candidates (two
+    # downstream consumers — without the persist, two full shingle passes)
+    sh = shingles(documents, n, text_col, id_col).persist()
+    sig = _signatures_from_shingles(sh, k, seed)
     banded = sig.select(
         "doc_id",
         F.explode(F.transform(
@@ -182,9 +195,12 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
              .select("doc_a", "doc_b").distinct())
     # exact-Jaccard verification restricted to the CANDIDATE pairs only —
     # the whole point of LSH is to never run the full co-occurrence join
-    sh_kept = _kept_shingles(documents, n, text_col, id_col,
-                             max_shingle_freq=1000)
-    return _jaccard_of_pairs(cands, sh_kept, threshold)
+    out = _jaccard_of_pairs(cands, _df_cut(sh, max_shingle_freq=1000),
+                            threshold)
+    # expose the persisted shingle frame so long-lived sessions can
+    # release it after materializing
+    out._recrun_shingles = sh
+    return out
 
 
 def simhash(documents: DataFrame, text_col: str = "text",

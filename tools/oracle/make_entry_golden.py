@@ -41,6 +41,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 ENTRY_CORPUS_DOCS = 60   # must match __spark_entry__.kg_triples_interleaved
 MEDIA_N = 64             # must match __spark_entry__.media_features
+OVERLAY_BASE_URI = "http://news.example/a/b?x=1"  # __spark_entry__.render_overlay
 
 
 def make_entry_triples(out_path: str) -> int:
@@ -88,14 +89,35 @@ def make_media_features(out_path: str) -> int:
     return len(media_ids)
 
 
+def make_entry_overlays(out_path: str) -> int:
+    """Single-node render-egress: extract (pure Python) + sanitize_html over
+    the entry corpus — the independent evaluation the distributed
+    stage1+render_overlays chain must reproduce exactly."""
+    from recrun_spark.readability import Settings, extract
+    from recrun_spark.render import sanitize_html
+    corpus = make_corpus(ENTRY_CORPUS_DOCS)
+    doc_ids, overlays = [], []
+    for doc_id, spans in corpus:
+        html = extract(spans, Settings.shipped())["html"]
+        doc_ids.append(doc_id)
+        overlays.append(sanitize_html(html, OVERLAY_BASE_URI))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "overlay_html": pa.array(overlays, pa.string()),
+    }), out_path)
+    return len(doc_ids)
+
+
 def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     n_t = make_entry_triples(
         os.path.join(GOLDEN_DIR, "entry_triples_60.parquet"))
     n_m = make_media_features(
         os.path.join(GOLDEN_DIR, "media_features_64.parquet"))
-    print(f"wrote {n_t} entry triples, {n_m} media feature rows "
-          f"to {os.path.normpath(GOLDEN_DIR)}")
+    n_o = make_entry_overlays(
+        os.path.join(GOLDEN_DIR, "entry_overlays_60.parquet"))
+    print(f"wrote {n_t} entry triples, {n_m} media feature rows, "
+          f"{n_o} overlays to {os.path.normpath(GOLDEN_DIR)}")
 
 
 if __name__ == "__main__":
