@@ -423,6 +423,26 @@ def render_overlay(spark, sf_dir):
     return render_overlays(ex, base_uri="http://news.example/a/b?x=1")
 
 
+def events_sessions_stream(spark, sf_dir):
+    """STATEFUL Structured Streaming sessionization (applyInPandasWithState,
+    recrun_spark/streaming/sessions.py): events replayed as 3 time-ranged
+    files → 3 micro-batches with per-user state carried across them; emits
+    CLOSED sessions (the trailing open session stays in state).  The oracle
+    is plain SQL: sessionize, then drop each user's last session."""
+    import tempfile
+
+    from recrun_spark.streaming.sessions import (prepare_ranged_events,
+                                                 run_sessionize_available_now)
+    _ensure_pkg(spark)
+    work = tempfile.mkdtemp(prefix="recrun_sess_stream_")
+    src = prepare_ranged_events(f"{sf_dir}/events.parquet",
+                                os.path.join(work, "in"), n_files=3)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sink = run_sessionize_available_now(spark, src,
+                                        os.path.join(work, "out"), schema)
+    return spark.read.parquet(sink)
+
+
 def kg_triples_interleaved(spark, sf_dir):
     """The real interleaved KG pipeline end-to-end on a synthesized corpus.
     Value oracle: data/golden/entry_triples_60.parquet — the Node reference
@@ -470,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": minhash_sigs,
         "media_features": media_features,
         "render_overlay": render_overlay,
+        "events_sessions_stream": events_sessions_stream,
         "kg_triples_interleaved": kg_triples_interleaved,
     }
 
@@ -911,6 +932,38 @@ def oracle_sql() -> dict[str, str]:
         "render_overlay": f"""
             SELECT doc_id, overlay_html
             FROM read_parquet('{_REPO}/data/golden/entry_overlays_60.parquet')
+        """,
+        # closed sessions = sessionize, then drop each user's LAST session
+        # (it is still open in the streaming operator's state)
+        "events_sessions_stream": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            ),
+            agg AS (
+              SELECT user_id, session_id::INT AS session_id,
+                     count(*) AS n_events,
+                     epoch_us(min(ts)) AS start_us,
+                     epoch_us(max(ts)) AS end_us
+              FROM s GROUP BY 1, 2
+            )
+            SELECT user_id, session_id, n_events, start_us, end_us
+            FROM agg a
+            WHERE session_id < (SELECT max(session_id) FROM agg b
+                                WHERE b.user_id = a.user_id)
         """,
     }
 

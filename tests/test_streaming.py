@@ -39,3 +39,49 @@ def test_streaming_incremental_extraction(spark, tmpdir_path):
     b = sorted((r["doc_id"], r["score"], r["text_length"])
                for r in batch.collect())
     assert a == b
+
+
+def test_stateful_sessionization_across_microbatches(spark, tmpdir_path):
+    """applyInPandasWithState sessionizer: 3 time-ranged files -> 3
+    micro-batches, per-user state carried across them; closed sessions must
+    equal the batch SQL computation (sessionize, drop each user's last)."""
+    import duckdb
+
+    from recrun_spark.streaming.sessions import (prepare_ranged_events,
+                                                 run_sessionize_available_now)
+    events = "/root/testdata/sf0.001/events.parquet"
+    src = prepare_ranged_events(events, os.path.join(tmpdir_path, "in"), 3)
+    assert len(os.listdir(src)) == 3
+    schema = spark.read.parquet(events).schema
+    out_dir = os.path.join(tmpdir_path, "out")
+    sink = run_sessionize_available_now(spark, src, out_dir, schema)
+    got = sorted((r["user_id"], r["session_id"], r["n_events"],
+                  r["start_us"], r["end_us"])
+                 for r in spark.read.parquet(sink).collect())
+
+    # state REALLY carried across micro-batches: one offset file per batch
+    offsets = os.listdir(os.path.join(out_dir, "_checkpoint", "offsets"))
+    assert len([f for f in offsets if not f.startswith(".")]) == 3
+
+    oracle = sorted(map(tuple, duckdb.sql(f"""
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM read_parquet('{events}')
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), s AS (
+          SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+            AS session_id FROM g
+        ), agg AS (
+          SELECT user_id, session_id::INT AS session_id, count(*) AS n_events,
+                 epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+          FROM s GROUP BY 1, 2
+        )
+        SELECT user_id, session_id, n_events, start_us, end_us FROM agg a
+        WHERE session_id < (SELECT max(session_id) FROM agg b
+                            WHERE b.user_id = a.user_id)
+    """).fetchall()))
+    assert len(oracle) > 0 and got == oracle
