@@ -173,7 +173,10 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
     rows = k // bands
     # shingle the corpus ONCE: the same persisted frame feeds signature
     # computation AND the exact-Jaccard verification of candidates (two
-    # downstream consumers — without the persist, two full shingle passes)
+    # downstream consumers — without the persist, two full shingle passes).
+    # The portable md5-derived hash measures within noise of xxhash64 here
+    # (the 64 min-aggregates dominate), so LSH banding uses the SAME
+    # signatures the minhash_sigs query publishes.
     sh = shingles(documents, n, text_col, id_col).persist()
     sig = _signatures_from_shingles(sh, k, seed)
     banded = sig.select(
