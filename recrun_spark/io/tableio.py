@@ -80,6 +80,28 @@ def write_table(df: DataFrame, path: str, partition_by=None,
     return manifest
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_by, n_buckets: int,
+                   sort_by=None, mode: str = "overwrite") -> None:
+    """Bucketed managed table for CO-LOCATED joins (SURVEY.md §4): rows are
+    hash-clustered into ``n_buckets`` files per partition by ``bucket_by``
+    at WRITE time, so an equi-join or aggregation on the bucket key between
+    two tables bucketed the same way needs NO Exchange at read time — the
+    shuffle is paid once at write and amortized over every downstream join
+    (the standard trick for a dimension repeatedly joined at 100 TB).
+    ``sort_by`` additionally pre-sorts within buckets, eliminating the sort
+    of a sort-merge join.  Verified by plan assertion in tests/test_tableio.py.
+    """
+    bucket_by = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    # one writer task per bucket -> exactly one file per bucket, which is
+    # what lets the reader trust per-bucket sort order and skip re-sorting
+    clustered = df.repartition(n_buckets, *[F.col(c) for c in bucket_by])
+    w = clustered.write.bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sort_by)
+    w.mode(mode).format("parquet").saveAsTable(table)
+
+
 def read_manifest(path: str):
     p = os.path.join(path, MANIFEST)
     if not os.path.exists(p):

@@ -63,7 +63,15 @@ def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
          .config("spark.sql.parquet.compression.codec", "zstd")
          .config("spark.executorEnv.PYTHONPATH", worker_path)
          .config("spark.ui.enabled", "false")
-         .config("spark.sql.session.timeZone", "UTC"))
+         .config("spark.sql.session.timeZone", "UTC")
+         # managed-table storage for bucketed tables (tableio.write_bucketed)
+         # kept out of the repo/cwd; on a cluster these come from the
+         # catalog/metastore config instead
+         .config("spark.sql.warehouse.dir",
+                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                                "/tmp/recrun_spark_warehouse"))
+         .config("spark.driver.extraJavaOptions",
+                 "-Dderby.system.home=/tmp/recrun_spark_derby"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

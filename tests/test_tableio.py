@@ -97,3 +97,49 @@ def test_read_table_respects_manifest_format_pin(spark, tmpdir_path):
         assert tableio.read_table(spark, path).count() == 5
     finally:
         spark.conf.unset("spark.sql.catalog.recrun")
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Co-located join: two tables bucketed+sorted on the same key must
+    sort-merge-join with ZERO Exchange and ZERO Sort in the plan — the
+    shuffle was paid once at write time (the 100 TB repeated-join shape)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F2
+
+    ents = spark.range(0, 2000).select(
+        F2.col("id").alias("doc_key"),
+        (F2.col("id") % 37).alias("entity"))
+    imgs = spark.range(0, 2000, 2).select(
+        F2.col("id").alias("doc_key"),
+        F2.concat(F2.lit("img"), F2.col("id")).alias("media_ref"))
+    spark.sql("DROP TABLE IF EXISTS b_ents")
+    spark.sql("DROP TABLE IF EXISTS b_imgs")
+    tableio.write_bucketed(ents, "b_ents", "doc_key", 8, sort_by="doc_key")
+    tableio.write_bucketed(imgs, "b_imgs", "doc_key", 8, sort_by="doc_key")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        join_only = spark.table("b_ents").join(spark.table("b_imgs"),
+                                               "doc_key")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            join_only.explain("formatted")
+        plan = buf.getvalue()
+        rows = {r["entity"]: r["n"]
+                for r in join_only.groupBy("entity")
+                .agg(F2.count(F2.lit(1)).alias("n")).collect()}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_ents")
+        spark.sql("DROP TABLE IF EXISTS b_imgs")
+
+    # correctness: every even doc_key joins exactly once; entity 0 = ids
+    # divisible by both 2 and 37 in [0, 2000) = multiples of 74 -> 28 ids
+    assert sum(rows.values()) == 1000
+    assert rows[0] == 28
+    # plan: the join reads both bucketed tables WITHOUT any Exchange —
+    # scan -> (sort) -> SortMergeJoin, shuffle paid at write time
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
