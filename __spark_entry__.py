@@ -280,6 +280,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.30)
 
 
+def dedup_clusters(spark, sf_dir):
+    """End-to-end dedup: LSH pairs → connected components → canonical doc
+    per cluster (every document mapped)."""
+    from recrun_spark.functions.dedup import dedup_clusters as dc
+    _ensure_pkg(spark)
+    return dc(_t(spark, sf_dir, "documents"), threshold=0.30)
+
+
 def text_stats(spark, sf_dir):
     from recrun_spark.functions.text import text_stats as ts
     return ts(_t(spark, sf_dir, "documents"))
@@ -478,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
         "text_stats": text_stats,
         "lang_quality_summary": lang_quality_summary,
         "ann_cosine_topk": ann_cosine_topk,
@@ -832,6 +841,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,  # LSH must not lose pairs here
+        # pairs -> transitive closure -> min doc_id per component; docs
+        # with no near-dup map to themselves
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.30),
+            sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS n FROM sym),
+            reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT s.v, r.m FROM reach r JOIN sym s ON s.u = r.n
+            ),
+            comp AS (SELECT n, min(m) AS canonical FROM reach GROUP BY n)
+            SELECT d.doc_id,
+                   coalesce(c.canonical, d.doc_id) AS canonical_doc_id
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN comp c ON c.n = d.doc_id
+        """,
         "text_stats": _TEXT_STATS_SQL,
         "lang_quality_summary": f"""
             WITH ts AS ({_TEXT_STATS_SQL})

@@ -206,6 +206,32 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
     return out
 
 
+def dedup_clusters(documents: DataFrame, threshold: float = 0.6,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   **lsh_kwargs) -> DataFrame:
+    """End-to-end corpus dedup: (doc_id, canonical_doc_id) for EVERY
+    document — LSH near-dup pairs → connected components (transitive
+    closure: a≈b, b≈c puts a,c in one cluster even if a,c never paired) →
+    canonical = min doc_id per cluster; non-duplicates map to themselves.
+
+    This is the shape a training-data pipeline actually materializes (keep
+    one representative per cluster).  All pieces are the scale-safe ones:
+    banded LSH candidates, O(log n)-round large/small-star CC, one
+    broadcast-free left join back to the corpus.
+    """
+    from ..operators import connected_components
+    pairs = minhash_lsh_pairs(documents, threshold, text_col=text_col,
+                              id_col=id_col, **lsh_kwargs)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")), "src", "dst")
+    docs = documents.select(F.col(id_col).alias("doc_id")).distinct()
+    return (docs.join(comp, docs["doc_id"] == comp["node"], "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id")
+                    .alias("canonical_doc_id")))
+
+
 def simhash(documents: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash bigint) — SIMHASH_BITS-bit SimHash: bit b of the

@@ -109,3 +109,30 @@ def test_head_alias_skew_share(spark, corpus_parquet):
     total = sum(counts.values())
     share = counts.get(True, 0) / total
     assert share > 0.30, f"head share {share:.2f}"
+
+
+def test_ivf_topk_recall_quality(spark):
+    """IVF recall@10 vs brute force: ≥0.75 mean at the default-shaped
+    nprobe=4/16, and monotonically improving with more probes — the
+    quality/cost knob a user actually turns (deterministic corpus, so the
+    measured values are stable)."""
+    from recrun_spark.functions.similarity import cosine_topk, ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(20))
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(cosine_topk(emb, qids, k=10))
+    mean_recall = {}
+    for nprobe in (2, 4, 6):
+        approx = topk_sets(ivf_topk(emb, qids, k=10, n_centroids=16,
+                                    nprobe=nprobe))
+        rs = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+              for q in exact]
+        mean_recall[nprobe] = sum(rs) / len(rs)
+    assert mean_recall[4] >= 0.75, mean_recall
+    assert mean_recall[2] < mean_recall[6], mean_recall
