@@ -85,3 +85,60 @@ def test_stateful_sessionization_across_microbatches(spark, tmpdir_path):
                             WHERE b.user_id = a.user_id)
     """).fetchall()))
     assert len(oracle) > 0 and got == oracle
+
+
+def test_stateful_sessionization_resumes_across_restarts(spark, tmpdir_path):
+    """State must survive a query RESTART, not just micro-batches: drain 3
+    time-ranged files, stop, land a 4th (later) file, drain again with the
+    SAME checkpoint — the second run continues each user's open session
+    from the state store, and the accumulated closed sessions equal the
+    batch computation over ALL events."""
+    import shutil
+
+    import duckdb
+
+    from recrun_spark.streaming.sessions import (prepare_ranged_events,
+                                                 run_sessionize_available_now)
+    events = "/root/testdata/sf0.001/events.parquet"
+    staging = prepare_ranged_events(events,
+                                    os.path.join(tmpdir_path, "staging"), 4)
+    files = sorted(os.listdir(staging))
+    src = os.path.join(tmpdir_path, "in")
+    os.makedirs(src)
+    for f in files[:3]:
+        shutil.copy2(os.path.join(staging, f), os.path.join(src, f))
+    schema = spark.read.parquet(events).schema
+    out_dir = os.path.join(tmpdir_path, "out")
+
+    sink = run_sessionize_available_now(spark, src, out_dir, schema)
+    n_first = spark.read.parquet(sink).count()
+    shutil.copy2(os.path.join(staging, files[3]), os.path.join(src, files[3]))
+    sink = run_sessionize_available_now(spark, src, out_dir, schema)
+
+    got = sorted((r["user_id"], r["session_id"], r["n_events"],
+                  r["start_us"], r["end_us"])
+                 for r in spark.read.parquet(sink).collect())
+    assert len(got) > n_first  # the restart emitted additional sessions
+
+    oracle = sorted(map(tuple, duckdb.sql(f"""
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM read_parquet('{events}')
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), s AS (
+          SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+            AS session_id FROM g
+        ), agg AS (
+          SELECT user_id, session_id::INT AS session_id, count(*) AS n_events,
+                 epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+          FROM s GROUP BY 1, 2
+        )
+        SELECT user_id, session_id, n_events, start_us, end_us FROM agg a
+        WHERE session_id < (SELECT max(session_id) FROM agg b
+                            WHERE b.user_id = a.user_id)
+    """).fetchall()))
+    assert got == oracle
