@@ -147,6 +147,21 @@ def main():
                     + p.count("ShuffledHashJoin")) >= 3),
     ])
 
+    # 8. signature/text operators: pure expressions, pruned scans
+    audit("minhash_sigs", qs["minhash_sigs"](spark, SF_DIR), [
+        ("no python UDF (signatures are pure expressions)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("documents scan pruned to doc_id+text (no lang/source/n_chars)",
+         lambda p: "source" not in p.split("ReadSchema:")[1].split("\n")[0]),
+        ("map-side partial aggregation for the per-doc mins",
+         lambda p: "partial" in p.lower()),
+    ])
+    audit("text_stats", qs["text_stats"](spark, SF_DIR), [
+        ("zero shuffle (single-pass projection)",
+         lambda p: "Exchange" not in p),
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
