@@ -230,14 +230,17 @@ def word_counts(spark, sf_dir):
 
 def cc_components(spark, sf_dir):
     """Stage-3 operator on a derived graph: large-star/small-star CC
-    (operators.connected_components) incl. singleton handling."""
+    (operators.connected_components) incl. singleton handling.
+    small_graph_rows=0 forces the DISTRIBUTED iterative path so the oracle
+    keeps verifying it (the driver-local union-find fast path is verified
+    by the same oracle via dedup_clusters and by the property test)."""
     from recrun_spark.operators import connected_components
     orders = _t(spark, sf_dir, "orders")
     edges = (orders.where(F.col("o_custkey") < 300)
              .select(F.col("o_custkey").alias("src"),
                      (F.col("o_custkey") % 97).alias("dst"))
              .distinct())
-    comp = connected_components(edges, "src", "dst")
+    comp = connected_components(edges, "src", "dst", small_graph_rows=0)
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node"))).distinct())
     return (nodes.join(comp, "node", "left")

@@ -44,6 +44,34 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
     return out.drop("_salt")
 
 
+def _cc_driver_local(e: DataFrame) -> DataFrame:
+    """Min-label union-find over a collected edge list — the fast path for
+    metadata-scale graphs (entity dictionaries), where shipping the edges
+    to the driver is cheaper than one iteration of the distributed loop."""
+    from pyspark.sql.types import StructField, StructType
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["u"]), find(r["v"])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    node_type = e.schema["u"].dataType
+    schema = StructType([StructField("node", node_type),
+                         StructField("component", node_type)])
+    assignments = [(n, find(n)) for n in parent]
+    return e.sparkSession.createDataFrame(assignments, schema)
+
+
 def _symmetrize(e: DataFrame) -> DataFrame:
     return (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .where(F.col("u") != F.col("v")).distinct())
@@ -75,14 +103,22 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 50,
+                         small_graph_rows: int = 200_000) -> DataFrame:
     """Min-label connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond";
     PAPERS.md).  Returns (node, component) for every node that appears in an
     edge; component = min node id in the component.  Callers union in
     singleton vertices separately.
 
-    Scale notes (north_rule stage 3):
+    Graphs with ≤ ``small_graph_rows`` distinct edges take a DRIVER-LOCAL
+    union-find instead (``small_graph_rows=0`` disables): the entity
+    same-as graph is dictionary-scale (≪ corpus), and the iterative loop's
+    per-round driver↔cluster latency is a pure Amdahl fixed cost — seconds
+    per pipeline run that no executor count can shrink.  Both paths emit
+    identical min-label assignments (property-tested against each other).
+
+    Scale notes for the distributed path (north_rule stage 3):
     * each iteration = two grouped shuffles on the node key, O(E) per round,
       O(log n) rounds;
     * ``localCheckpoint`` per iteration truncates lineage so the driver loop
@@ -94,6 +130,10 @@ def connected_components(edges: DataFrame, src: str = "src",
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u") != F.col("v")).distinct()
          .localCheckpoint(eager=True))
+
+    if small_graph_rows and \
+            e.limit(small_graph_rows + 1).count() <= small_graph_rows:
+        return _cc_driver_local(e)
 
     def _canon_sig(edge_df: DataFrame):
         """(count, hash-sum) fingerprint of the canonicalized edge set.

@@ -1,5 +1,7 @@
-"""Invariant tests for the training-data operators that have no SQL oracle
-(engine-specific hashes / stubbed decode) + the stage-2 salted-join path."""
+"""Invariant and quality tests for the training-data operators (beyond the
+per-query DuckDB value oracles in test_entry_queries.py): signature
+invariants, dedup/ANN recall vs exact baselines, multimodal determinism,
+and the stage-2 salted-join path."""
 
 from pyspark.sql import functions as F
 

@@ -44,11 +44,16 @@ def test_connected_components_vs_union_find(spark):
                 if any(n in e for e in edges)}
 
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["node"]: r["component"]
-           for r in connected_components(df).collect()}
     touched = {n for e in edges for n in e}
-    assert set(got) == touched
-    assert got == {n: expected[n] for n in touched}
+    want = {n: expected[n] for n in touched}
+    # BOTH paths must emit identical min-label assignments: the distributed
+    # large/small-star loop (small_graph_rows=0 forces it) and the
+    # driver-local union-find fast path (default takes it at this size)
+    for kwargs in ({"small_graph_rows": 0}, {}):
+        got = {r["node"]: r["component"]
+               for r in connected_components(df, **kwargs).collect()}
+        assert set(got) == touched, kwargs
+        assert got == want, kwargs
 
 
 def test_canonicalize_matches_golden(spark):

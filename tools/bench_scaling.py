@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from recrun_spark.stage1 import extract_documents
 
 cpus = {cpus}
+job = {job!r}
 spark = get_spark(f"scale{{cpus}}", cpus=cpus, extra_conf={{
     "spark.sql.files.maxPartitionBytes": "4m",
     "spark.sql.files.openCostInBytes": "4m"}})
@@ -37,10 +38,36 @@ docs = spark.read.parquet({corpus!r})
 # warm-up, untimed: full scan (page cache) + python worker pool + codegen
 docs.agg(F.sum(F.size("spans"))).collect()
 extract_documents(docs.limit(2000)).agg(F.count(F.lit(1))).collect()
+
+
+def run_extract():
+    return extract_documents(docs).agg(F.count(F.lit(1))).collect()[0][0]
+
+
+def run_pipeline():
+    # the full in-memory KG pipeline (same shape as bench.kg_full_pipeline)
+    from recrun_spark.stage2 import detect_mentions, link_mentions, load_aliases
+    from recrun_spark.stage3 import canonicalize
+    from recrun_spark.stage4 import assemble_triples
+    aliases = load_aliases(spark)
+    surfaces = [r["alias"]
+                for r in aliases.select("alias").distinct().collect()]
+    ex = extract_documents(docs).persist()
+    linked = link_mentions(detect_mentions(ex, surfaces), aliases).persist()
+    trips = assemble_triples(ex, linked, canonicalize(aliases))
+    n = trips.count()
+    ex.unpersist(); linked.unpersist()
+    ents = getattr(trips, "_recrun_ents", None)
+    if ents is not None:
+        ents.unpersist()
+    return n
+
+
+fn = run_pipeline if job == "pipeline" else run_extract
 ds = []
 for _ in range({repeats}):
     t0 = time.time()
-    n = extract_documents(docs).agg(F.count(F.lit(1))).collect()[0][0]
+    n = fn()
     ds.append(time.time() - t0)
 print(json.dumps({{"cpus": cpus, "n": n, "runs": ds,
                    "median_sec": statistics.median(ds)}}))
@@ -64,8 +91,10 @@ def ensure_corpus(n_docs: int) -> str:
     return path
 
 
-def run_level(cpus: int, corpus: str, repeats: int) -> dict:
-    code = CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, repeats=repeats)
+def run_level(cpus: int, corpus: str, repeats: int,
+              job: str = "extract") -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, repeats=repeats,
+                        job=job)
     out = subprocess.run([sys.executable, "-c", code], check=True,
                          capture_output=True, text=True, cwd=REPO)
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -78,17 +107,21 @@ def main():
                                                "200000")))
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--levels", type=str, default="8,32")
+    ap.add_argument("--job", choices=["extract", "pipeline"],
+                    default="extract")
     args = ap.parse_args()
 
     corpus = ensure_corpus(args.docs)
     levels = [int(x) for x in args.levels.split(",")]
-    results = {c: run_level(c, corpus, args.repeats) for c in levels}
+    results = {c: run_level(c, corpus, args.repeats, args.job)
+               for c in levels}
 
     lo, hi = min(levels), max(levels)
     dps = {c: args.docs / results[c]["median_sec"] for c in levels}
     eff = dps[hi] / ((hi / lo) * dps[lo])
     report = {
         "metric": "scaling_efficiency",
+        "job": args.job,
         "value": round(eff, 3),
         "unit": "ratio",
         "docs": args.docs,
@@ -99,7 +132,9 @@ def main():
         "rule": f"eff = dps[{hi}] / ({hi // lo} * dps[{lo}]) >= 0.8",
         "pass": eff >= 0.8,
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    out_name = ("BENCH_SCALING.json" if args.job == "extract"
+                else "BENCH_SCALING_PIPELINE.json")
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
 
