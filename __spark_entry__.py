@@ -328,6 +328,30 @@ def ann_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.45)
 
 
+def events_quantiles(spark, sf_dir):
+    """Exact distributed quantiles (percentile with linear interpolation —
+    the numeric-summary family): per event_type p25/p50/p75/p95 of value.
+    Exact (not approx_percentile) so DuckDB's quantile_cont reproduces it."""
+    ev = _t(spark, sf_dir, "events")
+    q = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))")
+    return (ev.groupBy("event_type")
+            .agg(F.round(q[0], 6).alias("p25"),
+                 F.round(q[1], 6).alias("p50"),
+                 F.round(q[2], 6).alias("p75"),
+                 F.round(q[3], 6).alias("p95"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def parts_with_orders(spark, sf_dir):
+    """Left-semi join (the EXISTS shape, complement of the J2 anti-join):
+    parts that appear in at least one lineitem, summarized per brand."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_parts")))
+
+
 def rollup_pricing(spark, sf_dir):
     """Hierarchical aggregation (ROLLUP) — subtotals per returnflag and
     grand total; grouping ids disambiguate NULL dimension values."""
@@ -495,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_near_dups": ann_near_dups,
+        "events_quantiles": events_quantiles,
+        "parts_with_orders": parts_with_orders,
         "rollup_pricing": rollup_pricing,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -907,6 +933,22 @@ def oracle_sql() -> dict[str, str]:
               JOIN v b ON b.vec_id = id_b
             )
             SELECT id_a, id_b, sim FROM verified WHERE sim >= 0.45
+        """,
+        "events_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.50), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "parts_with_orders": """
+            SELECT p_brand, count(*) AS n_parts
+            FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey)
+            GROUP BY 1
         """,
         "rollup_pricing": """
             SELECT l_returnflag, l_linestatus,
