@@ -142,3 +142,59 @@ def test_stateful_sessionization_resumes_across_restarts(spark, tmpdir_path):
                             WHERE b.user_id = a.user_id)
     """).fetchall()))
     assert got == oracle
+
+
+def test_incremental_kg_stream_equals_batch(spark, tmpdir_path):
+    """Incremental KG over a document stream: 3 arrival files → 3
+    foreachBatch micro-batches writing batch=<id>/ triples; their union
+    must equal the batch pipeline over the same 60 docs EXACTLY (every
+    triple rule is doc-scoped, each doc lands in one batch).  A 4th file
+    landing later is processed alone (resume via checkpoint), and the
+    combined output equals the 80-doc batch computation."""
+    import pyarrow.parquet as pq
+
+    from recrun_spark.fixtures.generator import corpus_to_arrow, make_corpus
+    from recrun_spark.stage2 import detect_mentions, link_mentions, load_aliases
+    from recrun_spark.stage3 import canonicalize
+    from recrun_spark.stage4 import assemble_triples
+    from recrun_spark.stage1 import extract_documents
+    from recrun_spark.streaming.kg import run_kg_available_now
+
+    corpus = make_corpus(80)
+    src = os.path.join(tmpdir_path, "docs_in")
+    os.makedirs(src)
+    for i, sl in enumerate((corpus[0:20], corpus[20:40], corpus[40:60])):
+        pq.write_table(corpus_to_arrow(sl),
+                       os.path.join(src, f"arrival-{i:02d}.parquet"))
+
+    out_dir = os.path.join(tmpdir_path, "kg_stream")
+    root = run_kg_available_now(spark, src, out_dir)
+    batches = sorted(d for d in os.listdir(root) if d.startswith("batch="))
+    assert len(batches) == 3
+
+    def triple_set(df):
+        return {(r["subj"], r["pred"], r["obj"], r["doc_id"])
+                for r in df.collect()}
+
+    def batch_triples(n_docs):
+        docs_path = os.path.join(tmpdir_path, f"all_{n_docs}.parquet")
+        pq.write_table(corpus_to_arrow(corpus[:n_docs]), docs_path)
+        docs = spark.read.parquet(docs_path)
+        aliases = load_aliases(spark)
+        surfaces = [r["alias"]
+                    for r in aliases.select("alias").distinct().collect()]
+        ex = extract_documents(docs)
+        linked = link_mentions(detect_mentions(ex, surfaces), aliases)
+        return triple_set(assemble_triples(ex, linked, canonicalize(aliases)))
+
+    got60 = triple_set(spark.read.parquet(os.path.join(root, "batch=*")))
+    assert got60 == batch_triples(60) and len(got60) > 0
+
+    # a late 4th arrival: only it is processed, union covers all 80 docs
+    pq.write_table(corpus_to_arrow(corpus[60:80]),
+                   os.path.join(src, "arrival-03.parquet"))
+    run_kg_available_now(spark, src, out_dir)
+    batches = sorted(d for d in os.listdir(root) if d.startswith("batch="))
+    assert len(batches) == 4
+    got80 = triple_set(spark.read.parquet(os.path.join(root, "batch=*")))
+    assert got80 == batch_triples(80)
