@@ -464,17 +464,31 @@ def events_sessions_stream(spark, sf_dir):
     files → 3 micro-batches with per-user state carried across them; emits
     CLOSED sessions (the trailing open session stays in state).  The oracle
     is plain SQL: sessionize, then drop each user's last session."""
+    import hashlib
+    import shutil
     import tempfile
 
     from recrun_spark.streaming.sessions import (prepare_ranged_events,
                                                  run_sessionize_available_now)
     _ensure_pkg(spark)
-    work = tempfile.mkdtemp(prefix="recrun_sess_stream_")
-    src = prepare_ranged_events(f"{sf_dir}/events.parquet",
-                                os.path.join(work, "in"), n_files=3)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    sink = run_sessionize_available_now(spark, src,
-                                        os.path.join(work, "out"), schema)
+    # work dir keyed on the SOURCE identity (path+size+mtime): repeated
+    # oracle runs reuse the drained sink instead of leaking a fresh
+    # /tmp dir + full replay per invocation; a changed source rebuilds
+    src_file = f"{sf_dir}/events.parquet"
+    st = os.stat(src_file)
+    key = hashlib.sha1(
+        f"{src_file}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"recrun_sess_stream_{key}")
+    sink = os.path.join(work, "out", "sessions")
+    marker = os.path.join(work, "_RECRUN_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(work, ignore_errors=True)
+        src = prepare_ranged_events(src_file, os.path.join(work, "in"),
+                                    n_files=3)
+        schema = spark.read.parquet(src_file).schema
+        sink = run_sessionize_available_now(spark, src,
+                                            os.path.join(work, "out"), schema)
+        open(marker, "w").close()
     return spark.read.parquet(sink)
 
 
@@ -733,6 +747,42 @@ def _simhash_sql() -> str:
         h AS (SELECT doc_id, {_ddb_hash60('tok')} AS h FROM t),
         bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
         SELECT doc_id, ({recon})::BIGINT AS simhash FROM bits
+    """
+
+
+# closed sessions = sessionize, then drop each user's LAST session (it is
+# still open in the streaming operator's state).  Single source of truth
+# for the driver oracle AND the streaming tests (parametrized relation).
+def closed_sessions_sql(events_rel: str = "events") -> str:
+    return f"""
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM {events_rel}
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        ),
+        agg AS (
+          SELECT user_id, session_id::INT AS session_id,
+                 count(*) AS n_events,
+                 epoch_us(min(ts)) AS start_us,
+                 epoch_us(max(ts)) AS end_us
+          FROM s GROUP BY 1, 2
+        )
+        SELECT user_id, session_id, n_events, start_us, end_us
+        FROM agg a
+        WHERE session_id < (SELECT max(session_id) FROM agg b
+                            WHERE b.user_id = a.user_id)
     """
 
 
@@ -1006,38 +1056,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, overlay_html
             FROM read_parquet('{_REPO}/data/golden/entry_overlays_60.parquet')
         """,
-        # closed sessions = sessionize, then drop each user's LAST session
-        # (it is still open in the streaming operator's state)
-        "events_sessions_stream": """
-            WITH g AS (
-              SELECT user_id, event_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                               > 1800000000
-                          THEN 1 ELSE 0 END AS new_sess
-              FROM events
-              WINDOW w AS (PARTITION BY user_id
-                           ORDER BY ts ASC, event_id ASC)
-            ),
-            s AS (
-              SELECT user_id, ts,
-                     sum(new_sess) OVER (PARTITION BY user_id
-                       ORDER BY ts ASC, event_id ASC
-                       ROWS UNBOUNDED PRECEDING) AS session_id
-              FROM g
-            ),
-            agg AS (
-              SELECT user_id, session_id::INT AS session_id,
-                     count(*) AS n_events,
-                     epoch_us(min(ts)) AS start_us,
-                     epoch_us(max(ts)) AS end_us
-              FROM s GROUP BY 1, 2
-            )
-            SELECT user_id, session_id, n_events, start_us, end_us
-            FROM agg a
-            WHERE session_id < (SELECT max(session_id) FROM agg b
-                                WHERE b.user_id = a.user_id)
-        """,
+        "events_sessions_stream": closed_sessions_sql(),
     }
 
 

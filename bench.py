@@ -130,14 +130,21 @@ def main():
 
     # -- relational / training-data queries at SF_DIR ---------------------
     qs = entry.queries()
+    from recrun_spark.operators import release_caches
+
+    def run_query(n):
+        df = qs[n](spark, SF_DIR)
+        out = df.agg(F.count(F.lit(1))).collect()
+        release_caches(df)  # free persisted intermediates between repeats
+        return out
+
     for name in ("q1_pricing", "revenue_by_region", "word_counts",
                  "text_stats", "dedup_exact", "dedup_minhash_lsh",
                  "ann_cosine_topk", "ann_ivf_topk", "cc_components",
                  "kg_mentions_flat", "events_hourly", "simhash_sigs"):
         # the heavy multi-shuffle LSH entry swings 2x+ under neighbor
         # noise: median of 3 keeps the recorded number honest
-        timed(name, lambda n=name: qs[n](spark, SF_DIR)
-              .agg(F.count(F.lit(1))).collect(),
+        timed(name, lambda n=name: run_query(n),
               repeats=3 if name == "dedup_minhash_lsh" else 1)
 
     # -- mention detection at dictionary scale -----------------------------

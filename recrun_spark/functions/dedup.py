@@ -226,10 +226,14 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.6,
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst")), "src", "dst")
     docs = documents.select(F.col(id_col).alias("doc_id")).distinct()
-    return (docs.join(comp, docs["doc_id"] == comp["node"], "left")
-            .select("doc_id",
-                    F.coalesce("component", "doc_id")
-                    .alias("canonical_doc_id")))
+    out = (docs.join(comp, docs["doc_id"] == comp["node"], "left")
+           .select("doc_id",
+                   F.coalesce("component", "doc_id")
+                   .alias("canonical_doc_id")))
+    # propagate the LSH stage's persisted-shingle handle so callers
+    # (operators.release_caches) can free it after materializing
+    out._recrun_shingles = getattr(pairs, "_recrun_shingles", None)
+    return out
 
 
 def simhash(documents: DataFrame, text_col: str = "text",

@@ -168,12 +168,12 @@ def same_as_edges(alias_rows):
     return sorted(edges)
 
 
-def canonical_map(alias_rows) -> dict:
-    """entity_id -> canonical_id via union-find (single-node golden path).
-
-    The Spark pipeline computes the same map with iterative
-    large-star/small-star joins (stage3); results must be identical.
-    """
+def min_label_components(nodes, edges) -> dict:
+    """{node: min-label component id} via union-find (path halving, union
+    by min label) over ``nodes`` plus every edge endpoint.  THE single
+    implementation shared by the golden canonical map and the driver-local
+    CC fast path (operators._cc_driver_local) — both must stay in
+    behavioral lockstep with the distributed star loop."""
     parent: dict = {}
 
     def find(x):
@@ -183,19 +183,25 @@ def canonical_map(alias_rows) -> dict:
             x = parent[x]
         return x
 
-    def union(a, b):
+    for n in nodes:
+        find(n)
+    for a, b in edges:
         ra, rb = find(a), find(b)
         if ra != rb:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
+    return {n: find(n) for n in parent}
 
+
+def canonical_map(alias_rows) -> dict:
+    """entity_id -> canonical_id via union-find (single-node golden path).
+
+    The Spark pipeline computes the same map with iterative
+    large-star/small-star joins (stage3); results must be identical.
+    """
     entities = sorted({eid for _, eid, _ in alias_rows})
-    for e in entities:
-        find(e)
-    for a, b in same_as_edges(alias_rows):
-        union(a, b)
-    return {e: find(e) for e in entities}
+    return min_label_components(entities, same_as_edges(alias_rows))
 
 
 def triples_for_doc(doc_id: str, retained_spans, next_page: str,

@@ -44,32 +44,31 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
     return out.drop("_salt")
 
 
+def release_caches(df: DataFrame) -> None:
+    """Unpersist the cached intermediates an operator attached to its
+    result (``_recrun_*`` handles) — call after materializing the result
+    in a long-lived session."""
+    for attr in ("_recrun_ents", "_recrun_shingles", "_recrun_probes"):
+        cached = getattr(df, attr, None)
+        if cached is not None:
+            cached.unpersist()
+
+
 def _cc_driver_local(e: DataFrame) -> DataFrame:
     """Min-label union-find over a collected edge list — the fast path for
     metadata-scale graphs (entity dictionaries), where shipping the edges
-    to the driver is cheaper than one iteration of the distributed loop."""
+    to the driver is cheaper than one iteration of the distributed loop.
+    Delegates to linking.min_label_components, the same implementation the
+    golden canonical map uses."""
     from pyspark.sql.types import StructField, StructType
-    rows = e.collect()
-    parent: dict = {}
 
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for r in rows:
-        ra, rb = find(r["u"]), find(r["v"])
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
+    from .linking import min_label_components
+    comp = min_label_components(
+        [], ((r["u"], r["v"]) for r in e.collect()))
     node_type = e.schema["u"].dataType
     schema = StructType([StructField("node", node_type),
                          StructField("component", node_type)])
-    assignments = [(n, find(n)) for n in parent]
-    return e.sparkSession.createDataFrame(assignments, schema)
+    return e.sparkSession.createDataFrame(sorted(comp.items()), schema)
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:

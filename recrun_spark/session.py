@@ -65,13 +65,15 @@ def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
          .config("spark.ui.enabled", "false")
          .config("spark.sql.session.timeZone", "UTC")
          # managed-table storage for bucketed tables (tableio.write_bucketed)
-         # kept out of the repo/cwd; on a cluster these come from the
-         # catalog/metastore config instead
+         # kept out of the repo/cwd and PER-PROCESS: concurrent sessions on
+         # this shared host must not race on table files, and derby locks
+         # its home dir (two JVMs sharing one would fail to start).  On a
+         # cluster these come from the catalog/metastore config instead.
          .config("spark.sql.warehouse.dir",
                  os.environ.get("SPARK_GRAFT_WAREHOUSE",
-                                "/tmp/recrun_spark_warehouse"))
+                                f"/tmp/recrun_spark_warehouse_{os.getpid()}"))
          .config("spark.driver.extraJavaOptions",
-                 "-Dderby.system.home=/tmp/recrun_spark_derby"))
+                 f"-Dderby.system.home=/tmp/recrun_spark_derby_{os.getpid()}"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

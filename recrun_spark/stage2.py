@@ -35,13 +35,18 @@ from .operators import salted_join
 # worker-local matcher cache: Python workers are reused across tasks
 # (spark.python.worker.reuse), so a large-dictionary TrieMatcher is built
 # once per worker process instead of once per task.  Keyed by the surfaces
-# tuple itself (exact), hashing cost ~ms at 10^5 surfaces.
+# tuple itself (exact; hashing cost ~ms at 10^5 surfaces) and BOUNDED —
+# an evolving dictionary across a long-lived session must not pin every
+# historical matcher (each holds the full surface set) in worker memory.
 _PATTERN_CACHE: dict = {}
+_PATTERN_CACHE_MAX = 4
 
 
 def _cached_pattern(surfaces_tuple: tuple):
     pat = _PATTERN_CACHE.get(surfaces_tuple)
     if pat is None:
+        while len(_PATTERN_CACHE) >= _PATTERN_CACHE_MAX:
+            _PATTERN_CACHE.pop(next(iter(_PATTERN_CACHE)))  # oldest first
         pat = _PATTERN_CACHE[surfaces_tuple] = build_alias_pattern(
             surfaces_tuple)
     return pat

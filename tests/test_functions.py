@@ -56,7 +56,7 @@ def test_multimodal_features_deterministic(spark):
 def test_near_dups_bucketed_recall_vs_exact(spark):
     """The bucketed (IVF multi-probe) near-dup path must be a subset of the
     exact all-pairs result (verification is exact cosine) and recover every
-    exact pair at sf0.01 with the default 16 centroids / 4 probes — the
+    exact pair at sf0.01 with the default 16 centroids / 6 probes — the
     boundary-pair coverage multi-probe exists for."""
     from recrun_spark.functions.similarity import embedding_near_dups
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

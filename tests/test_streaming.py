@@ -5,6 +5,8 @@ import os
 
 import pyarrow.parquet as pq
 
+import __spark_entry__ as _entry
+
 from recrun_spark.fixtures.generator import corpus_to_arrow, make_corpus
 from recrun_spark.streaming import run_available_now
 
@@ -63,27 +65,9 @@ def test_stateful_sessionization_across_microbatches(spark, tmpdir_path):
     offsets = os.listdir(os.path.join(out_dir, "_checkpoint", "offsets"))
     assert len([f for f in offsets if not f.startswith(".")]) == 3
 
-    oracle = sorted(map(tuple, duckdb.sql(f"""
-        WITH g AS (
-          SELECT user_id, event_id, ts,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                           > 1800000000 THEN 1 ELSE 0 END AS new_sess
-          FROM read_parquet('{events}')
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-        ), s AS (
-          SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id
-            ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
-            AS session_id FROM g
-        ), agg AS (
-          SELECT user_id, session_id::INT AS session_id, count(*) AS n_events,
-                 epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
-          FROM s GROUP BY 1, 2
-        )
-        SELECT user_id, session_id, n_events, start_us, end_us FROM agg a
-        WHERE session_id < (SELECT max(session_id) FROM agg b
-                            WHERE b.user_id = a.user_id)
-    """).fetchall()))
+    oracle = sorted(map(tuple, duckdb.sql(
+        _entry.closed_sessions_sql(f"read_parquet('{events}')")
+    ).fetchall()))
     assert len(oracle) > 0 and got == oracle
 
 
@@ -120,27 +104,9 @@ def test_stateful_sessionization_resumes_across_restarts(spark, tmpdir_path):
                  for r in spark.read.parquet(sink).collect())
     assert len(got) > n_first  # the restart emitted additional sessions
 
-    oracle = sorted(map(tuple, duckdb.sql(f"""
-        WITH g AS (
-          SELECT user_id, event_id, ts,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                           > 1800000000 THEN 1 ELSE 0 END AS new_sess
-          FROM read_parquet('{events}')
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-        ), s AS (
-          SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id
-            ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
-            AS session_id FROM g
-        ), agg AS (
-          SELECT user_id, session_id::INT AS session_id, count(*) AS n_events,
-                 epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
-          FROM s GROUP BY 1, 2
-        )
-        SELECT user_id, session_id, n_events, start_us, end_us FROM agg a
-        WHERE session_id < (SELECT max(session_id) FROM agg b
-                            WHERE b.user_id = a.user_id)
-    """).fetchall()))
+    oracle = sorted(map(tuple, duckdb.sql(
+        _entry.closed_sessions_sql(f"read_parquet('{events}')")
+    ).fetchall()))
     assert got == oracle
 
 
