@@ -362,6 +362,32 @@ def rollup_pricing(spark, sf_dir):
                  F.grouping_id().alias("gid")))
 
 
+def cube_pricing(spark, sf_dir):
+    """CUBE (all grouping-set combinations, complementing ROLLUP's
+    hierarchy) with grouping_id to disambiguate NULL dimension values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.grouping_id().alias("gid")))
+
+
+def nation_order_balance(spark, sf_dir):
+    """FULL OUTER join family: per-nation customer count vs order revenue,
+    keeping nations that appear on only one side (coalesced key)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    by_cust = (cust.groupBy(F.col("c_nationkey").alias("nk"))
+               .agg(F.count(F.lit(1)).alias("n_customers")))
+    by_rev = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+              .groupBy(F.col("c_nationkey").alias("nk"))
+              .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    return (by_cust.join(by_rev, "nk", "full_outer")
+            .select(F.col("nk").cast("int").alias("nationkey"),
+                    F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+                    F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
+
+
 def events_sessionized(spark, sf_dir):
     """Sessionization via lag + cumulative gap counting (the batch analog
     of stateful streaming sessions): new session when >30 min idle."""
@@ -536,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": events_quantiles,
         "parts_with_orders": parts_with_orders,
         "rollup_pricing": rollup_pricing,
+        "cube_pricing": cube_pricing,
+        "nation_order_balance": nation_order_balance,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
         "simhash_sigs": simhash_sigs,
@@ -1007,6 +1035,30 @@ def oracle_sql() -> dict[str, str]:
                    grouping(l_returnflag, l_linestatus) AS gid
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_rows,
+                   grouping(l_returnflag, l_linestatus) AS gid
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "nation_order_balance": """
+            WITH by_cust AS (
+              SELECT c_nationkey AS nk, count(*) AS n_customers
+              FROM customer GROUP BY 1
+            ),
+            by_rev AS (
+              SELECT c_nationkey AS nk,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1
+            )
+            SELECT coalesce(a.nk, b.nk)::INT AS nationkey,
+                   coalesce(n_customers, 0) AS n_customers,
+                   coalesce(revenue, 0.0) AS revenue
+            FROM by_cust a FULL OUTER JOIN by_rev b ON a.nk = b.nk
         """,
         "events_sessionized": """
             WITH g AS (
