@@ -494,28 +494,47 @@ def events_sessions_stream(spark, sf_dir):
     import shutil
     import tempfile
 
+    import recrun_spark.streaming.sessions as sess_mod
     from recrun_spark.streaming.sessions import (prepare_ranged_events,
                                                  run_sessionize_available_now)
     _ensure_pkg(spark)
-    # work dir keyed on the SOURCE identity (path+size+mtime): repeated
-    # oracle runs reuse the drained sink instead of leaking a fresh
-    # /tmp dir + full replay per invocation; a changed source rebuilds
+    # Reuse the drained sink across oracle runs instead of leaking a fresh
+    # /tmp dir + full replay per invocation.  The key covers the SOURCE
+    # identity (path+size+mtime) AND the sessionizer source code (same
+    # staleness class _ensure_pkg content-hashes the package zip for) —
+    # an edited operator rebuilds instead of silently replaying old
+    # behavior.  The build happens in a private mkdtemp and is atomically
+    # renamed into the keyed path, so concurrent processes cannot observe
+    # (or poison) a half-built sink: presence of the final dir == complete.
     src_file = f"{sf_dir}/events.parquet"
     st = os.stat(src_file)
-    key = hashlib.sha1(
-        f"{src_file}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
-    work = os.path.join(tempfile.gettempdir(), f"recrun_sess_stream_{key}")
-    sink = os.path.join(work, "out", "sessions")
-    marker = os.path.join(work, "_RECRUN_DONE")
-    if not os.path.exists(marker):
-        shutil.rmtree(work, ignore_errors=True)
-        src = prepare_ranged_events(src_file, os.path.join(work, "in"),
-                                    n_files=3)
-        schema = spark.read.parquet(src_file).schema
-        sink = run_sessionize_available_now(spark, src,
-                                            os.path.join(work, "out"), schema)
-        open(marker, "w").close()
-    return spark.read.parquet(sink)
+    digest = hashlib.sha1(
+        f"{src_file}:{st.st_size}:{st.st_mtime_ns}:3files".encode())
+    digest.update(open(sess_mod.__file__, "rb").read())
+    work = os.path.join(tempfile.gettempdir(),
+                        f"recrun_sess_stream_{digest.hexdigest()[:12]}")
+    if not os.path.isdir(work):
+        build = tempfile.mkdtemp(prefix="recrun_sess_build_")
+        try:
+            src = prepare_ranged_events(src_file, os.path.join(build, "in"),
+                                        n_files=3)
+            schema = spark.read.parquet(src_file).schema
+            sink = run_sessionize_available_now(spark, src,
+                                                os.path.join(build, "out"),
+                                                schema)
+            # the FileStreamSink metadata log records ABSOLUTE paths that
+            # the rename below would orphan — drop it; the parquet files
+            # are self-contained and list normally without it
+            shutil.rmtree(os.path.join(sink, "_spark_metadata"),
+                          ignore_errors=True)
+            try:
+                os.rename(build, work)   # atomic publish; loser keeps build
+            except OSError:
+                pass                     # another process published first
+        finally:
+            if os.path.isdir(build) and os.path.isdir(work) and build != work:
+                shutil.rmtree(build, ignore_errors=True)
+    return spark.read.parquet(os.path.join(work, "out", "sessions"))
 
 
 def kg_triples_interleaved(spark, sf_dir):

@@ -189,9 +189,7 @@ def main():
         n = trips.count()
         ex.unpersist()
         linked.unpersist()
-        ents = getattr(trips, "_recrun_ents", None)
-        if ents is not None:
-            ents.unpersist()
+        release_caches(trips)
         return n
 
     n_triples = timed("kg_full_pipeline", run_pipeline)

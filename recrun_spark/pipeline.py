@@ -85,9 +85,9 @@ def run_pipeline(spark: SparkSession, input_path: str, out_dir: str,
     triples = _stage(
         spark, out_dir, "stage4_triples", _build4,
         partition_by=["pred"], force=force)
-    ents = getattr(built4.get("df"), "_recrun_ents", None)
-    if ents is not None:
-        ents.unpersist()
+    if built4.get("df") is not None:
+        from .operators import release_caches
+        release_caches(built4["df"])
 
     # doc count comes from the stage-1 manifest lineage (one extraction row
     # per document) — NOT an upfront documents.count(), which would be a

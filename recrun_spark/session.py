@@ -25,6 +25,29 @@ def _submit_master():
         return None
 
 
+def _prune_dead_process_dirs() -> None:
+    """Best-effort cleanup of per-process warehouse/derby dirs left by
+    sessions whose process is gone — per-PID paths avoid cross-session
+    races but must not accumulate on a long-lived host."""
+    import glob
+    import shutil
+    for pattern in ("/tmp/recrun_spark_warehouse_*",
+                    "/tmp/recrun_spark_derby_*"):
+        for path in glob.glob(pattern):
+            try:
+                pid = int(path.rsplit("_", 1)[-1])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)          # probe: raises if pid is gone
+            except ProcessLookupError:
+                shutil.rmtree(path, ignore_errors=True)
+            except PermissionError:
+                pass                     # alive, owned by someone else
+
+
 def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
@@ -36,6 +59,7 @@ def get_spark(app_name: str = "recrun_spark", cpus: int | None = None,
     # local mode: make this package importable in the executor-side Python
     # workers regardless of the driver script's cwd (on a real cluster the
     # package ships via spark-submit --py-files — tools/submit_pipeline.sh)
+    _prune_dead_process_dirs()
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker_path = pkg_parent + (
         ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else "")

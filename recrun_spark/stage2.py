@@ -43,12 +43,14 @@ _PATTERN_CACHE_MAX = 4
 
 
 def _cached_pattern(surfaces_tuple: tuple):
-    pat = _PATTERN_CACHE.get(surfaces_tuple)
+    pat = _PATTERN_CACHE.pop(surfaces_tuple, None)
     if pat is None:
         while len(_PATTERN_CACHE) >= _PATTERN_CACHE_MAX:
-            _PATTERN_CACHE.pop(next(iter(_PATTERN_CACHE)))  # oldest first
-        pat = _PATTERN_CACHE[surfaces_tuple] = build_alias_pattern(
-            surfaces_tuple)
+            _PATTERN_CACHE.pop(next(iter(_PATTERN_CACHE)))
+    # (re)insert at the back: insertion order == recency, so the front
+    # entry evicted above is the least-recently-USED, not just oldest
+    _PATTERN_CACHE[surfaces_tuple] = pat = (
+        pat if pat is not None else build_alias_pattern(surfaces_tuple))
     return pat
 
 

@@ -26,6 +26,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from ..readability import Settings
+from ..operators import release_caches
 from ..stage1 import DOCUMENTS_SCHEMA, extract_documents
 from ..stage2 import detect_mentions, link_mentions, load_aliases
 from ..stage3 import canonicalize
@@ -50,9 +51,7 @@ def run_kg_available_now(spark: SparkSession, input_dir: str, out_dir: str,
         trips = assemble_triples(ex, linked, canonical)
         (trips.write.mode("overwrite")
          .parquet(os.path.join(triples_root, f"batch={batch_id}")))
-        ents = getattr(trips, "_recrun_ents", None)
-        if ents is not None:
-            ents.unpersist()
+        release_caches(trips)
 
     stream = (spark.readStream.schema(DOCUMENTS_SCHEMA)
               .option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -57,9 +57,8 @@ def run_pipeline():
     trips = assemble_triples(ex, linked, canonicalize(aliases))
     n = trips.count()
     ex.unpersist(); linked.unpersist()
-    ents = getattr(trips, "_recrun_ents", None)
-    if ents is not None:
-        ents.unpersist()
+    from recrun_spark.operators import release_caches
+    release_caches(trips)
     return n
 
 
