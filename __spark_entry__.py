@@ -362,6 +362,20 @@ def rollup_pricing(spark, sf_dir):
                  F.grouping_id().alias("gid")))
 
 
+def events_props_json(spark, sf_dir):
+    """Semi-structured family: parse the JSON props payload JVM-side
+    (get_json_object — no Python in the path) and aggregate the extracted
+    field per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(k).cast("long").alias("sum_k"),
+                 F.round(F.avg(k), 6).alias("avg_k"),
+                 F.sum(F.when(k > 50, 1).otherwise(0)).cast("long")
+                 .alias("n_high"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 def cube_pricing(spark, sf_dir):
     """CUBE (all grouping-set combinations, complementing ROLLUP's
     hierarchy) with grouping_id to disambiguate NULL dimension values."""
@@ -581,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": events_quantiles,
         "parts_with_orders": parts_with_orders,
         "rollup_pricing": rollup_pricing,
+        "events_props_json": events_props_json,
         "cube_pricing": cube_pricing,
         "nation_order_balance": nation_order_balance,
         "events_sessionized": events_sessionized,
@@ -1054,6 +1069,17 @@ def oracle_sql() -> dict[str, str]:
                    grouping(l_returnflag, l_linestatus) AS gid
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "events_props_json": """
+            SELECT event_type,
+                   sum(json_extract_string(props, '$.k')::INT)::BIGINT
+                     AS sum_k,
+                   round(avg(json_extract_string(props, '$.k')::INT), 6)
+                     AS avg_k,
+                   sum(CASE WHEN json_extract_string(props, '$.k')::INT > 50
+                            THEN 1 ELSE 0 END)::BIGINT AS n_high,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
         """,
         "cube_pricing": """
             SELECT l_returnflag, l_linestatus,
