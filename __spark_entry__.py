@@ -268,6 +268,19 @@ def kg_comentions_flat(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def _finalize(df):
+    """Materialize the (small) result and free operator-attached caches.
+    The driver harness collects the returned frame but never calls
+    release_caches, so a long-lived harness session would otherwise pin
+    persisted shingle/candidate/probe frames for its lifetime (ADVICE
+    r02).  localCheckpoint truncates the plan onto the materialized
+    blocks, so the subsequent collect reads those, not the caches."""
+    from recrun_spark.operators import release_caches
+    out = df.localCheckpoint(eager=True)
+    release_caches(df)
+    return out
+
+
 def dedup_exact(spark, sf_dir):
     from recrun_spark.functions.dedup import exact_duplicates
     return exact_duplicates(_t(spark, sf_dir, "documents"))
@@ -275,12 +288,14 @@ def dedup_exact(spark, sf_dir):
 
 def dedup_jaccard(spark, sf_dir):
     from recrun_spark.functions.dedup import jaccard_pairs
-    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.30)
+    return _finalize(jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                   threshold=0.30))
 
 
 def dedup_minhash_lsh(spark, sf_dir):
     from recrun_spark.functions.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.30)
+    return _finalize(minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                       threshold=0.30))
 
 
 def dedup_clusters(spark, sf_dir):
@@ -288,7 +303,7 @@ def dedup_clusters(spark, sf_dir):
     per cluster (every document mapped)."""
     from recrun_spark.functions.dedup import dedup_clusters as dc
     _ensure_pkg(spark)
-    return dc(_t(spark, sf_dir, "documents"), threshold=0.30)
+    return _finalize(dc(_t(spark, sf_dir, "documents"), threshold=0.30))
 
 
 def text_stats(spark, sf_dir):
@@ -325,7 +340,12 @@ def ann_near_dups(spark, sf_dir):
     equi-join (no all-pairs nested loop)."""
     from recrun_spark.functions.similarity import embedding_near_dups
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.45)
+    # n_centroids/nprobe pinned so the DuckDB oracle (16 hash-sampled
+    # centroids, 8 probes — recall 1.0 vs exact at this scale) stays
+    # corpus-size independent; the None default derives K from
+    # corpus/target_bucket_size for production use
+    return _finalize(embedding_near_dups(emb, threshold=0.45,
+                                         n_centroids=16, nprobe=8))
 
 
 def events_quantiles(spark, sf_dir):
@@ -402,6 +422,22 @@ def nation_order_balance(spark, sf_dir):
                     F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
 
 
+def salted_join_revenue(spark, sf_dir):
+    """Pins the SALTED repartition-join path (operators.salted_join) under
+    the value oracle, the way cc_components pins distributed CC: orders ⋈
+    customer on custkey through explicit key salting (big side salted in
+    [0,8), small side replicated 8x), then revenue per market segment.
+    Salting is a physical rewrite only — the oracle is the plain join."""
+    from recrun_spark.operators import salted_join
+    _ensure_pkg(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(orders, cust, "o_custkey", "c_custkey", buckets=8)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
 def events_sessionized(spark, sf_dir):
     """Sessionization via lag + cumulative gap counting (the batch analog
     of stateful streaming sessions): new session when >30 min idle."""
@@ -465,7 +501,10 @@ def media_features(spark, sf_dir):
     (tools/oracle/make_entry_golden.py)."""
     from recrun_spark.functions.multimodal import extract_features, synth_media
     _ensure_pkg(spark)
-    feats = extract_features(synth_media(spark, n=64))
+    # use_real=False pins the stub kernel the golden was generated with —
+    # a codec-equipped cluster would otherwise auto-route to the real
+    # decoder and (correctly) diverge from the stub golden
+    feats = extract_features(synth_media(spark, n=64), use_real=False)
     return feats.select(
         "media_id", "doc_id", "modality", "n_bytes", "sha1",
         F.posexplode(F.col("feature").cast("array<double>"))
@@ -499,11 +538,15 @@ def render_overlay(spark, sf_dir):
 
 
 def events_sessions_stream(spark, sf_dir):
-    """STATEFUL Structured Streaming sessionization (applyInPandasWithState,
-    recrun_spark/streaming/sessions.py): events replayed as 3 time-ranged
-    files → 3 micro-batches with per-user state carried across them; emits
-    CLOSED sessions (the trailing open session stays in state).  The oracle
-    is plain SQL: sessionize, then drop each user's last session."""
+    """STATEFUL Structured Streaming sessionization (applyInPandasWithState
+    + EVENT-TIME TIMEOUT, recrun_spark/streaming/sessions.py): events
+    replayed as 3 time-ranged files → 3 micro-batches with per-user state
+    carried across them; emits sessions closed by a successor event AND
+    trailing sessions whose timeout fired (idle users are then EVICTED from
+    state — bounded state at any key cardinality).  session_id is derived
+    at read time (row_number per user over start_us) — the operator itself
+    keeps no counter, which would restart after an eviction.  The oracle is
+    plain SQL mirroring the pinned timeout semantics (closed_sessions_sql)."""
     import hashlib
     import shutil
     import tempfile
@@ -548,7 +591,11 @@ def events_sessions_stream(spark, sf_dir):
         finally:
             if os.path.isdir(build) and os.path.isdir(work) and build != work:
                 shutil.rmtree(build, ignore_errors=True)
-    return spark.read.parquet(os.path.join(work, "out", "sessions"))
+    sessions = spark.read.parquet(os.path.join(work, "out", "sessions"))
+    w = Window.partitionBy("user_id").orderBy(F.col("start_us").asc())
+    return sessions.select(
+        "user_id", F.row_number().over(w).cast("int").alias("session_id"),
+        "n_events", "start_us", "end_us")
 
 
 def kg_triples_interleaved(spark, sf_dir):
@@ -598,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": events_props_json,
         "cube_pricing": cube_pricing,
         "nation_order_balance": nation_order_balance,
+        "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
         "simhash_sigs": simhash_sigs,
@@ -675,9 +723,12 @@ SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
 
 _IVF_SQL = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+-- deterministic hash-stratified centroid sample: smallest (md5(id), id) —
+-- mirrors similarity._centroids(strategy='hash_sample')
 cents AS (
-  SELECT row_number() OVER (ORDER BY vec_id ASC) AS bucket, vec
-  FROM v ORDER BY vec_id ASC LIMIT 16
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC)
+           AS bucket, vec
+  FROM v ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC LIMIT 16
 ),
 assign0 AS (
   SELECT a.vec_id, b.bucket, round({_COS}, 6) AS csim,
@@ -812,16 +863,32 @@ def _simhash_sql() -> str:
     """
 
 
-# closed sessions = sessionize, then drop each user's LAST session (it is
-# still open in the streaming operator's state).  Single source of truth
-# for the driver oracle AND the streaming tests (parametrized relation).
-def closed_sessions_sql(events_rel: str = "events") -> str:
+# Emitted sessions of the stateful streaming sessionizer = every NON-last
+# session per user (closed by its successor event) PLUS each user's last
+# session if its EVENT-TIME TIMEOUT fired.  Semantics pinned empirically
+# (tools/probe_timeout_semantics.py + the boundary test in
+# tests/test_streaming.py): a key's timeout fires in a micro-batch where it
+# has state but no data, when
+#   floor((last_us + gap_us)/1000) < floor(max_event_ts_us/1000) - delay_ms
+# (STRICT <, against the eviction watermark), AND an availableNow drain runs
+# one EXTRA empty micro-batch after the data so pending timeouts are
+# evaluated at the FINAL watermark (observed: n_files+1 offsets; asserted in
+# tests).  The emission set is therefore file-layout independent:
+#   trailing session emitted  iff  (last_us+gap_us)//1000 < wm_final_ms.
+# Single source of truth for the driver oracle AND the streaming tests.
+def closed_sessions_sql(events_rel: str = "events",
+                        gap_s: int = 1800, delay_ms: int = 10_000) -> str:
+    gap_us = gap_s * 1_000_000
     return f"""
-        WITH g AS (
+        WITH stats AS (
+          SELECT (epoch_us(max(ts)) // 1000) - {delay_ms} AS wm_ms
+          FROM {events_rel}
+        ),
+        g AS (
           SELECT user_id, event_id, ts,
                  CASE WHEN lag(ts) OVER w IS NULL
                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                           > 1800000000
+                           > {gap_us}
                       THEN 1 ELSE 0 END AS new_sess
           FROM {events_rel}
           WINDOW w AS (PARTITION BY user_id
@@ -831,20 +898,26 @@ def closed_sessions_sql(events_rel: str = "events") -> str:
           SELECT user_id, ts,
                  sum(new_sess) OVER (PARTITION BY user_id
                    ORDER BY ts ASC, event_id ASC
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+                   ROWS UNBOUNDED PRECEDING) AS sess_no
           FROM g
         ),
         agg AS (
-          SELECT user_id, session_id::INT AS session_id,
-                 count(*) AS n_events,
+          SELECT user_id, sess_no, count(*) AS n_events,
                  epoch_us(min(ts)) AS start_us,
                  epoch_us(max(ts)) AS end_us
           FROM s GROUP BY 1, 2
+        ),
+        emit AS (
+          SELECT user_id, n_events, start_us, end_us FROM agg a
+          WHERE sess_no < (SELECT max(sess_no) FROM agg b
+                           WHERE b.user_id = a.user_id)
+             OR (end_us + {gap_us}) // 1000 < (SELECT wm_ms FROM stats)
         )
-        SELECT user_id, session_id, n_events, start_us, end_us
-        FROM agg a
-        WHERE session_id < (SELECT max(session_id) FROM agg b
-                            WHERE b.user_id = a.user_id)
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY start_us ASC)::INT AS session_id,
+               n_events, start_us, end_us
+        FROM emit
     """
 
 
@@ -1012,15 +1085,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _IVF_SQL,
         # mirrors the bucketed (IVF multi-probe) candidate generation of
         # functions.similarity.embedding_near_dups — candidates are pairs
-        # where one side's top-1 bucket is in the other's 6 probe buckets,
+        # where one side's top-1 bucket is in the other's 8 probe buckets,
         # verified at exact cosine (same deterministic centroids as the
         # ann_ivf_topk oracle)
         "ann_near_dups": f"""
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec
                        FROM embeddings),
             cents AS (
-              SELECT row_number() OVER (ORDER BY vec_id ASC) AS bucket, vec
-              FROM v ORDER BY vec_id ASC LIMIT 16
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC,
+                                        vec_id ASC) AS bucket, vec
+              FROM v ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC LIMIT 16
             ),
             ranked AS (
               SELECT a.vec_id, b.bucket,
@@ -1028,7 +1102,7 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY round({_COS}, 6) DESC, b.bucket ASC) AS r
               FROM v a, cents b
             ),
-            probe AS (SELECT vec_id AS pid, bucket FROM ranked WHERE r <= 6),
+            probe AS (SELECT vec_id AS pid, bucket FROM ranked WHERE r <= 8),
             top1 AS (SELECT vec_id AS qid, bucket FROM ranked WHERE r = 1),
             cand AS (
               SELECT DISTINCT least(pid, qid) AS id_a,
@@ -1104,6 +1178,13 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_customers, 0) AS n_customers,
                    coalesce(revenue, 0.0) AS revenue
             FROM by_cust a FULL OUTER JOIN by_rev b ON a.nk = b.nk
+        """,
+        "salted_join_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "events_sessionized": """
             WITH g AS (

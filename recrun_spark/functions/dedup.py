@@ -136,9 +136,13 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.6,
     """Exact n-gram Jaccard near-duplicate pairs via the inverted-index
     co-occurrence join.  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    # the kept-shingle frame feeds sizes + both join sides: persist so the
+    # shingling and df-cut aggregate run once, not three times
     sh_kept = _kept_shingles(documents, n, text_col, id_col,
-                             max_shingle_freq)
-    return _jaccard_of_pairs(None, sh_kept, threshold)
+                             max_shingle_freq).persist()
+    out = _jaccard_of_pairs(None, sh_kept, threshold)
+    out._recrun_caches = [sh_kept]
+    return out
 
 
 def _signatures_from_shingles(sh: DataFrame, k: int, seed: int) -> DataFrame:
@@ -172,8 +176,8 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
     """
     rows = k // bands
     # shingle the corpus ONCE: the same persisted frame feeds signature
-    # computation AND the exact-Jaccard verification of candidates (two
-    # downstream consumers — without the persist, two full shingle passes).
+    # computation AND the df-cut behind candidate verification (three
+    # consumers — without the persist, three full shingle passes).
     # The portable md5-derived hash measures within noise of xxhash64 here
     # (the 64 min-aggregates dominate), so LSH banding uses the SAME
     # signatures the minhash_sigs query publishes.
@@ -193,16 +197,23 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
                 F.col("bb.bucket").alias("bucket"))
     ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    # the candidate-pair frame is consumed THREE times by the verify stage
+    # (doc_a filter, doc_b filter, final semi-join) — persist it eagerly or
+    # each consumer recomputes the whole signature+banding pipeline (the
+    # 64 min-aggregates, the most expensive stage here) from scratch
     cands = (ca.join(cb, ["band", "bucket"])
              .where(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b").distinct())
+             .select("doc_a", "doc_b").distinct().persist())
+    cands.count()   # materialize once, before the three consumers fan out
+    # the kept-shingle frame likewise feeds sizes + both join sides of the
+    # verification: persist so the df frequency aggregate runs once
+    sh_kept = _df_cut(sh, max_shingle_freq=1000).persist()
     # exact-Jaccard verification restricted to the CANDIDATE pairs only —
     # the whole point of LSH is to never run the full co-occurrence join
-    out = _jaccard_of_pairs(cands, _df_cut(sh, max_shingle_freq=1000),
-                            threshold)
-    # expose the persisted shingle frame so long-lived sessions can
-    # release it after materializing
-    out._recrun_shingles = sh
+    out = _jaccard_of_pairs(cands, sh_kept, threshold)
+    # expose the persisted intermediates so callers can release them after
+    # materializing (operators.release_caches)
+    out._recrun_caches = [sh, cands, sh_kept]
     return out
 
 
@@ -230,9 +241,9 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.6,
            .select("doc_id",
                    F.coalesce("component", "doc_id")
                    .alias("canonical_doc_id")))
-    # propagate the LSH stage's persisted-shingle handle so callers
-    # (operators.release_caches) can free it after materializing
-    out._recrun_shingles = getattr(pairs, "_recrun_shingles", None)
+    # propagate the LSH stage's persisted handles so callers
+    # (operators.release_caches) can free them after materializing
+    out._recrun_caches = getattr(pairs, "_recrun_caches", [])
     return out
 
 

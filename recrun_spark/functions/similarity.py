@@ -7,11 +7,19 @@
   the corpus side fully partitioned (no shuffle until the final top-k, which
   AQE keeps tiny because scores are pre-filtered by row_number).
 * ``ivf_topk`` — the scale path: vectors are bucketed by nearest centroid
-  (deterministic centroids = first K corpus vectors), queries probe the
-  ``nprobe`` nearest buckets only.  Same expression kernels; the bucket
-  assignment is one broadcast join + argmin, so search cost drops by
-  ~K/nprobe.  Deterministic (no trained kmeans) so the DuckDB oracle can
-  reproduce it exactly.
+  (deterministic centroids = a HASH-STRATIFIED sample of the corpus: the K
+  vectors with the smallest md5(id) — uniform over the corpus no matter how
+  ids cluster), queries probe the ``nprobe`` nearest buckets only.  Same
+  expression kernels; the bucket assignment is one broadcast join + argmin,
+  so search cost drops by ~K/nprobe.  Deterministic (no trained kmeans) so
+  the DuckDB oracle can reproduce it exactly.
+
+Why hash-sampled, not first-K-by-id: on a real corpus ids are assigned in
+crawl/shard order, so the first K vectors concentrate wherever ingestion
+started — centroids land in one region, buckets skew, and recall decays
+silently.  md5(id) order is independent of any data ordering, giving a
+uniform sample with the same one-pass TakeOrdered cost (demonstrated on a
+clustered blob corpus in tests/test_functions.py).
 """
 
 from __future__ import annotations
@@ -65,7 +73,9 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 5,
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         round_dp: int = 4, method: str = "bucketed",
-                        n_centroids: int = 16, nprobe: int = 6) -> DataFrame:
+                        n_centroids: int | None = None, nprobe: int = 6,
+                        target_bucket_size: int = 1024,
+                        centroid_strategy: str = "hash_sample") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
     id_a < id_b and sim >= threshold.
 
@@ -73,11 +83,17 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     where one side's top-1 IVF bucket falls in the other side's ``nprobe``
     probe buckets, verified by the exact cosine kernel.  Every join is an
     equi-join (bucket key, then id keys) — never an all-pairs nested loop.
-    Candidate volume scales as ~n²·nprobe/n_centroids per skew-free bucket;
-    at corpus scale set ``n_centroids ≈ corpus/target_bucket_size`` so each
-    bucket's self-join stays bounded.  Recall loss is confined to pairs whose
-    probe sets are disjoint in BOTH directions (multi-probe covers boundary
-    pairs; tests measure recall 1.0 vs exact at sf0.01).
+    Candidate volume scales as ~n²·nprobe/n_centroids per skew-free bucket.
+
+    ``n_centroids=None`` (default) derives K = ceil(corpus/
+    ``target_bucket_size``) from one metadata-cheap count, so the bucketed
+    path cannot silently run with a toy bucket count on a huge corpus —
+    each bucket's verify self-join stays ~``target_bucket_size``² · nprobe.
+    (At extreme scale the centroid broadcast grows as K·dim doubles:
+    ~1 GB at K=1M, dim=128 — size ``target_bucket_size`` accordingly.)
+    Recall loss is confined to pairs whose probe sets are disjoint in BOTH
+    directions (multi-probe covers boundary pairs; tests measure recall 1.0
+    vs exact at sf0.01 and ≥0.9 on a clustered blob corpus).
 
     ``method='exact'``: the all-pairs block-nested join — correctness
     baseline for small inputs and recall measurement ONLY; O(n²), a
@@ -98,10 +114,16 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     if method != "bucketed":
         raise ValueError(f"method must be 'bucketed' or 'exact', got {method!r}")
 
+    if n_centroids is None:
+        import math
+        n = embeddings.count()   # metadata-only for parquet sources
+        n_centroids = max(1, math.ceil(n / target_bucket_size))
+
     # rank the corpus against the centroids ONCE and persist the tiny
     # (id, bucket, rank<=nprobe) frame — probe and top1 are two filters of
     # the same cache, so the corpus×centroids pass isn't computed twice
-    probes = (_bucket_ranks(embeddings, n_centroids, id_col, vec_col)
+    probes = (_bucket_ranks(embeddings, n_centroids, id_col, vec_col,
+                            strategy=centroid_strategy)
               .where(F.col("_r") <= nprobe)
               .select(F.col(id_col).alias("pid"), "bucket", "_r")
               .persist())
@@ -118,34 +140,53 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                            round_dp).alias("sim"))
            .where(F.col("sim") >= threshold))
     # expose the cached intermediate so long-lived sessions can release it
-    out._recrun_probes = probes
+    # (operators.release_caches)
+    out._recrun_caches = [probes]
     return out
 
 
 def _centroids(embeddings: DataFrame, n_centroids: int,
-               id_col: str, vec_col: str) -> DataFrame:
-    """(bucket 1..n, cvec) — deterministic centroids = the n lowest-id
-    vectors.  orderBy().limit() compiles to TakeOrderedAndProject (fully
-    parallel top-n), unlike a global-window row_number which funnels the
-    whole corpus through one partition; the tiny result then gets bucket
-    ids from a window over n rows only."""
+               id_col: str, vec_col: str,
+               strategy: str = "hash_sample") -> DataFrame:
+    """(bucket 1..n, cvec) — deterministic centroids.
+
+    ``hash_sample`` (default): the n vectors with the smallest
+    (md5(id), id) — a uniform pseudo-random sample that stays
+    representative on corpora whose id order is clustered (crawl order,
+    shard order), reproducible in any engine with md5.  ``first_k`` is the
+    legacy lowest-id rule, kept ONLY so tests can demonstrate its failure
+    mode on a clustered corpus.
+
+    orderBy().limit() compiles to TakeOrderedAndProject (fully parallel
+    top-n), unlike a global-window row_number which funnels the whole
+    corpus through one partition; the tiny result then gets bucket ids
+    from a window over n rows only."""
+    if strategy == "hash_sample":
+        sort_cols = [F.md5(F.col("_cid").cast("string")).asc(),
+                     F.col("_cid").asc()]
+    elif strategy == "first_k":
+        sort_cols = [F.col("_cid").asc()]
+    else:
+        raise ValueError(f"unknown centroid strategy {strategy!r}")
     small = (embeddings.select(F.col(id_col).alias("_cid"),
                                F.col(vec_col).cast("array<double>")
                                .alias("cvec"))
-             .orderBy(F.col("_cid").asc()).limit(n_centroids))
-    w = Window.orderBy(F.col("_cid").asc())
+             .orderBy(*sort_cols).limit(n_centroids))
+    w = Window.orderBy(*sort_cols)
     return (small.withColumn("bucket", F.row_number().over(w))
             .select("bucket", "cvec"))
 
 
 def _bucket_ranks(embeddings: DataFrame, n_centroids: int,
                   id_col: str, vec_col: str,
-                  cents: DataFrame | None = None) -> DataFrame:
+                  cents: DataFrame | None = None,
+                  strategy: str = "hash_sample") -> DataFrame:
     """(id_col, bucket, _r) — every (vector, centroid) pair ranked by cosine
     (1 = nearest).  The shared kernel behind top-1 assignment and
     multi-probe candidate generation."""
     if cents is None:
-        cents = _centroids(embeddings, n_centroids, id_col, vec_col)
+        cents = _centroids(embeddings, n_centroids, id_col, vec_col,
+                           strategy=strategy)
     vecs = embeddings.select(F.col(id_col),
                              F.col(vec_col).cast("array<double>").alias("vec"))
     scored = (vecs.crossJoin(F.broadcast(cents))
@@ -159,20 +200,24 @@ def _bucket_ranks(embeddings: DataFrame, n_centroids: int,
 
 def assign_buckets(embeddings: DataFrame, n_centroids: int = 16,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   cents: DataFrame | None = None) -> DataFrame:
-    """(vec_id, bucket) — nearest centroid by cosine; centroids are the
-    ``n_centroids`` lowest-id corpus vectors (deterministic IVF)."""
-    ranked = _bucket_ranks(embeddings, n_centroids, id_col, vec_col, cents)
+                   cents: DataFrame | None = None,
+                   strategy: str = "hash_sample") -> DataFrame:
+    """(vec_id, bucket) — nearest centroid by cosine; centroids are a
+    deterministic hash-stratified sample of the corpus (see _centroids)."""
+    ranked = _bucket_ranks(embeddings, n_centroids, id_col, vec_col, cents,
+                           strategy=strategy)
     return ranked.where(F.col("_r") == 1).select(id_col, "bucket")
 
 
 def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             round_dp: int = 4) -> DataFrame:
+             round_dp: int = 4,
+             centroid_strategy: str = "hash_sample") -> DataFrame:
     """IVF-bucketed approximate top-k: search only the ``nprobe`` buckets
     nearest to each query vector.  Same output shape as cosine_topk."""
-    cents = _centroids(embeddings, n_centroids, id_col, vec_col)
+    cents = _centroids(embeddings, n_centroids, id_col, vec_col,
+                       strategy=centroid_strategy)
     buckets = assign_buckets(embeddings, n_centroids, id_col, vec_col,
                              cents=cents)
     vecs = (embeddings.select(F.col(id_col).alias("neighbor_id"),

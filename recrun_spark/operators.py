@@ -46,8 +46,12 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
 
 def release_caches(df: DataFrame) -> None:
     """Unpersist the cached intermediates an operator attached to its
-    result (``_recrun_*`` handles) — call after materializing the result
-    in a long-lived session."""
+    result (the ``_recrun_caches`` list, plus legacy ``_recrun_*``
+    single-handle attributes) — call after materializing the result in a
+    long-lived session."""
+    for cached in getattr(df, "_recrun_caches", []) or []:
+        if cached is not None:
+            cached.unpersist()
     for attr in ("_recrun_ents", "_recrun_shingles", "_recrun_probes"):
         cached = getattr(df, attr, None)
         if cached is not None:
@@ -134,19 +138,23 @@ def connected_components(edges: DataFrame, src: str = "src",
             e.limit(small_graph_rows + 1).count() <= small_graph_rows:
         return _cc_driver_local(e)
 
-    def _canon_sig(edge_df: DataFrame):
+    def _canon(edge_df: DataFrame) -> DataFrame:
+        return edge_df.select(F.greatest("u", "v").alias("cu"),
+                              F.least("u", "v").alias("cv")).distinct()
+
+    def _sig(canon_df: DataFrame):
         """(count, hash-sum) fingerprint of the canonicalized edge set.
         One small aggregate per call (vs the former double exceptAll = 4
         extra shuffles/iteration); equal fingerprints ≡ equal sets up to a
         ~2^-64 xxhash64 collision — decimal(38,0) sum cannot overflow."""
-        c = edge_df.select(F.greatest("u", "v").alias("cu"),
-                           F.least("u", "v").alias("cv")).distinct()
-        row = c.agg(F.count(F.lit(1)).alias("n"),
-                    F.sum(F.xxhash64("cu", "cv").cast("decimal(38,0)"))
-                    .alias("h")).collect()[0]
+        row = canon_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("cu", "cv").cast("decimal(38,0)"))
+            .alias("h")).collect()[0]
         return (row["n"], row["h"])
 
-    sig = _canon_sig(e)
+    c_prev = _canon(e)
+    sig = _sig(c_prev)
     for _ in range(max_iter):
         # localCheckpoint (not persist): it REPLACES the logical plan with a
         # scan of the materialized blocks, so per-iteration analysis cost
@@ -154,11 +162,18 @@ def connected_components(edges: DataFrame, src: str = "src",
         # are small (entity-graph scale), so block accumulation across the
         # few iterations to convergence is negligible.
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig_new = _canon_sig(e2)
+        c_new = _canon(e2)
+        sig_new = _sig(c_new)
         e = e2
         if sig_new == sig:
-            break
+            # fingerprint collision guard: counts already match, so ONE
+            # one-sided exceptAll proves set equality exactly — paid once
+            # at convergence, not per iteration.  A (vanishingly unlikely)
+            # collision falls through and the loop keeps iterating.
+            if c_new.exceptAll(c_prev).limit(1).count() == 0:
+                break
         sig = sig_new
+        c_prev = c_new
 
     # converged edges form a star forest (child > root); emit assignments
     # for children and roots alike

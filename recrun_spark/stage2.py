@@ -21,6 +21,9 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+import os
+from collections import OrderedDict
 from typing import Iterator
 
 import pandas as pd
@@ -29,29 +32,45 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, IntegerType, StringType,
                                StructField, StructType)
 
-from .linking import build_alias_pattern, find_mentions
+from .linking import TrieMatcher, build_alias_pattern, find_mentions
 from .operators import salted_join
 
 # worker-local matcher cache: Python workers are reused across tasks
 # (spark.python.worker.reuse), so a large-dictionary TrieMatcher is built
-# once per worker process instead of once per task.  Keyed by the surfaces
-# tuple itself (exact; hashing cost ~ms at 10^5 surfaces) and BOUNDED —
-# an evolving dictionary across a long-lived session must not pin every
-# historical matcher (each holds the full surface set) in worker memory.
-_PATTERN_CACHE: dict = {}
-_PATTERN_CACHE_MAX = 4
+# once per worker process instead of once per task.  Keyed by a DIGEST of
+# the surface set (the key must not pin the full surface tuple of evicted
+# entries) and bounded by estimated FOOTPRINT, not entry count — a
+# 100k-surface trie is tens of MB, and N tries x many workers per node is
+# real memory at cluster scale.
+_PATTERN_CACHE: OrderedDict = OrderedDict()  # digest -> (pattern, est_bytes)
+_PATTERN_CACHE_MAX_BYTES = int(os.environ.get(
+    "RECRUN_MATCHER_CACHE_BYTES", str(256 << 20)))
+
+
+def _estimate_matcher_bytes(surfaces_tuple: tuple, pattern) -> int:
+    """Footprint estimate: a dict-of-dicts trie costs ~200 bytes per stored
+    character (node dict + entry + key str, CPython 3.11 measurements); a
+    compiled regex alternation stores the program compactly (~10 B/char)."""
+    chars = sum(len(s) for s in surfaces_tuple)
+    per_char = 200 if isinstance(pattern, TrieMatcher) else 10
+    return 4096 + chars * per_char
 
 
 def _cached_pattern(surfaces_tuple: tuple):
-    pat = _PATTERN_CACHE.pop(surfaces_tuple, None)
-    if pat is None:
-        while len(_PATTERN_CACHE) >= _PATTERN_CACHE_MAX:
-            _PATTERN_CACHE.pop(next(iter(_PATTERN_CACHE)))
-    # (re)insert at the back: insertion order == recency, so the front
-    # entry evicted above is the least-recently-USED, not just oldest
-    _PATTERN_CACHE[surfaces_tuple] = pat = (
-        pat if pat is not None else build_alias_pattern(surfaces_tuple))
-    return pat
+    key = hashlib.sha1("\x00".join(surfaces_tuple).encode()).digest()
+    hit = _PATTERN_CACHE.pop(key, None)
+    if hit is None:
+        pattern = build_alias_pattern(surfaces_tuple)
+        hit = (pattern, _estimate_matcher_bytes(surfaces_tuple, pattern))
+        # evict least-recently-used (front = oldest insertion = LRU, since
+        # hits re-insert at the back) until the newcomer fits the budget;
+        # an oversized single matcher still caches alone (budget of one)
+        total = sum(sz for _, sz in _PATTERN_CACHE.values())
+        while _PATTERN_CACHE and total + hit[1] > _PATTERN_CACHE_MAX_BYTES:
+            _, (_, sz) = _PATTERN_CACHE.popitem(last=False)
+            total -= sz
+    _PATTERN_CACHE[key] = hit
+    return hit[0]
 
 
 MENTION_SCHEMA = StructType([

@@ -16,6 +16,18 @@ SAME stage-1..4 operators as the batch pipeline inside ``foreachBatch``:
   (dictionary-scale, stage-3 fast path) and reused across batches;
 * re-running after new files land processes ONLY the new files (file-source
   checkpoint), the streaming counterpart of manifest-based resume.
+
+Late-data contract: documents are NOT event-timed — every triple rule is a
+pure function of a single document, so there is no watermark and nothing
+to buffer.  A late or out-of-order arrival (a backfilled file with an
+older mtime, docs arriving in any order) is simply a new file: it is
+processed exactly once into its own batch, and the union is unchanged
+(tests/test_streaming.py::test_incremental_kg_late_out_of_order_arrival).
+Event-time semantics live where event time exists — the sessionizer
+(sessions.py) carries the watermark + event-time-timeout story.
+(File-source caveat: files older than the source's ``maxFileAge`` —
+default 7 days — behind the newest seen file are ignored; backfills older
+than that need a batch job, not the stream.)
 """
 
 from __future__ import annotations

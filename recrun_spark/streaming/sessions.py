@@ -4,21 +4,45 @@ the batch ``events_sessionized`` query).
 
 Semantics: events grouped by ``user_id``; a new session starts when the
 gap to the previous event exceeds ``gap_s``.  A session is EMITTED when it
-closes (a later event opens the next one); the trailing open session stays
-in state — exactly what a production stream would do, and exactly what the
-SQL oracle expresses by dropping each user's last session.
+closes — either a later event opens the next one, or the EVENT-TIME
+TIMEOUT fires: once the watermark passes ``last_event + gap``, no on-time
+event can extend the session, so it is emitted and the user's state is
+REMOVED.  Bounded state: idle/churned users do not accumulate state
+forever, and trailing sessions are not lost (VERDICT r02 item 2 — the
+NoTimeout design leaked state at billions of users and never emitted the
+final session).
+
+Timeout semantics (pinned by tests/test_streaming.py boundary test +
+tools/probe_timeout_semantics.py): Spark evaluates timeouts per
+micro-batch for keys WITHOUT data in that batch, against the batch's
+eviction watermark — max event time seen so far (ms, floored) minus the
+watermark delay — firing when ``timeout_ts < watermark`` (strict).  An
+availableNow drain additionally runs one EXTRA empty micro-batch after
+the data, so pending timeouts are evaluated at the FINAL watermark; the
+emitted set is therefore file-layout independent: a trailing session is
+emitted iff ``last_us + gap`` (ms) < final watermark.  Sessions whose
+gap window still overlaps the watermark stay in state for the next run
+(checkpoint resume).  The SQL mirror lives in ``__spark_entry__.
+closed_sessions_sql`` and is value-checked by the driver at sf0.01.
 
 Ordering contract: within a micro-batch the operator sorts each group by
 (ts, event_id); ACROSS micro-batches the input files must be time-ranged
 (``prepare_ranged_events``) so a user's later events arrive in later
 batches.  That is the standard file-backed replay shape; a live source
-with out-of-order arrival would add a watermark + buffer in front (event
-times in the corpus are naive timestamps, compared as integer
-microseconds, timezone-free).
+with bounded out-of-order arrival is covered by the same watermark delay
+(events later than ``watermark_delay`` behind the max are dropped by the
+watermark before reaching the operator).
 
-State: (last_us, session_id, n_events, start_us) per user — O(1) per key,
-partitioned by the groupBy hash; scales to any key cardinality the state
-store can shard.
+State: (last_us, n_events, start_us) per user — O(1) per key while live,
+REMOVED on timeout; partitioned by the groupBy hash; scales to any key
+cardinality the state store can shard.
+
+Session identity: emitted rows carry (user_id, n_events, start_us,
+end_us); a per-user session COUNTER deliberately does not live in state —
+after a timeout evicts the state, a counter would restart and collide.
+Readers derive ``session_id`` as row_number over start_us per user (the
+driver query does exactly that), which is stable because start_us is
+unique per user under the ordering contract.
 """
 
 from __future__ import annotations
@@ -30,55 +54,92 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = ("user_id bigint, session_id int, n_events bigint, "
+OUTPUT_SCHEMA = ("user_id bigint, n_events bigint, "
                  "start_us bigint, end_us bigint")
-STATE_SCHEMA = "last_us bigint, session_id int, n_events bigint, start_us bigint"
+STATE_SCHEMA = "last_us bigint, n_events bigint, start_us bigint"
 
 DEFAULT_GAP_S = 1800
+# late-arrival tolerance; also the lag the eviction watermark runs behind
+# max event time (oracle mirrors this exactly)
+DEFAULT_DELAY_MS = 10_000
 
 
 def _fn_factory(gap_us: int):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState
            ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        parts = [p for p in pdfs if len(p)]
+        out = {"user_id": [], "n_events": [], "start_us": [], "end_us": []}
+
+        def emit(n_ev, start_us, end_us):
+            out["user_id"].append(user_id)
+            out["n_events"].append(n_ev)
+            out["start_us"].append(start_us)
+            out["end_us"].append(end_us)
+
+        if state.hasTimedOut:
+            # watermark passed last_us + gap with no new data: the open
+            # session can never be extended — emit it and EVICT the key
+            last_us, n_ev, start_us = state.get
+            if start_us >= 0:
+                emit(n_ev, start_us, last_us)
+            state.remove()
+            yield pd.DataFrame(out)
+            return
+
         if state.exists:
-            last_us, sess_id, n_ev, start_us = state.get
+            last_us, n_ev, start_us = state.get
         else:
-            last_us, sess_id, n_ev, start_us = -1, 0, 0, -1
-        out = {"user_id": [], "session_id": [], "n_events": [],
-               "start_us": [], "end_us": []}
+            last_us, n_ev, start_us = -1, 0, -1
+        parts = [p for p in pdfs if len(p)]
         if parts:
             pdf = pd.concat(parts, ignore_index=True).sort_values(
                 ["ts", "event_id"])
-            for t in (pdf["ts"].astype("int64") // 1000).tolist():
-                if sess_id == 0 or t - last_us > gap_us:
-                    if sess_id > 0:  # close the previous session
-                        out["user_id"].append(user_id)
-                        out["session_id"].append(sess_id)
-                        out["n_events"].append(n_ev)
-                        out["start_us"].append(start_us)
-                        out["end_us"].append(last_us)
-                    sess_id += 1
-                    n_ev = 1
-                    start_us = t
+            # unit-EXPLICIT conversion: pandas may deliver datetime64[us]
+            # (Arrow-backed) — a bare astype('int64') would silently yield
+            # milliseconds-scale values (ADVICE r02); normalize to ns first
+            ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            for t in ts_us.tolist():
+                if start_us < 0:
+                    n_ev, start_us = 1, t
+                elif t - last_us > gap_us:
+                    emit(n_ev, start_us, last_us)   # close previous session
+                    n_ev, start_us = 1, t
                 else:
                     n_ev += 1
                 last_us = t
-        state.update((last_us, sess_id, n_ev, start_us))
+        state.update((last_us, n_ev, start_us))
+        # GroupState timestamps are MILLISECONDS; floor matches the
+        # watermark's own us->ms floor
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
         yield pd.DataFrame(out)
 
     return fn
 
 
-def sessionize_stream(events: DataFrame, gap_s: int = DEFAULT_GAP_S
-                      ) -> DataFrame:
+def sessionize_stream(events: DataFrame, gap_s: int = DEFAULT_GAP_S,
+                      delay_ms: int = DEFAULT_DELAY_MS) -> DataFrame:
     """events stream -> closed sessions (OUTPUT_SCHEMA), stateful per
-    user_id."""
-    return (events.groupBy("user_id")
+    user_id with an event-time timeout (bounded state).
+
+    The watermark column is derived from the (timezone-free) event time by
+    pure calendar arithmetic — epoch micros of the NTZ value as-if-UTC —
+    NOT a cast, which would interpret the wall time in the session
+    timezone: a non-UTC session would then shift the watermark clock
+    against the (naive-epoch) timeout timestamps and time sessions out too
+    early or too late."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+    if isinstance(events.schema["ts"].dataType, TimestampNTZType):
+        wm_src = events.withColumn("_wm_ts", F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
+    else:
+        wm_src = events.withColumn("_wm_ts", F.col("ts"))
+    return (wm_src.withWatermark("_wm_ts", f"{delay_ms} milliseconds")
+            .groupBy("user_id")
             .applyInPandasWithState(_fn_factory(gap_s * 1_000_000),
                                     OUTPUT_SCHEMA, STATE_SCHEMA,
-                                    "append", GroupStateTimeout.NoTimeout))
+                                    "append", GroupStateTimeout.EventTimeTimeout))
 
 
 def prepare_ranged_events(events_parquet: str, out_dir: str,
@@ -117,14 +178,15 @@ def prepare_ranged_events(events_parquet: str, out_dir: str,
 
 def run_sessionize_available_now(spark: SparkSession, events_dir: str,
                                  out_dir: str, schema,
-                                 gap_s: int = DEFAULT_GAP_S) -> str:
+                                 gap_s: int = DEFAULT_GAP_S,
+                                 delay_ms: int = DEFAULT_DELAY_MS) -> str:
     """Drain the ranged event files through the stateful sessionizer into a
     parquet sink (exactly-once via checkpoint); returns the sink path."""
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1")   # force multi-batch state
               .parquet(events_dir))
     sink = os.path.join(out_dir, "sessions")
-    q = (sessionize_stream(stream, gap_s)
+    q = (sessionize_stream(stream, gap_s, delay_ms)
          .writeStream.format("parquet")
          .option("path", sink)
          .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))

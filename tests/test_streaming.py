@@ -43,10 +43,23 @@ def test_streaming_incremental_extraction(spark, tmpdir_path):
     assert a == b
 
 
+def _with_session_ids(rows4):
+    """Derive session_id = per-user rank over start_us (the reader-side
+    rule the driver query uses), from (user_id, n_events, start_us, end_us)
+    rows."""
+    out, by_user = [], {}
+    for r in sorted(rows4, key=lambda r: (r[0], r[2])):
+        k = by_user.get(r[0], 0) + 1
+        by_user[r[0]] = k
+        out.append((r[0], k, r[1], r[2], r[3]))
+    return sorted(out)
+
+
 def test_stateful_sessionization_across_microbatches(spark, tmpdir_path):
     """applyInPandasWithState sessionizer: 3 time-ranged files -> 3
-    micro-batches, per-user state carried across them; closed sessions must
-    equal the batch SQL computation (sessionize, drop each user's last)."""
+    micro-batches, per-user state carried across them; emitted sessions
+    (successor-closed + timed-out trailing) must equal the SQL mirror of
+    the pinned event-time-timeout semantics."""
     import duckdb
 
     from recrun_spark.streaming.sessions import (prepare_ranged_events,
@@ -57,26 +70,41 @@ def test_stateful_sessionization_across_microbatches(spark, tmpdir_path):
     schema = spark.read.parquet(events).schema
     out_dir = os.path.join(tmpdir_path, "out")
     sink = run_sessionize_available_now(spark, src, out_dir, schema)
-    got = sorted((r["user_id"], r["session_id"], r["n_events"],
-                  r["start_us"], r["end_us"])
-                 for r in spark.read.parquet(sink).collect())
+    got = _with_session_ids([(r["user_id"], r["n_events"],
+                              r["start_us"], r["end_us"])
+                             for r in spark.read.parquet(sink).collect()])
 
-    # state REALLY carried across micro-batches: one offset file per batch
+    # state REALLY carried across micro-batches: one offset per data file
+    # PLUS the extra no-data batch availableNow runs to evaluate pending
+    # event-time timeouts at the final watermark (the oracle RELIES on that
+    # extra batch — this assertion guards the assumption against upgrades)
     offsets = os.listdir(os.path.join(out_dir, "_checkpoint", "offsets"))
-    assert len([f for f in offsets if not f.startswith(".")]) == 3
+    assert len([f for f in offsets if not f.startswith(".")]) == 4
 
-    oracle = sorted(map(tuple, duckdb.sql(
-        _entry.closed_sessions_sql(f"read_parquet('{events}')")
-    ).fetchall()))
+    sql = _entry.closed_sessions_sql(f"read_parquet('{events}')")
+    oracle = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert len(oracle) > 0 and got == oracle
+    # the timeout actually fires: emitted count exceeds the old NoTimeout
+    # rule (drop every user's last session == total sessions - users)
+    n_sessions, n_users = duckdb.sql(f"""
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM read_parquet('{events}')
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT sum(new_sess), count(DISTINCT user_id) FROM g""").fetchone()
+    assert len(got) > n_sessions - n_users
 
 
 def test_stateful_sessionization_resumes_across_restarts(spark, tmpdir_path):
     """State must survive a query RESTART, not just micro-batches: drain 3
     time-ranged files, stop, land a 4th (later) file, drain again with the
     SAME checkpoint — the second run continues each user's open session
-    from the state store, and the accumulated closed sessions equal the
-    batch computation over ALL events."""
+    (and watermark) from the state store, and the accumulated emissions
+    equal the SQL mirror over ALL events at n_files=4."""
     import shutil
 
     import duckdb
@@ -99,15 +127,121 @@ def test_stateful_sessionization_resumes_across_restarts(spark, tmpdir_path):
     shutil.copy2(os.path.join(staging, files[3]), os.path.join(src, files[3]))
     sink = run_sessionize_available_now(spark, src, out_dir, schema)
 
-    got = sorted((r["user_id"], r["session_id"], r["n_events"],
-                  r["start_us"], r["end_us"])
-                 for r in spark.read.parquet(sink).collect())
+    got = _with_session_ids([(r["user_id"], r["n_events"],
+                              r["start_us"], r["end_us"])
+                             for r in spark.read.parquet(sink).collect()])
     assert len(got) > n_first  # the restart emitted additional sessions
 
     oracle = sorted(map(tuple, duckdb.sql(
         _entry.closed_sessions_sql(f"read_parquet('{events}')")
     ).fetchall()))
     assert got == oracle
+
+
+def test_sessionizer_event_time_timeout_semantics(spark, tmpdir_path):
+    """Pins the EXACT timeout semantics the oracle mirrors (found
+    empirically — tools/probe_timeout_semantics.py): timeouts fire against
+    the EVICTION watermark (max event time INCLUDING the current batch,
+    ms-floored, minus delay) with a STRICT < comparison; a key with data in
+    the final batch never times out.  An idle user's trailing session is
+    emitted WITHOUT any successor event, and their state is evicted.  If a
+    Spark upgrade shifts any of this, this test fails before the driver
+    correctness gate does."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recrun_spark.streaming.sessions import run_sessionize_available_now
+
+    base = 1_700_000_000
+
+    def mkfile(rows, path, mtime):
+        pdf = pd.DataFrame({
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(
+                [int(round((base + r[2]) * 1_000_000)) for r in rows],
+                unit="us").astype("datetime64[us]"),
+            "user_id": [r[1] for r in rows],
+            "event_type": "x", "value": 1.0, "props": "{}"})
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (mtime, mtime))
+
+    src = os.path.join(tmpdir_path, "in")
+    os.makedirs(src)
+    # gap=1800s, delay=10s.  wm(final) = 2810s - 10s = 2800s.
+    #  u10 timeout_ts = 1000+1800 = 2800s == wm  -> NOT emitted (strict <)
+    #  u11 timeout_ts = 2799.999s < wm           -> emitted (idle eviction)
+    #  u12 timeout_ts = 2800.001s > wm           -> NOT emitted
+    #  u99 has data in the final batch           -> NOT emitted
+    mkfile([(1, 10, 1000.0), (2, 11, 999.999), (3, 12, 1000.001)],
+           os.path.join(src, "part-000.parquet"), 1_000_000)
+    mkfile([(4, 99, 2810.0)],
+           os.path.join(src, "part-001.parquet"), 1_000_001)
+    schema = spark.read.parquet(os.path.join(src, "part-000.parquet")).schema
+    sink = run_sessionize_available_now(spark, src,
+                                        os.path.join(tmpdir_path, "out"),
+                                        schema, gap_s=1800, delay_ms=10_000)
+    got = sorted((r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+                 for r in spark.read.parquet(sink).collect())
+    us = base * 1_000_000
+    assert got == [(11, 1, us + 999_999_000, us + 999_999_000)], got
+
+
+def test_incremental_kg_late_out_of_order_arrival(spark, tmpdir_path):
+    """VERDICT r02 item 5: a LATE, OUT-OF-ORDER arrival — the corpus's
+    earliest documents land last, in a backfilled file with an mtime OLDER
+    than everything already processed — is processed exactly once, the
+    combined output equals the batch pipeline over all docs (no loss, no
+    duplicates), and a re-run with nothing new adds no batches.  Documents
+    carry no event time, so there is no watermark to violate (the
+    late-data contract documented in streaming/kg.py)."""
+    import pyarrow.parquet as pq
+
+    from recrun_spark.fixtures.generator import corpus_to_arrow, make_corpus
+    from recrun_spark.stage1 import extract_documents
+    from recrun_spark.stage2 import detect_mentions, link_mentions, load_aliases
+    from recrun_spark.stage3 import canonicalize
+    from recrun_spark.stage4 import assemble_triples
+    from recrun_spark.streaming.kg import run_kg_available_now
+
+    corpus = make_corpus(60)
+    src = os.path.join(tmpdir_path, "docs_in")
+    os.makedirs(src)
+    p0 = os.path.join(src, "arrival-00.parquet")
+    p1 = os.path.join(src, "arrival-01.parquet")
+    pq.write_table(corpus_to_arrow(corpus[20:40]), p0)
+    pq.write_table(corpus_to_arrow(corpus[40:60]), p1)
+    out_dir = os.path.join(tmpdir_path, "kg_stream")
+    root = run_kg_available_now(spark, src, out_dir)
+    assert len([d for d in os.listdir(root) if d.startswith("batch=")]) == 2
+
+    # the backfill: EARLIEST docs, arriving LAST, mtime in the past
+    p2 = os.path.join(src, "arrival-02-backfill.parquet")
+    pq.write_table(corpus_to_arrow(corpus[0:20]), p2)
+    os.utime(p2, (os.stat(p0).st_mtime - 100, os.stat(p0).st_mtime - 100))
+    run_kg_available_now(spark, src, out_dir)
+    batches = [d for d in os.listdir(root) if d.startswith("batch=")]
+    assert len(batches) == 3
+
+    got = [(r["subj"], r["pred"], r["obj"], r["doc_id"]) for r in
+           spark.read.parquet(os.path.join(root, "batch=*")).collect()]
+    assert len(got) == len(set(got))        # exactly-once: no duplicates
+
+    docs_path = os.path.join(tmpdir_path, "all60.parquet")
+    pq.write_table(corpus_to_arrow(corpus), docs_path)
+    docs = spark.read.parquet(docs_path)
+    aliases = load_aliases(spark)
+    surfaces = [r["alias"]
+                for r in aliases.select("alias").distinct().collect()]
+    ex = extract_documents(docs)
+    linked = link_mentions(detect_mentions(ex, surfaces), aliases)
+    expect = {(r["subj"], r["pred"], r["obj"], r["doc_id"]) for r in
+              assemble_triples(ex, linked, canonicalize(aliases)).collect()}
+    assert set(got) == expect and len(expect) > 0
+
+    # nothing new -> no new batches
+    run_kg_available_now(spark, src, out_dir)
+    assert len([d for d in os.listdir(root) if d.startswith("batch=")]) == 3
 
 
 def test_incremental_kg_stream_equals_batch(spark, tmpdir_path):
