@@ -20,7 +20,11 @@ F11/F12; previously declared out of scope, implemented here for coverage):
 The reference parses with the browser's ``DOMParser``; this module parses
 with the stdlib ``HTMLParser`` — identical on well-formed input (our
 stage-1 ``html`` renders are produced by our own serializer), without the
-browser's tag-soup error correction on adversarial input.
+browser's tag-soup error correction on adversarial input.  Parity is
+verified by a DIFFERENTIAL FUZZ that executes the reference ``sanitize``
+verbatim under Node on a minimal DOM shim (tools/oracle/sanitize_shim.js;
+tests/test_render.py) — 1000 seeded fragments, byte-identical output,
+including browser attribute semantics (duplicate names: FIRST wins).
 
 ``render_overlays`` is the Spark-side operator: an Arrow-batched zero-
 shuffle map over stage-1 extractions, same execution shape as stage 1.
@@ -175,11 +179,15 @@ def _sanitize_children(children, tags: set, base_uri: str, out: list):
             if allowed:
                 for name, val in n[2]:
                     name = name.lower()
-                    if name in allowed:
+                    # FIRST occurrence wins: the browser parser drops later
+                    # duplicate attribute names before sanitize ever sees
+                    # them (found by the Node differential fuzz — the
+                    # original 'last wins' diverged from the reference)
+                    if name in allowed and name not in attrs:
                         v = val if val is not None else ""
                         if name in ("src", "href"):
                             v = resolve_url(v, base_uri)
-                        attrs[name] = v  # setAttribute: last wins
+                        attrs[name] = v
             if tag == "a":
                 attrs["target"] = "_blank"
             if tag in ("video", "audio"):

@@ -1,8 +1,12 @@
 """Render-egress parity tests (reference iframe.js sanitize/figure-wrap/
-dppMatch — SURVEY.md T6/T7/F11/F12).  No DOM runtime exists offline to
-differential-test against, so these pin the reference's documented branch
-behavior case by case (including its quirks: text hoisted out of disallowed
-elements, NO ../ normalization in URL resolution)."""
+dppMatch — SURVEY.md T6/T7/F11/F12).  Two layers: unit cases pin the
+documented branch behavior (text hoisted out of disallowed elements, NO ../
+normalization in URL resolution, figure wrapping), and a DIFFERENTIAL FUZZ
+runs the reference sanitize() VERBATIM under Node on a minimal DOM shim
+(tools/oracle/sanitize_shim.js) against 1000 seeded fragments — the same
+methodology as readability.py's Node oracle.  The fuzz already earned its
+keep: it caught duplicate-attribute handling (browser keeps the FIRST
+occurrence; the initial implementation kept the last)."""
 
 from recrun_spark.render import (dpp_match, render_overlays, resolve_url,
                                  sanitize_html)
@@ -139,3 +143,116 @@ def test_render_overlays_matches_single_node(spark, corpus_parquet):
     with redirect_stdout(buf):
         full.explain("formatted")
     assert "Exchange" not in buf.getvalue()  # pure map, no shuffle
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz vs the REFERENCE sanitize() run verbatim under Node
+# (tools/oracle/sanitize_shim.js — ADVICE r03: the render_overlay golden is
+# generated by these same Python kernels, so only THIS test measures
+# reference parity rather than plumbing parity)
+# ---------------------------------------------------------------------------
+
+_FUZZ_URLS = ["g:h", "g", "./g", "g/", "/g", "//g", "?y", "g?y", "#s",
+              "g#s", "g?y#s", ";x", "g;x", "", ".", "..", "../g", "../../g",
+              "http://other.example/z", "mailto:a@b.example",
+              "data:text/plain,x", "G/H?q=1#f", "//cdn.example/i.png"]
+_FUZZ_BASES = ["http://a.example/b/c/d;p?q", "https://h.example:8443/p/",
+               "http://h.example:80/", "https://h.example/",
+               "ftp://f.example/dir/file", "http://a.example/b/c/?q=2"]
+_FUZZ_TEXTS = ["plain words", "a & b", "x > y", 'quo "ted"',
+               "ent &amp; &lt; &#65; &nbsp; tail", "unicode ✓ é",
+               ""]
+_FUZZ_ALLOWED = ["p", "h2", "blockquote", "ul", "li", "td", "a", "b", "em",
+                 "img", "video", "audio", "source", "iframe", "code", "pre",
+                 "figure", "div"]
+_FUZZ_DISALLOWED = ["span", "section", "font", "script", "style", "article",
+                    "x-custom", "h6"]
+_FUZZ_ATTRS = ["href", "src", "alt", "valign", "colspan", "type",
+               "frameborder", "onclick", "style", "data-x", "HREF", "SRC"]
+_VOID_FUZZ = {"img", "source", "br"}
+
+
+def _fuzz_el(rng, depth):
+    tag = rng.choice(_FUZZ_ALLOWED + _FUZZ_DISALLOWED)
+    if rng.random() < 0.2:
+        tag = tag.upper()
+    parts = ["<", tag]
+    n_attrs = rng.randrange(0, 3)
+    names = [rng.choice(_FUZZ_ATTRS) for _ in range(n_attrs)]
+    if rng.random() < 0.15 and names:
+        names.append(names[0])          # duplicate attribute name
+    for name in names:
+        val = rng.choice(_FUZZ_URLS) if name.lower() in ("href", "src") \
+            else rng.choice(["1", "top", "text/css", "a&amp;b", 'it&#39;s'])
+        q = "'" if rng.random() < 0.2 else '"'
+        parts.append(f" {name}={q}{val}{q}")
+    if rng.random() < 0.1:
+        parts.append(" controls")       # bare attribute
+    parts.append(">")
+    low = tag.lower()
+    if low in _VOID_FUZZ:
+        return "".join(parts)
+    if low in ("script", "style"):
+        parts.append(rng.choice(["var x = 1 && 2;", "a > b { color: red }",
+                                 "raw &amp; stays"]))
+    else:
+        for _ in range(rng.randrange(0, 3 if depth > 1 else 2)):
+            parts.append(_fuzz_node(rng, depth - 1))
+    parts.append(f"</{tag}>")
+    return "".join(parts)
+
+
+def _fuzz_node(rng, depth):
+    if depth <= 0 or rng.random() < 0.4:
+        return rng.choice(_FUZZ_TEXTS)
+    return _fuzz_el(rng, depth)
+
+
+def test_sanitize_differential_fuzz_vs_reference():
+    """render.sanitize_html vs the reference iframe.js sanitize() executed
+    VERBATIM under Node on a minimal DOM shim: 400 seeded random fragments
+    (nested allowed/disallowed tags, rawtext script/style, every RFC-3986
+    relative-URL shape from the reference's own comment table, duplicate
+    and bare attributes, entities, mixed case, single/double quotes) must
+    serialize byte-identically.  Figure wrapping is outside the extracted
+    function and stays pinned by the unit tests above."""
+    import json
+    import os
+    import random
+    import subprocess
+
+    from recrun_spark.render import ALLOWED_ATTRS, allowed_tags, sanitize_html
+
+    cases = []
+    rng = random.Random(31337)
+    for i in range(1000):
+        html = "".join(_fuzz_node(rng, 3) for _ in range(rng.randrange(1, 4)))
+        media = rng.random() < 0.7
+        diffbot = rng.random() < 0.3
+        cases.append({
+            "html": html,
+            "baseURI": rng.choice(_FUZZ_BASES),
+            "tags": sorted(allowed_tags(media=media, diffbot=diffbot)),
+            "attrs": {t: sorted(a) for t, a in ALLOWED_ATTRS.items()},
+            "media": media, "diffbot": diffbot,
+        })
+    payload = "\n".join(json.dumps(c) for c in cases) + "\n"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        ["node", os.path.join(repo, "tools", "oracle", "sanitize_shim.js")],
+        input=payload.encode(), capture_output=True, check=True)
+    ref_out = [json.loads(l)["out"]
+               for l in proc.stdout.decode().splitlines()]
+    assert len(ref_out) == len(cases)
+    n_mismatch = 0
+    for c, expect in zip(cases, ref_out):
+        got = sanitize_html(c["html"], c["baseURI"], media=c["media"],
+                            diffbot=c["diffbot"], wrap_figures=False)
+        if got != expect:
+            n_mismatch += 1
+            if n_mismatch <= 3:
+                print("MISMATCH html=", repr(c["html"]))
+                print("  base=", c["baseURI"])
+                print("  py  =", repr(got))
+                print("  ref =", repr(expect))
+    assert n_mismatch == 0, f"{n_mismatch}/1000 fragments diverge"
