@@ -33,11 +33,15 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
 
-def ensure_corpus(spark) -> str:
+def ensure_corpus(spark, n_docs: int | None = None,
+                  skew: bool = False) -> str:
     """Generate the bench corpus in parallel on the executors (deterministic
-    per doc index — same generator as the test fixtures)."""
+    per doc index — same generator as the test fixtures).  ``skew=True`` is
+    the stress profile: >50% head-alias share, power-law doc lengths."""
     from recrun_spark.fixtures.generator import GEN_VERSION
-    path = os.path.join(CACHE, f"corpus_v{GEN_VERSION}_{N_DOCS}")
+    n_docs = N_DOCS if n_docs is None else n_docs
+    tag = "_skew" if skew else ""
+    path = os.path.join(CACHE, f"corpus_v{GEN_VERSION}{tag}_{n_docs}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
 
@@ -57,14 +61,15 @@ def ensure_corpus(spark) -> str:
                 ids.append(f"doc{ix:06d}")
                 spans.append([
                     {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for k, t, m, o in make_doc(ix, 42, surfaces, head)])
+                    for k, t, m, o in make_doc(ix, 42, surfaces, head,
+                                               skew=skew)])
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.string()), pa.array(spans, span_t)],
                 names=["doc_id", "spans"])
 
     schema = ("doc_id string, spans array<struct<kind:string,text:string,"
               "media_ref:string,offset:int>>")
-    (spark.range(N_DOCS).repartition(max(CPUS * 8, 64))
+    (spark.range(n_docs).repartition(max(CPUS * 8, 64))
      .mapInArrow(gen, schema=schema)
      .write.mode("overwrite").parquet(path))
     return path
@@ -195,6 +200,32 @@ def main():
     n_triples = timed("kg_full_pipeline", run_pipeline)
     pipeline_dps = round(n_big / timings["kg_full_pipeline"], 1)
 
+    # -- skew stress: head-heavy corpus (>50% single-alias mention share,
+    # power-law doc lengths) through extract -> SALTED link -> CC ->
+    # triples.  broadcast_max_rows=0 forces the salted repartition join so
+    # the skew path is the one being timed (the broadcast path is immune to
+    # key skew by construction and already measured above).
+    n_skew = int(os.environ.get("RECRUN_BENCH_SKEW_DOCS",
+                                str(min(20000, N_DOCS))))
+    docs_skew = spark.read.parquet(ensure_corpus(spark, n_skew, skew=True))
+
+    def run_skewed():
+        aliases = load_aliases(spark)
+        surfaces = [r["alias"]
+                    for r in aliases.select("alias").distinct().collect()]
+        ex = extract_documents(docs_skew, include_renders=False).persist()
+        linked = link_mentions(detect_mentions(ex, surfaces), aliases,
+                               broadcast_max_rows=0,
+                               salt_buckets=CPUS).persist()
+        trips = assemble_triples(ex, linked, canonicalize(aliases))
+        n = trips.count()
+        ex.unpersist()
+        linked.unpersist()
+        release_caches(trips)
+        return n
+    n_triples_skew = timed("kg_pipeline_skewed", run_skewed)
+    skew_dps = round(n_skew / timings["kg_pipeline_skewed"], 1)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -210,6 +241,9 @@ def main():
         "pipeline_docs_per_sec": pipeline_dps,
         "kg_triples": n_triples,
         "mentions_dict_scale_ratio": dict_ratio,
+        "skew_docs": n_skew,
+        "skew_pipeline_docs_per_sec": skew_dps,
+        "kg_triples_skewed": n_triples_skew,
     }))
 
 

@@ -201,15 +201,23 @@ def _article_paragraphs(rng, mentions, n_paras=None):
 GEN_VERSION = 2  # bump when generated content changes (invalidates caches)
 
 
-def _pick_mentions(rng, surfaces, head, k=None):
+def _pick_mentions(rng, surfaces, head, k=None, skew: bool = False):
     k = k if k is not None else rng.randint(1, 4)
     picks = []
     # deliberately skewed head alias: present in most docs, often twice,
-    # so it carries >30% of all mentions (FIXTURES.md §2 skew invariant)
-    if rng.random() < 0.85:
+    # so it carries >30% of all mentions (FIXTURES.md §2 skew invariant).
+    # skew=True is the STRESS profile (>50% head share): nearly every doc
+    # carries the head, usually several times.
+    p_head, p_two, p_three = (0.97, 0.85, 0.6) if skew else (0.85, 0.55, 0.0)
+    if rng.random() < p_head:
         picks.append(head)
-        if rng.random() < 0.55:
+        if rng.random() < p_two:
             picks.append(head)
+            # guarded draw: skew=False must consume the EXACT same rng
+            # sequence as before the skew knob existed, or every golden
+            # fixture would silently shift while GEN_VERSION stays put
+            if skew and rng.random() < p_three:
+                picks.append(head)
     while len(picks) < k:
         s = rng.choice(surfaces)
         if s not in picks:
@@ -217,15 +225,24 @@ def _pick_mentions(rng, surfaces, head, k=None):
     return picks
 
 
-def make_doc(doc_ix: int, seed: int, surfaces, head):
+def make_doc(doc_ix: int, seed: int, surfaces, head, skew: bool = False):
     rng = random.Random((seed << 20) ^ doc_ix)
     family = doc_ix % 10
-    mentions = _pick_mentions(rng, surfaces, head)
+    mentions = _pick_mentions(rng, surfaces, head, skew=skew)
     title_mention = mentions[0] if rng.random() < 0.3 else None
     title_text, title_el = _title_nodes(rng, doc_ix, title_mention)
 
     body_kids = list(_boilerplate(rng, surfaces))
-    paras = _article_paragraphs(rng, mentions)
+    # skew stress: power-law document lengths (Pareto alpha~1.3, capped) —
+    # a few giant documents next to many small ones, the shape that breaks
+    # naive per-doc partitioning assumptions at corpus scale
+    n_paras = None
+    if skew:
+        n_paras = min(120, max(3, int(3 * (rng.random() ** -0.77))))
+        # long documents mention the head entity throughout (news-wire
+        # shape): pushes the single hot key past 50% of ALL mentions
+        mentions = list(mentions) + [head] * (n_paras // 3)
+    paras = _article_paragraphs(rng, mentions, n_paras=n_paras)
     content_attr = [("class", rng.choice(
         ["content", "article-body", "post entry", "main-story"]))]
     content_kids = []
@@ -310,12 +327,13 @@ def make_doc(doc_ix: int, seed: int, surfaces, head):
     return flatten([html])
 
 
-def make_corpus(n_docs: int, seed: int = 42):
-    """[(doc_id, spans)] — deterministic."""
+def make_corpus(n_docs: int, seed: int = 42, skew: bool = False):
+    """[(doc_id, spans)] — deterministic.  ``skew=True`` is the stress
+    profile: >50% head-alias mention share + power-law doc lengths."""
     rows = make_aliases(seed)
     surfaces = sorted({r[0] for r in rows})
     head = head_alias()
-    return [(f"doc{ix:06d}", make_doc(ix, seed, surfaces, head))
+    return [(f"doc{ix:06d}", make_doc(ix, seed, surfaces, head, skew=skew))
             for ix in range(n_docs)]
 
 
@@ -331,7 +349,9 @@ def corpus_to_arrow(corpus):
                      "spans": pa.array(spans, pa.list_(span_t))})
 
 
-def write_corpus_parquet(path: str, n_docs: int, seed: int = 42):
+def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
+                         skew: bool = False):
     import pyarrow.parquet as pq
-    pq.write_table(corpus_to_arrow(make_corpus(n_docs, seed)), path)
+    pq.write_table(corpus_to_arrow(make_corpus(n_docs, seed, skew=skew)),
+                   path)
     return path

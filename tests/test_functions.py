@@ -133,6 +133,32 @@ def _blob_corpus(spark, n_blobs=8, per_blob=50, dim=16, seed=11):
     return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
 
+def test_skew_corpus_profile():
+    """The skew stress corpus (generator skew=True) holds its invariants:
+    the head alias carries >50% of all mentions and document lengths are
+    power-law (p99 length ≥ 5x the median) — the profile the salted-join /
+    AQE-skew bench entry (kg_pipeline_skewed) and plan audit rely on.
+    Pure Python (no Spark): the same make_doc the Spark generators call."""
+    from recrun_spark.fixtures.aliases import head_alias, make_aliases
+    from recrun_spark.fixtures.generator import make_corpus
+    from recrun_spark.linking import build_alias_pattern, find_mentions
+    surfaces = sorted({r[0] for r in make_aliases(42)})
+    pat = build_alias_pattern(surfaces)
+    head = head_alias()
+    n_head = n_all = 0
+    lens = []
+    for _doc_id, spans in make_corpus(300, skew=True):
+        text = " ".join(t for k, t, _m, _o in spans if k == "text")
+        lens.append(len(text))
+        for s, _start in find_mentions(text, pat):
+            n_all += 1
+            n_head += (s == head)
+    assert n_head / n_all > 0.5, n_head / n_all
+    lens.sort()
+    assert lens[int(len(lens) * 0.99)] >= 5 * lens[len(lens) // 2], (
+        lens[len(lens) // 2], lens[int(len(lens) * 0.99)])
+
+
 def test_ivf_centroids_hash_sample_beats_first_k_on_clustered_corpus(spark):
     """VERDICT r02 item 3: first-K-by-id centroids all land in blob 0 on a
     blob-ordered corpus, so queries in other blobs lose recall; the

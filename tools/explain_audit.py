@@ -81,8 +81,10 @@ def main():
 
     # 3. stage-1 extraction: zero shuffle, Arrow eval
     from recrun_spark.stage1 import extract_documents
-    from recrun_spark.fixtures.generator import write_corpus_parquet
-    tmp = os.path.join(tempfile.gettempdir(), "audit_docs.parquet")
+    from recrun_spark.fixtures.generator import (GEN_VERSION,
+                                                 write_corpus_parquet)
+    tmp = os.path.join(tempfile.gettempdir(),
+                       f"audit_docs_v{GEN_VERSION}.parquet")
     if not os.path.exists(tmp):
         write_corpus_parquet(tmp, 20)
     docs = spark.read.parquet(tmp)
@@ -138,7 +140,14 @@ def main():
         return len(set(_re.findall(
             r"BroadcastNestedLoopJoin[^\n(]*\((\d+)\)", p)))
 
-    audit("ann_near_dups", qs["ann_near_dups"](spark, SF_DIR), [
+    # audit the OPERATOR's plan, not the driver wrapper — the wrapper
+    # localCheckpoints the (small) result to release caches, which replaces
+    # the visible plan with a scan of the checkpointed blocks
+    from recrun_spark.functions.similarity import embedding_near_dups
+    nd_plan = embedding_near_dups(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        threshold=0.45, n_centroids=16, nprobe=8)
+    audit("ann_near_dups", nd_plan, [
         ("no corpus-scale nested loop (≤1 BNLJ = centroid broadcast only)",
          lambda p: _distinct_bnlj(p) <= 1),
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
@@ -146,6 +155,8 @@ def main():
          lambda p: (p.count("BroadcastHashJoin") + p.count("SortMergeJoin")
                     + p.count("ShuffledHashJoin")) >= 3),
     ])
+    from recrun_spark.operators import release_caches
+    release_caches(nd_plan)
 
     # 8. signature/text operators: pure expressions, pruned scans
     audit("minhash_sigs", qs["minhash_sigs"](spark, SF_DIR), [
@@ -160,6 +171,34 @@ def main():
         ("zero shuffle (single-pass projection)",
          lambda p: "Exchange" not in p),
         ("no python UDF", lambda p: "BatchEvalPython" not in p),
+    ])
+
+    # 9. skew path (VERDICT r02 item 6): the explicit salted join must carry
+    # the salt in its join keys and must not funnel work through a single
+    # reducer anywhere in the plan
+    audit("salted_join_revenue", qs["salted_join_revenue"](spark, SF_DIR), [
+        ("salt participates in the join key",
+         lambda p: "_salt" in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ])
+    # head-heavy corpus (>50% hot-key mention share) through the salted
+    # stage-2 link join — the plan a 100 TB run would use past the
+    # dictionary broadcast threshold
+    tmp_skew = os.path.join(tempfile.gettempdir(),
+                            f"audit_docs_skew_v{GEN_VERSION}.parquet")
+    if not os.path.exists(tmp_skew):
+        write_corpus_parquet(tmp_skew, 60, skew=True)
+    docs_skew = spark.read.parquet(tmp_skew)
+    linked_salted = link_mentions(
+        detect_mentions(extract_documents(docs_skew), surfaces), aliases,
+        broadcast_max_rows=0, salt_buckets=8)
+    audit("stage2_link_mentions_salted_skew", linked_salted, [
+        ("salted join keys", lambda p: "_salt" in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
     ])
 
     # write PLANS.md
