@@ -422,6 +422,38 @@ def nation_order_balance(spark, sf_dir):
                     F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
 
 
+def simhash_near_dups(spark, sf_dir):
+    """Banded SimHash near-duplicate pairs: EXACT Hamming-<=3 result at LSH
+    cost (pigeonhole over max_hamming+1 bands guarantees every qualifying
+    pair shares a band — no recall loss, no all-pairs join).  Oracle: the
+    brute-force all-pairs Hamming filter over the same portable
+    md5-derived signatures."""
+    from recrun_spark.functions.dedup import simhash_near_dups as snd
+    return snd(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def events_asof_orders(spark, sf_dir):
+    """AS-OF JOIN (backward, inclusive): each event picks the user's most
+    recent order at-or-before the event time (operators.asof_join — union +
+    single keyed window, no range/nested-loop join).  Events are shifted
+    back 26 years so they interleave the 1995-2001 order dates (the
+    testdata events all post-date every order otherwise).  Oracle: DuckDB's
+    native ASOF LEFT JOIN — an independent implementation of the same
+    semantics."""
+    from recrun_spark.operators import asof_join
+    _ensure_pkg(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("ts - INTERVAL 26 YEARS").alias("ets"))
+    orders = (_t(spark, sf_dir, "orders")
+              .groupBy(F.col("o_custkey").alias("user_id"),
+                       F.col("o_orderdate").alias("order_ts"))
+              .agg(F.max("o_orderkey").alias("order_key")))
+    j = asof_join(ev, orders, key="user_id",
+                  left_ts="ets", right_ts="order_ts")
+    return j.select("event_id", "user_id", "order_key", "order_ts")
+
+
 def salted_join_revenue(spark, sf_dir):
     """Pins the SALTED repartition-join path (operators.salted_join) under
     the value oracle, the way cc_components pins distributed CC: orders ⋈
@@ -645,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": events_props_json,
         "cube_pricing": cube_pricing,
         "nation_order_balance": nation_order_balance,
+        "simhash_near_dups": simhash_near_dups,
+        "events_asof_orders": events_asof_orders,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -1178,6 +1212,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_customers, 0) AS n_customers,
                    coalesce(revenue, 0.0) AS revenue
             FROM by_cust a FULL OUTER JOIN by_rev b ON a.nk = b.nk
+        """,
+        # brute-force all-pairs Hamming over the same signature definition —
+        # independent of the banding trick the Spark operator uses
+        "simhash_near_dups": f"""
+            WITH s AS ({_simhash_sql()})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+        # backward-inclusive as-of semantics the Spark operator builds from
+        # a union + keyed window
+        "events_asof_orders": """
+            WITH o AS (
+              SELECT o_custkey AS user_id, o_orderdate AS order_ts,
+                     max(o_orderkey) AS order_key
+              FROM orders GROUP BY 1, 2
+            ),
+            e AS (SELECT event_id, user_id,
+                         ts - INTERVAL 26 YEAR AS ets FROM events)
+            SELECT e.event_id, e.user_id, o.order_key, o.order_ts
+            FROM e ASOF LEFT JOIN o
+              ON e.user_id = o.user_id AND e.ets >= o.order_ts
         """,
         "salted_join_revenue": """
             SELECT c_mktsegment,

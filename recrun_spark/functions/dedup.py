@@ -247,6 +247,48 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.6,
     return out
 
 
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """(doc_a, doc_b, hamming) — pairs whose SimHash signatures differ in at
+    most ``max_hamming`` bits.  EXACT result at LSH cost: signatures are
+    split into ``max_hamming + 1`` bands, candidates share at least one
+    band (pigeonhole: ≤ k differing bits cannot touch all k+1 bands), and
+    candidates are verified with the true Hamming distance.  One groupBy
+    per band bucket + one equi-join — never an all-pairs comparison.
+
+    At corpus scale the candidate volume is governed by band-bucket
+    collision rates; for 60-bit signatures and k=3 each band is 15 bits,
+    so random collisions are ~n²/2¹⁵ per band — fine to ~10⁷ docs/bucket
+    domain; larger corpora should raise SIMHASH_BITS or pre-partition by a
+    signature prefix."""
+    bands = max_hamming + 1
+    width = SIMHASH_BITS // bands
+    sig = simhash(documents, text_col, id_col)
+    banded = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright(F.col("simhash"), i * width)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"))
+            for i in range(bands)])).alias("bb")) \
+        .select("doc_id", "simhash", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sig_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sig_b"), "band", "bucket")
+    cands = (a.join(b, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sig_a", "sig_b").distinct())
+    return (cands.withColumn(
+                "hamming",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                .cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 def simhash(documents: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash bigint) — SIMHASH_BITS-bit SimHash: bit b of the

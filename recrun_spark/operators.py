@@ -44,6 +44,58 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
     return out.drop("_salt")
 
 
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              how: str = "backward") -> DataFrame:
+    """Backward as-of join (kdb/pandas/DuckDB semantics): every left row
+    gets the right row with the GREATEST ``right_ts`` <= ``left_ts`` for
+    the same ``key`` (inclusive at equality); unmatched left rows keep
+    nulls.  Returns all left columns plus the right's value columns
+    (everything but ``key`` — including ``right_ts``, the matched time).
+
+    Plan shape: union both sides, ONE shuffle on the key, one window sort
+    per partition carrying the last-seen right values forward — O(n log n)
+    per partition.  This is the 100 TB-safe plan: expressing as-of as an
+    inequality join gives Catalyst only a broadcast range join or a
+    nested-loop to work with.
+
+    Requirements: (key, right_ts) must be unique on the right (pre-
+    aggregate duplicates, e.g. max per timestamp) — otherwise which
+    equal-timestamp row wins is unspecified; left/right non-key column
+    names must not overlap."""
+    if how != "backward":
+        raise ValueError(f"asof_join supports how='backward', got {how!r}")
+    rvals = [c for c in right.columns if c != key]
+    overlap = set(rvals) & set(left.columns)
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+
+    def _null_like(df: DataFrame, col: str):
+        return F.lit(None).cast(df.schema[col].dataType).alias(col)
+
+    lhs = left.select(
+        F.lit(1).alias("_side"), F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        *[F.col(c) for c in left.columns],
+        *[_null_like(right, c) for c in rvals])
+    rhs = right.select(
+        F.lit(0).alias("_side"), F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        *[_null_like(left, c) for c in left.columns],
+        *[F.col(c) for c in rvals])
+    u = lhs.unionByName(rhs)
+    from pyspark.sql import Window
+    # right rows (side 0) sort BEFORE left rows at equal _t, so a right row
+    # at exactly left_ts is visible to that left row (inclusive backward)
+    w = (Window.partitionBy("_k")
+         .orderBy(F.col("_t").asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+               for c in rvals]
+    return (u.select("_side", *[F.col(c) for c in left.columns], *carried)
+            .where(F.col("_side") == 1).drop("_side"))
+
+
 def release_caches(df: DataFrame) -> None:
     """Unpersist the cached intermediates an operator attached to its
     result (the ``_recrun_caches`` list, plus legacy ``_recrun_*``

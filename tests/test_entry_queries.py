@@ -88,3 +88,24 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert [f.name for f in df.schema.fields] == ["subj", "pred", "obj",
                                                   "doc_id"]
+
+
+def test_finalize_releases_operator_caches(spark):
+    """ADVICE r02: the driver harness never calls release_caches, so the
+    cache-attaching entry queries must clean up after themselves.  Checks
+    both layers deterministically: release_caches flips every attached
+    frame's storage level back to NONE, and the _finalize'd driver wrapper
+    returns a frame with no cache handles left to leak."""
+    from recrun_spark.functions.dedup import minhash_lsh_pairs
+    from recrun_spark.operators import release_caches
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = minhash_lsh_pairs(docs, threshold=0.30)
+    out.count()
+    caches = out._recrun_caches
+    assert caches and all(c.storageLevel.useMemory for c in caches)
+    release_caches(out)
+    assert all(not c.storageLevel.useMemory for c in caches)
+
+    df = entrymod.queries()["dedup_minhash_lsh"](spark, SF_DIR)
+    assert getattr(df, "_recrun_caches", None) in (None, [])
+    assert df.count() > 0

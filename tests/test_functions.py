@@ -264,3 +264,63 @@ def test_ivf_topk_recall_quality(spark):
         mean_recall[nprobe] = sum(rs) / len(rs)
     assert mean_recall[6] >= 0.55, mean_recall
     assert mean_recall[2] < mean_recall[6], mean_recall
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of join: latest right row at-or-before each
+    left timestamp per key; equality matches; unmatched keys keep nulls;
+    overlapping non-key columns are rejected."""
+    import datetime as dt
+
+    import pytest
+
+    from recrun_spark.operators import asof_join
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [(1, t("2024-01-01 10:00"), "e1"),
+         (1, t("2024-01-01 12:00"), "e2"),
+         (1, t("2024-01-01 09:00"), "e0"),   # before any right row
+         (2, t("2024-01-02 00:00"), "e3")],  # key with no right rows
+        "k bigint, lts timestamp, ev string")
+    right = spark.createDataFrame(
+        [(1, t("2024-01-01 10:00"), 100),    # equality -> matches e1
+         (1, t("2024-01-01 11:30"), 200)],
+        "k bigint, rts timestamp, val int")
+    got = {r["ev"]: (r["val"], r["rts"])
+           for r in asof_join(left, right, "k", "lts", "rts").collect()}
+    assert got["e0"] == (None, None)
+    assert got["e1"] == (100, t("2024-01-01 10:00"))   # inclusive at ==
+    assert got["e2"] == (200, t("2024-01-01 11:30"))   # latest <=, not first
+    assert got["e3"] == (None, None)
+
+    with pytest.raises(ValueError, match="overlapping"):
+        asof_join(left, right.withColumnRenamed("val", "ev"),
+                  "k", "lts", "rts")
+    with pytest.raises(ValueError, match="backward"):
+        asof_join(left, right, "k", "lts", "rts", how="forward")
+
+
+def test_simhash_near_dups_exactness(spark):
+    """The banded simhash pair generator is EXACT (pigeonhole): equals the
+    brute-force Hamming filter, identical docs pair at distance 0."""
+    from itertools import combinations
+
+    from recrun_spark.functions.dedup import simhash, simhash_near_dups
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"),
+         ("b", "the quick brown fox jumps over the lazy dog"),
+         ("c", "the quick brown fox jumps over the lazy cat"),
+         ("d", "completely different vocabulary entirely unrelated words"),
+         ("e", "the quick brown fox leaps over the lazy dog")],
+        ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    brute = {(x, y, bin(sigs[x] ^ sigs[y]).count("1"))
+             for x, y in combinations(sorted(sigs), 2)
+             if bin(sigs[x] ^ sigs[y]).count("1") <= 8}
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in simhash_near_dups(docs, max_hamming=8).collect()}
+    assert got == brute
+    assert ("a", "b", 0) in got
