@@ -454,6 +454,47 @@ def events_asof_orders(spark, sf_dir):
     return j.select("event_id", "user_id", "order_key", "order_ts")
 
 
+def events_after_orders_range(spark, sf_dir):
+    """RANGE JOIN family: events within 3 days at-or-after the same user's
+    order (equality on the user key + a time-range predicate).  Declared
+    as a plain join so Catalyst executes a sort-merge join on the equality
+    key with the range as a join filter — the scale-safe plan (never a
+    cartesian/BNLJ; the equality key bounds the pair space).  Events are
+    shifted back 26 years to interleave the order dates (see
+    events_asof_orders)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts - INTERVAL 26 YEARS").alias("ets"), "value")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey")
+    j = ev.join(orders,
+                (ev["user_id"] == orders["user_id"])
+                & (ev["ets"] >= orders["o_orderdate"])
+                & (ev["ets"] < orders["o_orderdate"]
+                   + F.expr("INTERVAL 3 DAYS")))
+    return (j.groupBy(F.col("o_orderkey").alias("order_key"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def events_running_stats(spark, sf_dir):
+    """Window-function family beyond argmax: per-user event sequence with
+    rank, running sum, and gap to the previous event — the building blocks
+    of feature backfills (all JVM window expressions, one shuffle on the
+    partition key)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id", "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum("value").over(run), 4).alias("running_value"),
+        F.coalesce(
+            F.expr("timestampdiff(MICROSECOND, lag(ts) over "
+                   "(partition by user_id order by ts asc, event_id asc), ts)"),
+            F.lit(-1)).alias("gap_us"))
+
+
 def salted_join_revenue(spark, sf_dir):
     """Pins the SALTED repartition-join path (operators.salted_join) under
     the value oracle, the way cc_components pins distributed CC: orders ⋈
@@ -679,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_balance": nation_order_balance,
         "simhash_near_dups": simhash_near_dups,
         "events_asof_orders": events_asof_orders,
+        "events_after_orders_range": events_after_orders_range,
+        "events_running_stats": events_running_stats,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -1236,6 +1279,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, o.order_key, o.order_ts
             FROM e ASOF LEFT JOIN o
               ON e.user_id = o.user_id AND e.ets >= o.order_ts
+        """,
+        "events_after_orders_range": """
+            SELECT o.o_orderkey AS order_key,
+                   count(*) AS n_events,
+                   round(sum(e.value), 4) AS sum_value
+            FROM (SELECT user_id, ts - INTERVAL 26 YEAR AS ets, value
+                  FROM events) e
+            JOIN orders o
+              ON e.user_id = o.o_custkey
+             AND e.ets >= o.o_orderdate
+             AND e.ets < o.o_orderdate + INTERVAL 3 DAY
+            GROUP BY 1
+        """,
+        "events_running_stats": """
+            SELECT event_id, user_id,
+                   row_number() OVER w AS seq,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+                   coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1)
+                     AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         "salted_join_revenue": """
             SELECT c_mktsegment,

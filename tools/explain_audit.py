@@ -173,6 +173,18 @@ def main():
         ("no python UDF", lambda p: "BatchEvalPython" not in p),
     ])
 
+    # 8b. range join: the equality key must drive a hash/merge join with
+    # the time-range predicate as a join filter — never a nested loop
+    audit("events_after_orders_range",
+          qs["events_after_orders_range"](spark, SF_DIR), [
+              ("equality-keyed join (range as filter)",
+               lambda p: ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                          or "BroadcastHashJoin" in p)),
+              ("no nested-loop / cartesian",
+               lambda p: "BroadcastNestedLoopJoin" not in p
+               and "CartesianProduct" not in p),
+          ])
+
     # 9. skew path (VERDICT r02 item 6): the explicit salted join must carry
     # the salt in its join keys and must not funnel work through a single
     # reducer anywhere in the plan
