@@ -495,6 +495,17 @@ def events_running_stats(spark, sf_dir):
             F.lit(-1)).alias("gap_us"))
 
 
+def events_user_cms(spark, sf_dir):
+    """COUNT-MIN SKETCH of per-user event frequency (functions/sketch.py):
+    fixed depth x width state regardless of key cardinality — the sketch
+    family's scale answer to exact per-key counts.  md5-derived hash rows
+    make the sketch engine-portable, so the oracle rebuilds the IDENTICAL
+    cell table in SQL and the driver value-checks it cell-for-cell."""
+    from recrun_spark.functions.sketch import count_min_sketch
+    cells = count_min_sketch(_t(spark, sf_dir, "events"), "user_id")
+    return cells.select(F.col("i").cast("int").alias("i"), "bucket", "cnt")
+
+
 def salted_join_revenue(spark, sf_dir):
     """Pins the SALTED repartition-join path (operators.salted_join) under
     the value oracle, the way cc_components pins distributed CC: orders ⋈
@@ -722,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_orders": events_asof_orders,
         "events_after_orders_range": events_after_orders_range,
         "events_running_stats": events_running_stats,
+        "events_user_cms": events_user_cms,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -1279,6 +1291,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, o.order_key, o.order_ts
             FROM e ASOF LEFT JOIN o
               ON e.user_id = o.user_id AND e.ets >= o.order_ts
+        """,
+        # rebuild the IDENTICAL count-min sketch in SQL: same md5-derived
+        # row hashes (dedup._hash60 mirror), same depth=4 x width=256
+        "events_user_cms": f"""
+            WITH e AS (
+              SELECT i, user_id::VARCHAR AS k
+              FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+            ),
+            b AS (
+              SELECT i,
+                     ({_ddb_hash60("i::VARCHAR || chr(31) || k")}) % 256
+                       AS bucket
+              FROM e
+            )
+            SELECT i::INT AS i, bucket, count(*) AS cnt
+            FROM b GROUP BY 1, 2
         """,
         "events_after_orders_range": """
             SELECT o.o_orderkey AS order_key,

@@ -1,0 +1,78 @@
+"""Frequency sketches over unbounded key domains — the streaming-safe
+counterpart of exact groupBy counts.
+
+``count_min_sketch`` builds a COUNT-MIN SKETCH (Cormode & Muthukrishnan;
+PAPERS.md) as a plain DataFrame of (hash_row, bucket, cnt) cells:
+
+* ``depth`` independent hash rows, each ``width`` buckets — fixed-size
+  state regardless of key cardinality (the whole point at 100 TB: a
+  per-key exact count needs a shuffle keyed by every distinct key; the
+  sketch shuffles into depth x width cells);
+* hashes are md5-derived (``dedup._hash60`` over "i<US>key") — the same
+  portability trick as the MinHash/SimHash signatures, so ANY SQL engine
+  rebuilds the identical sketch and the driver's value oracle can check
+  it cell-for-cell (a property xxhash-based sketches cannot offer);
+* point estimate = min over rows of the key's cell — one-sided error:
+  estimate >= true count always, and P[err > 2N/width] < (1/2)^depth.
+
+The sketch is a DataFrame, so it composes: union sketches of two corpora
+cell-wise (sum cnt) to sketch the union — the merge property CMS is used
+for in distributed settings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _hash60
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+_SEP = "\x1f"   # unit separator: cannot appear in the decimal row index
+
+
+def cms_bucket(i: Column, key: Column, width: int) -> Column:
+    """Bucket of ``key`` in hash row ``i`` — md5-derived, engine-portable."""
+    return F.pmod(_hash60(F.concat_ws(_SEP, i.cast("string"),
+                                      key.cast("string"))), F.lit(width))
+
+
+def count_min_sketch(df: DataFrame, key_col: str,
+                     depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                     weight_col: str | None = None) -> DataFrame:
+    """(i, bucket, cnt) — the CMS cells of ``key_col``'s frequency (or
+    ``weight_col``-weighted mass).  One explode (depth x |rows|) + one
+    groupBy bounded at depth x width output cells; cells that received no
+    keys are absent (implicitly zero)."""
+    w = (F.col(weight_col) if weight_col is not None
+         else F.lit(1)).cast("long").alias("_w")
+    rows = df.select(F.col(key_col).cast("string").alias("_k"), w)
+    exploded = rows.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+        "_k", "_w")
+    return (exploded
+            .select("i", cms_bucket(F.col("i"), F.col("_k"), width)
+                    .alias("bucket"), "_w")
+            .groupBy("i", "bucket")
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def cms_estimate(cells, keys, depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> dict:
+    """Point estimates for ``keys`` from collected sketch cells
+    (driver-side helper for tests/inspection).  ``cells`` is an iterable
+    of (i, bucket, cnt) rows."""
+    import hashlib
+    table: dict = {}
+    for i, bucket, cnt in cells:
+        table[(i, bucket)] = cnt
+
+    def h(i: int, key) -> int:
+        s = f"{i}{_SEP}{key}"
+        v = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        return v % width
+
+    return {k: min(table.get((i, h(i, k)), 0) for i in range(depth))
+            for k in keys}

@@ -324,3 +324,38 @@ def test_simhash_near_dups_exactness(spark):
            for r in simhash_near_dups(docs, max_hamming=8).collect()}
     assert got == brute
     assert ("a", "b", 0) in got
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS invariants: every point estimate is >= the true count (one-sided
+    error), exact-frequency keys with no collisions read back exactly, each
+    hash row's cells sum to the total weight, and two sketches merge
+    cell-wise into the sketch of the union."""
+    from recrun_spark.functions.sketch import (CMS_DEPTH, CMS_WIDTH,
+                                               cms_estimate,
+                                               count_min_sketch)
+    rows = [(k,) for k in range(30) for _ in range(k + 1)]   # key k -> k+1
+    df = spark.createDataFrame(rows, "user_id bigint")
+    cells = [(r["i"], r["bucket"], r["cnt"])
+             for r in count_min_sketch(df, "user_id").collect()]
+    assert len({i for i, _, _ in cells}) == CMS_DEPTH
+    total = sum(k + 1 for k in range(30))
+    for i in range(CMS_DEPTH):
+        assert sum(c for ri, _, c in cells if ri == i) == total
+    est = cms_estimate(cells, [str(k) for k in range(30)])
+    for k in range(30):
+        assert est[str(k)] >= k + 1          # one-sided
+    # with 30 keys in 256 buckets most keys are collision-free -> exact
+    exact = sum(est[str(k)] == k + 1 for k in range(30))
+    assert exact >= 25, exact
+
+    # merge property: sketch(A) + sketch(B) == sketch(A union B), cell-wise
+    df_a, df_b = df.where(F.col("user_id") < 15), \
+        df.where(F.col("user_id") >= 15)
+    merged = {}
+    for part in (df_a, df_b):
+        for r in count_min_sketch(part, "user_id").collect():
+            key = (r["i"], r["bucket"])
+            merged[key] = merged.get(key, 0) + r["cnt"]
+    assert merged == {(i, b): c for i, b, c in cells}
+    del CMS_WIDTH
