@@ -1,0 +1,55 @@
+"""Incremental frequency sketch over a stream — the count-min sketch's
+merge property (cell-wise sum) turned into a streaming operator.
+
+Each micro-batch's cells are written to ``cells/batch=<id>/`` with
+mode=overwrite — idempotent per batchId, the same exactly-once recipe as
+streaming/kg.py — and the reader sums cells across batches, which by the
+merge property equals the batch sketch of everything seen.  No state
+store at all: the sketch IS the state, persisted as data, bounded at
+depth x width cells per batch regardless of key cardinality.  This is
+the streaming shape for "how often did we see key X" questions (hot-key
+detection, frequency capping) at key cardinalities where exact streaming
+counts would blow the state store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sketch import CMS_DEPTH, CMS_WIDTH, count_min_sketch
+
+
+def run_cms_available_now(spark: SparkSession, input_dir: str, out_dir: str,
+                          key_col: str, schema,
+                          depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                          max_files_per_trigger: int = 1) -> str:
+    """Drain available input files, sketching each micro-batch into
+    ``cells/batch=<id>/``; returns the cells root.  Re-running after new
+    files land sketches ONLY the new files (file-source checkpoint)."""
+    root = os.path.join(out_dir, "cells")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (count_min_sketch(batch_df, key_col, depth, width)
+         .write.mode("overwrite")
+         .parquet(os.path.join(root, f"batch={batch_id}")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return root
+
+
+def read_sketch(spark: SparkSession, cells_root: str) -> DataFrame:
+    """Merge all per-batch cells into the sketch of everything ingested
+    (cell-wise sum — the CMS merge property)."""
+    return (spark.read.parquet(os.path.join(cells_root, "batch=*"))
+            .groupBy("i", "bucket")
+            .agg(F.sum("cnt").alias("cnt")))

@@ -298,3 +298,47 @@ def test_incremental_kg_stream_equals_batch(spark, tmpdir_path):
     assert len(batches) == 4
     got80 = triple_set(spark.read.parquet(os.path.join(root, "batch=*")))
     assert got80 == batch_triples(80)
+
+
+def test_incremental_cms_stream_equals_batch(spark, tmpdir_path):
+    """Streaming count-min sketch: 3 micro-batches of events sketched
+    independently merge (cell-wise sum) into EXACTLY the batch sketch of
+    all events; a late 4th file is sketched alone and the merge still
+    equals the batch computation — the CMS merge property as an
+    exactly-once streaming operator with no state store."""
+    import shutil
+
+    from recrun_spark.functions.sketch import count_min_sketch
+    from recrun_spark.streaming.freq import (read_sketch,
+                                             run_cms_available_now)
+    from recrun_spark.streaming.sessions import prepare_ranged_events
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    staging = prepare_ranged_events(events,
+                                    os.path.join(tmpdir_path, "staging"), 4)
+    files = sorted(os.listdir(staging))
+    src = os.path.join(tmpdir_path, "in")
+    os.makedirs(src)
+    for f in files[:3]:
+        shutil.copy2(os.path.join(staging, f), os.path.join(src, f))
+    schema = spark.read.parquet(events).schema
+    out_dir = os.path.join(tmpdir_path, "cms")
+
+    def cells_of(df):
+        return {(r["i"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    root = run_cms_available_now(spark, src, out_dir, "user_id", schema)
+    batches = [d for d in os.listdir(root) if d.startswith("batch=")]
+    assert len(batches) == 3
+    got3 = cells_of(read_sketch(spark, root))
+    ev = spark.read.parquet(events)
+    rn = spark.read.parquet(src)
+    assert got3 == cells_of(count_min_sketch(rn, "user_id"))
+
+    shutil.copy2(os.path.join(staging, files[3]), os.path.join(src, files[3]))
+    run_cms_available_now(spark, src, out_dir, "user_id", schema)
+    batches = [d for d in os.listdir(root) if d.startswith("batch=")]
+    assert len(batches) == 4            # only the new file was sketched
+    got4 = cells_of(read_sketch(spark, root))
+    assert got4 == cells_of(count_min_sketch(ev, "user_id"))
+    assert got4 != got3

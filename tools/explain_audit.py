@@ -185,6 +185,18 @@ def main():
                and "CartesianProduct" not in p),
           ])
 
+    # 8c. as-of join: union + ONE keyed window — a single hash-partition
+    # exchange on the key, and no join node at all (the whole point: an
+    # inequality join would be a range/nested-loop plan)
+    audit("events_asof_orders", qs["events_asof_orders"](spark, SF_DIR), [
+        ("window over the key (sort within partitions)",
+         lambda p: "Window" in p and "Sort" in p),
+        ("no join node of any kind (union + window, not a range join)",
+         lambda p: "Join" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # 9. skew path (VERDICT r02 item 6): the explicit salted join must carry
     # the salt in its join keys and must not funnel work through a single
     # reducer anywhere in the plan
