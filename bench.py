@@ -99,6 +99,22 @@ def main():
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000) \
         .groupBy("l_returnflag").count().collect()
 
+    def noise_canary_ms() -> float:
+        """Fixed single-thread CPU task timed with nothing else running —
+        neighbor steal inflates it (quiet-host readings ~300-700 ms).  The
+        canary brackets the run so a contaminated bench is identifiable
+        from the JSON alone (this host shows bursts to load ~20 with zero
+        local processes; see BASELINE.md host caveat)."""
+        t0 = time.time()
+        s = 0
+        for i in range(5_000_000):
+            s += i * i
+        assert s > 0
+        return round((time.time() - t0) * 1000, 1)
+
+    canary_before = noise_canary_ms()
+    load_before = round(os.getloadavg()[0], 2)
+
     timings: dict = {}
 
     def timed(name, fn, repeats: int = 1):
@@ -153,8 +169,9 @@ def main():
               repeats=3 if name == "dedup_minhash_lsh" else 1)
 
     # -- mention detection at dictionary scale -----------------------------
-    # throughput with a >=100k-surface dictionary (TrieMatcher path) vs the
-    # fixture dictionary (regex path) over the SAME extracted docs — the
+    # throughput with a >=100k-surface dictionary vs the 167-surface fixture
+    # dictionary over the SAME extracted docs (both on the TrieMatcher path
+    # since the measured crossover moved TRIE_MIN_SURFACES to 96) — the
     # large-dictionary path must stay within ~2x (VERDICT r01 item 5)
     from recrun_spark.fixtures.aliases import make_aliases
     from recrun_spark.stage1 import extract_documents
@@ -244,6 +261,10 @@ def main():
         "skew_docs": n_skew,
         "skew_pipeline_docs_per_sec": skew_dps,
         "kg_triples_skewed": n_triples_skew,
+        # noisy-neighbor forensics: inflated canaries (vs ~300-700 ms
+        # quiet on this box) or high load flag a contaminated run
+        "noise_canary_ms": [canary_before, noise_canary_ms()],
+        "loadavg_1m": [load_before, round(os.getloadavg()[0], 2)],
     }))
 
 
