@@ -495,6 +495,22 @@ def events_running_stats(spark, sf_dir):
             F.lit(-1)).alias("gap_us"))
 
 
+def events_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity time rollup: ONE pass emits
+    hourly rows, daily subtotals, and the grand total (ROLLUP over derived
+    day/hour buckets) — the continuous-aggregate shape where coarser
+    granularities ride the same shuffle instead of re-scanning the fact
+    table per granularity."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select(F.date_trunc("day", F.col("ts")).alias("day"),
+                      F.date_trunc("hour", F.col("ts")).alias("hour"),
+                      "value")
+            .rollup("day", "hour")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.grouping_id().alias("gid")))
+
+
 def events_user_cms(spark, sf_dir):
     """COUNT-MIN SKETCH of per-user event frequency (functions/sketch.py):
     fixed depth x width state regardless of key cardinality — the sketch
@@ -733,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_orders": events_asof_orders,
         "events_after_orders_range": events_after_orders_range,
         "events_running_stats": events_running_stats,
+        "events_time_rollup": events_time_rollup,
         "events_user_cms": events_user_cms,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
@@ -1291,6 +1308,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, o.order_key, o.order_ts
             FROM e ASOF LEFT JOIN o
               ON e.user_id = o.user_id AND e.ets >= o.order_ts
+        """,
+        "events_time_rollup": """
+            WITH b AS (
+              -- ::TIMESTAMP: DuckDB's date_trunc('day') yields DATE while
+              -- Spark's yields TIMESTAMP
+              SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                     date_trunc('hour', ts) AS hour, value
+              FROM events
+            )
+            SELECT day, hour, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   grouping(day, hour) AS gid
+            FROM b GROUP BY ROLLUP (day, hour)
         """,
         # rebuild the IDENTICAL count-min sketch in SQL: same md5-derived
         # row hashes (dedup._hash60 mirror), same depth=4 x width=256
