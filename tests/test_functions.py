@@ -359,3 +359,47 @@ def test_count_min_sketch_properties(spark):
             merged[key] = merged.get(key, 0) + r["cnt"]
     assert merged == {(i, b): c for i, b, c in cells}
     del CMS_WIDTH
+
+
+def test_asof_join_differential_vs_pandas(spark):
+    """asof_join vs pandas.merge_asof(direction='backward') — an
+    independent implementation of the same semantics — on seeded random
+    interleavings (unique (key, right_ts) per the operator contract)."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(4242)
+    base = dt.datetime(2024, 1, 1)
+    for trial in range(4):
+        lrows = [(rng.randrange(8),
+                  base + dt.timedelta(seconds=rng.randrange(100000)), i)
+                 for i in range(120)]
+        seen = set()
+        rrows = []
+        for j in range(60):
+            k = rng.randrange(8)
+            ts = base + dt.timedelta(seconds=rng.randrange(100000))
+            if (k, ts) in seen:
+                continue
+            seen.add((k, ts))
+            rrows.append((k, ts, 1000 + j))
+        left = spark.createDataFrame(lrows, "k bigint, lts timestamp, eid bigint")
+        right = spark.createDataFrame(rrows, "k bigint, rts timestamp, val bigint")
+        from recrun_spark.operators import asof_join
+        got = {r["eid"]: (r["val"], r["rts"])
+               for r in asof_join(left, right, "k", "lts", "rts").collect()}
+
+        lp = pd.DataFrame(lrows, columns=["k", "lts", "eid"]) \
+            .sort_values("lts", kind="mergesort")
+        rp = pd.DataFrame(rrows, columns=["k", "rts", "val"]) \
+            .sort_values("rts", kind="mergesort")
+        ref = pd.merge_asof(lp, rp, left_on="lts", right_on="rts",
+                            by="k", direction="backward")
+        for _, row in ref.iterrows():
+            val = None if pd.isna(row["val"]) else int(row["val"])
+            rts = None if pd.isna(row["rts"]) else \
+                row["rts"].to_pydatetime()
+            assert got[row["eid"]] == (val, rts), (trial, row["eid"])
+        assert len(got) == len(lrows)
