@@ -1328,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
               SELECT i, user_id::VARCHAR AS k
               FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+              WHERE user_id IS NOT NULL
             ),
             b AS (
               SELECT i,

@@ -198,13 +198,21 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
     ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     # the candidate-pair frame is consumed THREE times by the verify stage
-    # (doc_a filter, doc_b filter, final semi-join) — persist it eagerly or
-    # each consumer recomputes the whole signature+banding pipeline (the
-    # 64 min-aggregates, the most expensive stage here) from scratch
+    # (doc_a filter, doc_b filter, final semi-join) — persist so each
+    # consumer reads the cache instead of recomputing the signature+banding
+    # pipeline (the 64 min-aggregates, the most expensive stage here).
+    # NOTE the count() makes construction EAGER: the LSH job runs here, at
+    # build time, so the three consumer subtrees deterministically hit a
+    # fully materialized cache (concurrent first-touch of a cold cache
+    # serializes per-partition in the block manager, but scheduling then
+    # decides how much of the pipeline overlaps — the measured 9.1s/9.4s
+    # quiet-window numbers are WITH this barrier).  Callers that only want
+    # the plan (explain/audit) should build the frame via the underlying
+    # stages, not this function.
     cands = (ca.join(cb, ["band", "bucket"])
              .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b").distinct().persist())
-    cands.count()   # materialize once, before the three consumers fan out
+    cands.count()
     # the kept-shingle frame likewise feeds sizes + both join sides of the
     # verification: persist so the df frequency aggregate runs once
     sh_kept = _df_cut(sh, max_shingle_freq=1000).persist()

@@ -93,13 +93,25 @@ def extract_features(media: DataFrame, use_real: bool | None = None
     """media(MEDIA_SCHEMA) -> features(FEATURE_SCHEMA): Arrow-batched map,
     zero shuffle; binary payloads never leave the executor as Python rows.
 
-    ``use_real=None`` auto-probes for codec libraries on each worker;
-    ``False`` pins the deterministic stub (the golden-parity path the
-    driver oracle compares against); ``True`` forces the real kernel."""
+    ``use_real=None`` auto-probes for codec libraries on each worker and
+    routes PER MODALITY: images through the real kernel when PIL is
+    present, audio/video through the stub until an ffmpeg binding is wired
+    (routing per batch would crash mixed-modality data on the first
+    audio row).  ``False`` pins the deterministic stub everywhere (the
+    golden-parity path the driver oracle compares against); ``True``
+    forces the real kernel for ALL modalities — raising loudly where no
+    real kernel exists rather than silently faking."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         real = REAL_DECODERS_AVAILABLE if use_real is None else use_real
-        kernel = decode_real if real else _fake_decode
+
+        def kernel(raw: bytes, modality: str) -> np.ndarray:
+            if use_real is True:
+                return decode_real(raw, modality)
+            if real and modality == "image":
+                return decode_real(raw, modality)
+            return _fake_decode(raw, modality)
+
         for pdf in batches:
             feats, shas, sizes = [], [], []
             for payload, modality in zip(pdf["payload"], pdf["modality"]):

@@ -45,10 +45,14 @@ def count_min_sketch(df: DataFrame, key_col: str,
     """(i, bucket, cnt) — the CMS cells of ``key_col``'s frequency (or
     ``weight_col``-weighted mass).  One explode (depth x |rows|) + one
     groupBy bounded at depth x width output cells; cells that received no
-    keys are absent (implicitly zero)."""
+    keys are absent (implicitly zero).  NULL keys are excluded — there is
+    no meaningful frequency of "no key", and concat-based hashing would
+    otherwise conflate every null into one phantom key (and diverge from
+    SQL mirrors, where a null key hashes to NULL)."""
     w = (F.col(weight_col) if weight_col is not None
          else F.lit(1)).cast("long").alias("_w")
-    rows = df.select(F.col(key_col).cast("string").alias("_k"), w)
+    rows = (df.where(F.col(key_col).isNotNull())
+            .select(F.col(key_col).cast("string").alias("_k"), w))
     exploded = rows.select(
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
         "_k", "_w")

@@ -70,19 +70,24 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     if overlap:
         raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
 
-    def _null_like(df: DataFrame, col: str):
-        return F.lit(None).cast(df.schema[col].dataType).alias(col)
-
+    # carry the right values as ONE struct, not per-column: per-column
+    # last(ignorenulls) would resurrect an OLDER row's value wherever the
+    # matched row holds NULL — a frankenrow no as-of implementation emits
+    # (kdb/pandas/DuckDB all return the matched row as-is).  The struct is
+    # non-null exactly for right rows, so one last(ignorenulls) carries the
+    # whole matched row atomically.
+    rv_struct = F.struct(*[F.col(c) for c in rvals]).alias("_rv")
+    null_rv = F.lit(None).cast(
+        right.select(rv_struct).schema["_rv"].dataType).alias("_rv")
     lhs = left.select(
         F.lit(1).alias("_side"), F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
-        *[F.col(c) for c in left.columns],
-        *[_null_like(right, c) for c in rvals])
+        *[F.col(c) for c in left.columns], null_rv)
     rhs = right.select(
         F.lit(0).alias("_side"), F.col(key).alias("_k"),
         F.col(right_ts).alias("_t"),
-        *[_null_like(left, c) for c in left.columns],
-        *[F.col(c) for c in rvals])
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns], rv_struct)
     u = lhs.unionByName(rhs)
     from pyspark.sql import Window
     # right rows (side 0) sort BEFORE left rows at equal _t, so a right row
@@ -90,10 +95,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     w = (Window.partitionBy("_k")
          .orderBy(F.col("_t").asc(), F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-               for c in rvals]
-    return (u.select("_side", *[F.col(c) for c in left.columns], *carried)
-            .where(F.col("_side") == 1).drop("_side"))
+    carried = F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_rvc")
+    return (u.select("_side", *[F.col(c) for c in left.columns], carried)
+            .where(F.col("_side") == 1)
+            .select(*[F.col(c) for c in left.columns],
+                    *[F.col(f"_rvc.{c}").alias(c) for c in rvals]))
 
 
 def release_caches(df: DataFrame) -> None:

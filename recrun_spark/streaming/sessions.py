@@ -129,12 +129,19 @@ def sessionize_stream(events: DataFrame, gap_s: int = DEFAULT_GAP_S,
     early or too late."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
-    if isinstance(events.schema["ts"].dataType, TimestampNTZType):
-        wm_src = events.withColumn("_wm_ts", F.expr(
-            "timestamp_micros(timestampdiff(MICROSECOND, "
-            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
-    else:
-        wm_src = events.withColumn("_wm_ts", F.col("ts"))
+    if not isinstance(events.schema["ts"].dataType, TimestampNTZType):
+        # TIMESTAMP_LTZ input: normalize to NTZ whose wall clock IS the
+        # true epoch (UTC) BEFORE anything downstream sees it.  Without
+        # this, pandas hands the fold session-LOCAL wall-clock values, so
+        # timeout timestamps would sit tz-offset away from the (true-epoch)
+        # watermark and sessions would time out hours early/late under any
+        # non-UTC session.
+        events = events.withColumn("ts", F.expr(
+            "convert_timezone(current_timezone(), 'UTC', "
+            "cast(ts as timestamp_ntz))"))
+    wm_src = events.withColumn("_wm_ts", F.expr(
+        "timestamp_micros(timestampdiff(MICROSECOND, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
     return (wm_src.withWatermark("_wm_ts", f"{delay_ms} milliseconds")
             .groupBy("user_id")
             .applyInPandasWithState(_fn_factory(gap_s * 1_000_000),

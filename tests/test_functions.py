@@ -39,10 +39,13 @@ def test_multimodal_features_deterministic(spark):
                                                    frame_sample_plan,
                                                    synth_media)
     media = synth_media(spark, n=24)
+    # use_real=False: the synthetic payloads are seeded bytes, not real
+    # images — on a PIL-equipped box the auto-probe would route image rows
+    # to the real kernel, which (correctly) cannot decode them
     f1 = sorted((r["media_id"], r["sha1"], tuple(r["feature"]))
-                for r in extract_features(media).collect())
+                for r in extract_features(media, use_real=False).collect())
     f2 = sorted((r["media_id"], r["sha1"], tuple(r["feature"]))
-                for r in extract_features(media).collect())
+                for r in extract_features(media, use_real=False).collect())
     assert f1 == f2
     assert all(len(t[2]) == 8 for t in f1)
     plan = frame_sample_plan(media, every_ms=1000)
@@ -403,3 +406,41 @@ def test_asof_join_differential_vs_pandas(spark):
                 row["rts"].to_pydatetime()
             assert got[row["eid"]] == (val, rts), (trial, row["eid"])
         assert len(got) == len(lrows)
+
+
+def test_asof_join_null_right_values_not_resurrected(spark):
+    """Code-review r03 fix: a NULL in the matched right row must come
+    through as NULL — not be back-filled from an older right row (the
+    per-column carry bug would emit a frankenrow no as-of implementation
+    produces)."""
+    import datetime as dt
+
+    from recrun_spark.operators import asof_join
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    left = spark.createDataFrame([(1, t("2024-01-01 12:00"), "e")],
+                                 "k bigint, lts timestamp, ev string")
+    right = spark.createDataFrame(
+        [(1, t("2024-01-01 10:00"), 5, "x"),
+         (1, t("2024-01-01 11:00"), None, "y")],
+        "k bigint, rts timestamp, val int, note string")
+    row = asof_join(left, right, "k", "lts", "rts").collect()[0]
+    assert (row["val"], row["note"], row["rts"]) == \
+        (None, "y", t("2024-01-01 11:00"))
+
+
+def test_count_min_sketch_ignores_null_keys(spark):
+    """Code-review r03 fix: NULL keys are excluded (concat-based hashing
+    would conflate them into a phantom key and diverge from SQL mirrors)."""
+    from recrun_spark.functions.sketch import count_min_sketch
+    with_nulls = spark.createDataFrame(
+        [(1,), (1,), (None,), (2,), (None,)], "user_id bigint")
+    without = spark.createDataFrame([(1,), (1,), (2,)], "user_id bigint")
+
+    def cells(df):
+        return {(r["i"], r["bucket"]): r["cnt"]
+                for r in count_min_sketch(df, "user_id").collect()}
+
+    assert cells(with_nulls) == cells(without)

@@ -210,7 +210,7 @@ def _fuzz_node(rng, depth):
 
 def test_sanitize_differential_fuzz_vs_reference():
     """render.sanitize_html vs the reference iframe.js sanitize() executed
-    VERBATIM under Node on a minimal DOM shim: 400 seeded random fragments
+    VERBATIM under Node on a minimal DOM shim: 1000 seeded random fragments
     (nested allowed/disallowed tags, rawtext script/style, every RFC-3986
     relative-URL shape from the reference's own comment table, duplicate
     and bare attributes, entities, mixed case, single/double quotes) must

@@ -342,3 +342,53 @@ def test_incremental_cms_stream_equals_batch(spark, tmpdir_path):
     got4 = cells_of(read_sketch(spark, root))
     assert got4 == cells_of(count_min_sketch(ev, "user_id"))
     assert got4 != got3
+
+
+def test_sessionizer_ltz_input_under_non_utc_session(spark, tmpdir_path):
+    """Code-review r03 fix: TIMESTAMP_LTZ event input under a NON-UTC
+    session must behave identically to the NTZ path — before the fix,
+    pandas delivered session-local wall clocks, shifting every timeout by
+    the tz offset against the (true-epoch) watermark.  Same scenario as
+    the semantics-pin test: only u11's trailing session may be emitted."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recrun_spark.streaming.sessions import run_sessionize_available_now
+
+    base = 1_700_000_000
+
+    def mkfile(rows, path, mtime):
+        pdf = pd.DataFrame({
+            "event_id": [r[0] for r in rows],
+            # tz-aware UTC -> parquet isAdjustedToUTC=true -> Spark LTZ
+            "ts": pd.to_datetime(
+                [int(round((base + r[2]) * 1_000_000)) for r in rows],
+                unit="us", utc=True).astype("datetime64[us, UTC]"),
+            "user_id": [r[1] for r in rows],
+            "event_type": "x", "value": 1.0, "props": "{}"})
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (mtime, mtime))
+
+    src = os.path.join(tmpdir_path, "in")
+    os.makedirs(src)
+    mkfile([(1, 10, 1000.0), (2, 11, 999.999), (3, 12, 1000.001)],
+           os.path.join(src, "part-000.parquet"), 1_000_000)
+    mkfile([(4, 99, 2810.0)],
+           os.path.join(src, "part-001.parquet"), 1_000_001)
+    schema = spark.read.parquet(os.path.join(src, "part-000.parquet")).schema
+    assert schema["ts"].dataType.typeName() == "timestamp"   # LTZ, not NTZ
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        sink = run_sessionize_available_now(
+            spark, src, os.path.join(tmpdir_path, "out"), schema,
+            gap_s=1800, delay_ms=10_000)
+        got = sorted((r["user_id"], r["n_events"],
+                      r["start_us"], r["end_us"])
+                     for r in spark.read.parquet(sink).collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    us = base * 1_000_000
+    assert got == [(11, 1, us + 999_999_000, us + 999_999_000)], got
