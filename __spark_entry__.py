@@ -348,6 +348,17 @@ def ann_near_dups(spark, sf_dir):
                                          n_centroids=16, nprobe=8))
 
 
+def ann_dedup_clusters(spark, sf_dir):
+    """End-to-end embedding dedup (the embedding-side twin of
+    dedup_clusters): bucketed near-dup pairs → CC transitive closure →
+    canonical vector per cluster, every vector mapped."""
+    from recrun_spark.functions.similarity import embedding_dedup_clusters
+    _ensure_pkg(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return _finalize(embedding_dedup_clusters(emb, threshold=0.45,
+                                              n_centroids=16, nprobe=8))
+
+
 def events_quantiles(spark, sf_dir):
     """Exact distributed quantiles (percentile with linear interpolation —
     the numeric-summary family): per event_type p25/p50/p75/p95 of value.
@@ -739,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_near_dups": ann_near_dups,
+        "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
         "parts_with_orders": parts_with_orders,
         "rollup_pricing": rollup_pricing,
@@ -867,6 +879,40 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
 """
+
+# shared CTE body for the bucketed (IVF multi-probe) near-dup candidate
+# generation + exact-cosine verification — mirrors
+# functions.similarity.embedding_near_dups with 16 hash-sampled centroids
+# and 8 probes; used by ann_near_dups AND ann_dedup_clusters
+_ANN_ND_CTE = f"""
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC,
+                            vec_id ASC) AS bucket, vec
+  FROM v ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC LIMIT 16
+),
+ranked AS (
+  SELECT a.vec_id, b.bucket,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY round({_COS}, 6) DESC, b.bucket ASC) AS r
+  FROM v a, cents b
+),
+probe AS (SELECT vec_id AS pid, bucket FROM ranked WHERE r <= 8),
+top1 AS (SELECT vec_id AS qid, bucket FROM ranked WHERE r = 1),
+cand AS (
+  SELECT DISTINCT least(pid, qid) AS id_a,
+                  greatest(pid, qid) AS id_b
+  FROM probe JOIN top1 USING (bucket) WHERE pid != qid
+),
+verified AS (
+  SELECT id_a, id_b,
+         round(list_inner_product(a.vec, b.vec) /
+               (sqrt(list_inner_product(a.vec, a.vec)) *
+                sqrt(list_inner_product(b.vec, b.vec))), 4) AS sim
+  FROM cand
+  JOIN v a ON a.vec_id = id_a
+  JOIN v b ON b.vec_id = id_b
+)"""
 
 _STOP = {
     "en": "['the','a','of','and','to','in','is','that','it','for']",
@@ -1189,42 +1235,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
-        # mirrors the bucketed (IVF multi-probe) candidate generation of
-        # functions.similarity.embedding_near_dups — candidates are pairs
-        # where one side's top-1 bucket is in the other's 8 probe buckets,
-        # verified at exact cosine (same deterministic centroids as the
-        # ann_ivf_topk oracle)
         "ann_near_dups": f"""
-            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec
-                       FROM embeddings),
-            cents AS (
-              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC,
-                                        vec_id ASC) AS bucket, vec
-              FROM v ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC LIMIT 16
-            ),
-            ranked AS (
-              SELECT a.vec_id, b.bucket,
-                     row_number() OVER (PARTITION BY a.vec_id
-                       ORDER BY round({_COS}, 6) DESC, b.bucket ASC) AS r
-              FROM v a, cents b
-            ),
-            probe AS (SELECT vec_id AS pid, bucket FROM ranked WHERE r <= 8),
-            top1 AS (SELECT vec_id AS qid, bucket FROM ranked WHERE r = 1),
-            cand AS (
-              SELECT DISTINCT least(pid, qid) AS id_a,
-                              greatest(pid, qid) AS id_b
-              FROM probe JOIN top1 USING (bucket) WHERE pid != qid
-            ),
-            verified AS (
-              SELECT id_a, id_b,
-                     round(list_inner_product(a.vec, b.vec) /
-                           (sqrt(list_inner_product(a.vec, a.vec)) *
-                            sqrt(list_inner_product(b.vec, b.vec))), 4) AS sim
-              FROM cand
-              JOIN v a ON a.vec_id = id_a
-              JOIN v b ON b.vec_id = id_b
-            )
+            WITH {_ANN_ND_CTE}
             SELECT id_a, id_b, sim FROM verified WHERE sim >= 0.45
+        """,
+        # near-dup pairs -> transitive closure -> canonical min id per
+        # cluster (every vector mapped) — the embedding-side twin of the
+        # dedup_clusters oracle
+        "ann_dedup_clusters": f"""
+            WITH RECURSIVE {_ANN_ND_CTE},
+            pairs AS (SELECT id_a, id_b FROM verified WHERE sim >= 0.45),
+            sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS n FROM sym),
+            reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT s.v, r.m FROM reach r JOIN sym s ON s.u = r.n
+            ),
+            comp AS (SELECT n, min(m) AS canonical FROM reach GROUP BY n)
+            SELECT d.vec_id,
+                   coalesce(c.canonical, d.vec_id) AS canonical_vec_id
+            FROM (SELECT DISTINCT vec_id FROM embeddings) d
+            LEFT JOIN comp c ON c.n = d.vec_id
         """,
         "events_quantiles": """
             SELECT event_type,

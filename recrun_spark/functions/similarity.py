@@ -145,6 +145,30 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     return out
 
 
+def embedding_dedup_clusters(embeddings: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             **near_dup_kwargs) -> DataFrame:
+    """(vec_id, canonical_vec_id) for EVERY vector — the embedding-side
+    twin of dedup.dedup_clusters: bucketed near-dup pairs → connected
+    components (transitive closure) → canonical = min id per cluster;
+    non-duplicates map to themselves.  All scale-safe pieces composed:
+    IVF-bucketed candidates, O(log n)-round CC, one left join back."""
+    from ..operators import connected_components
+    pairs = embedding_near_dups(embeddings, threshold, id_col=id_col,
+                                vec_col=vec_col, **near_dup_kwargs)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")), "src", "dst")
+    vecs = embeddings.select(F.col(id_col).alias("vec_id")).distinct()
+    out = (vecs.join(comp, vecs["vec_id"] == comp["node"], "left")
+           .select("vec_id",
+                   F.coalesce("component", "vec_id")
+                   .alias("canonical_vec_id")))
+    out._recrun_caches = getattr(pairs, "_recrun_caches", [])
+    return out
+
+
 def _centroids(embeddings: DataFrame, n_centroids: int,
                id_col: str, vec_col: str,
                strategy: str = "hash_sample") -> DataFrame:
