@@ -168,11 +168,17 @@ def minhash_signatures(documents: DataFrame, k: int = MH_K, n: int = 3,
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
                       k: int = MH_K, bands: int = LSH_BANDS, n: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
-                      seed: int = 7) -> DataFrame:
+                      seed: int = 7, materialize: bool = True) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
     Returns (doc_a, doc_b, jaccard) — candidates that share at least one
     band signature AND verify at exact Jaccard >= threshold.
+
+    ``materialize=True`` (default) runs the LSH candidate job EAGERLY at
+    construction so the three verify-stage consumers deterministically hit
+    a fully-built cache (see the inline note).  Pass ``materialize=False``
+    for plan-only callers (explain/audit, lazy composition) — the frames
+    are still marked for caching, but no Spark job runs until an action.
     """
     rows = k // bands
     # shingle the corpus ONCE: the same persisted frame feeds signature
@@ -201,18 +207,17 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
     # (doc_a filter, doc_b filter, final semi-join) — persist so each
     # consumer reads the cache instead of recomputing the signature+banding
     # pipeline (the 64 min-aggregates, the most expensive stage here).
-    # NOTE the count() makes construction EAGER: the LSH job runs here, at
-    # build time, so the three consumer subtrees deterministically hit a
-    # fully materialized cache (concurrent first-touch of a cold cache
-    # serializes per-partition in the block manager, but scheduling then
-    # decides how much of the pipeline overlaps — the measured 9.1s/9.4s
-    # quiet-window numbers are WITH this barrier).  Callers that only want
-    # the plan (explain/audit) should build the frame via the underlying
-    # stages, not this function.
+    # NOTE materialize=True makes construction EAGER: the LSH job runs
+    # here, at build time, so the three consumer subtrees deterministically
+    # hit a fully materialized cache (concurrent first-touch of a cold
+    # cache serializes per-partition in the block manager, but scheduling
+    # then decides how much of the pipeline overlaps — the measured
+    # 9.1s/9.4s quiet-window numbers are WITH this barrier).
     cands = (ca.join(cb, ["band", "bucket"])
              .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b").distinct().persist())
-    cands.count()
+    if materialize:
+        cands.count()
     # the kept-shingle frame likewise feeds sizes + both join sides of the
     # verification: persist so the df frequency aggregate runs once
     sh_kept = _df_cut(sh, max_shingle_freq=1000).persist()

@@ -41,19 +41,30 @@ FEATURE_SCHEMA = StructType([
     StructField("feature", ArrayType(FloatType())),  # 8-dim embedding stub
 ])
 
-def _probe_real_decoders() -> bool:
-    """Import-probe for real codec libraries.  Runs at module import on
-    the DRIVER and on every executor Python worker (each imports this
-    module), so a codec-equipped cluster routes through the real kernel
-    with no config change."""
+def _probe_real_decoders() -> dict:
+    """Per-modality import-probe for real codec libraries: PIL for images,
+    PyAV (the import-probe-able ffmpeg binding) for audio/video.
+
+    ``extract_features(use_real=None)`` calls this LAZILY inside the Arrow
+    batch fn, so the probe runs on each executor Python worker at task
+    time — on a heterogeneous cluster (driver has PIL, an executor
+    doesn't) each worker routes by what IT has instead of inheriting the
+    driver's answer via cloudpickle capture."""
+    out = {}
     try:
         import PIL.Image  # noqa: F401
-        return True
+        out["image"] = True
     except Exception:
-        return False
+        out["image"] = False
+    try:
+        import av  # noqa: F401  (PyAV — ffmpeg binding)
+        out["audio"] = out["video"] = True
+    except Exception:
+        out["audio"] = out["video"] = False
+    return out
 
 
-REAL_DECODERS_AVAILABLE = _probe_real_decoders()
+REAL_DECODERS_AVAILABLE = _probe_real_decoders()  # driver-side snapshot
 
 
 def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
@@ -66,26 +77,58 @@ def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
 
 
 def decode_real(payload: bytes, modality: str) -> np.ndarray:
-    """Real decode kernel, used when ``REAL_DECODERS_AVAILABLE``.  Images:
-    PIL decode -> 8-dim feature (per-channel mean/std of a fixed-size
-    thumbnail — cheap, deterministic).  Audio/video need ffmpeg, which has
-    no import-probe-able Python binding here — they raise until a real
-    binding is wired in (the honest boundary; do NOT silently fake)."""
-    if modality != "image":
-        raise NotImplementedError(
-            f"real {modality} decoding requires ffmpeg bindings — only the "
-            "PIL image path is wired; use use_real=False for the stub")
+    """Real decode kernels.  Images: PIL decode -> 8-dim feature
+    (per-channel mean/std + luminance mean/std of a fixed-size thumbnail —
+    cheap, deterministic).  Audio/video: PyAV (ffmpeg) decode -> 8-dim
+    sample/pixel statistics.  Each modality raises loudly when its library
+    is absent (the honest boundary; do NOT silently fake)."""
     import io
-
-    import PIL.Image
-    img = PIL.Image.open(io.BytesIO(payload)).convert("RGB") \
-        .resize((8, 8), PIL.Image.BILINEAR)
-    px = np.asarray(img, dtype=np.float32) / 255.0
-    means = px.mean(axis=(0, 1))            # 3
-    stds = px.std(axis=(0, 1))              # 3
-    lum = px.mean(axis=2)
-    return np.concatenate([means, stds,
-                           [lum.mean(), lum.std()]]).astype(np.float32)
+    if modality == "image":
+        import PIL.Image
+        img = PIL.Image.open(io.BytesIO(payload)).convert("RGB") \
+            .resize((8, 8), PIL.Image.BILINEAR)
+        px = np.asarray(img, dtype=np.float32) / 255.0
+        means = px.mean(axis=(0, 1))            # 3
+        stds = px.std(axis=(0, 1))              # 3
+        lum = px.mean(axis=2)
+        return np.concatenate([means, stds,
+                               [lum.mean(), lum.std()]]).astype(np.float32)
+    if modality in ("audio", "video"):
+        try:
+            import av
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"real {modality} decoding requires the PyAV ffmpeg "
+                "binding (`import av` failed); use use_real=False for the "
+                "stub") from exc
+        container = av.open(io.BytesIO(payload))
+        if modality == "audio":
+            chunks = [frame.to_ndarray().astype(np.float32).ravel()
+                      for frame in container.decode(audio=0)]
+            x = (np.concatenate(chunks) if chunks
+                 else np.zeros(1, dtype=np.float32))
+            return np.array([
+                x.mean(), x.std(), x.min(), x.max(),
+                np.abs(x).mean(), np.sqrt((x * x).mean()),
+                float((np.diff(np.signbit(x)) != 0).mean()) if x.size > 1
+                else 0.0,
+                float(x.size)], dtype=np.float32)
+        # video: bounded frame sample (first 8 frames), pixel statistics
+        frames = []
+        for i, frame in enumerate(container.decode(video=0)):
+            if i >= 8:
+                break
+            frames.append(frame.to_ndarray(format="rgb24")
+                          .astype(np.float32) / 255.0)
+        if not frames:
+            return np.zeros(8, dtype=np.float32)
+        px = np.stack(frames)
+        means = px.mean(axis=(0, 1, 2))         # 3
+        stds = px.std(axis=(0, 1, 2))           # 3
+        lum = px.mean(axis=3)
+        return np.concatenate([means, stds,
+                               [lum.mean(), lum.std()]]).astype(np.float32)
+    raise ValueError(f"unknown modality {modality!r}")
 
 
 def extract_features(media: DataFrame, use_real: bool | None = None
@@ -93,9 +136,11 @@ def extract_features(media: DataFrame, use_real: bool | None = None
     """media(MEDIA_SCHEMA) -> features(FEATURE_SCHEMA): Arrow-batched map,
     zero shuffle; binary payloads never leave the executor as Python rows.
 
-    ``use_real=None`` auto-probes for codec libraries on each worker and
+    ``use_real=None`` auto-probes for codec libraries ON EACH WORKER (the
+    probe call is inside the batch fn, so every executor Python worker
+    evaluates it at task time — not a cloudpickled driver snapshot) and
     routes PER MODALITY: images through the real kernel when PIL is
-    present, audio/video through the stub until an ffmpeg binding is wired
+    present, audio/video through the real PyAV kernel when `av` imports
     (routing per batch would crash mixed-modality data on the first
     audio row).  ``False`` pins the deterministic stub everywhere (the
     golden-parity path the driver oracle compares against); ``True``
@@ -103,12 +148,12 @@ def extract_features(media: DataFrame, use_real: bool | None = None
     real kernel exists rather than silently faking."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        real = REAL_DECODERS_AVAILABLE if use_real is None else use_real
+        probe = _probe_real_decoders() if use_real is None else {}
 
         def kernel(raw: bytes, modality: str) -> np.ndarray:
             if use_real is True:
                 return decode_real(raw, modality)
-            if real and modality == "image":
+            if use_real is None and probe.get(modality):
                 return decode_real(raw, modality)
             return _fake_decode(raw, modality)
 

@@ -62,7 +62,14 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     Requirements: (key, right_ts) must be unique on the right (pre-
     aggregate duplicates, e.g. max per timestamp) — otherwise which
     equal-timestamp row wins is unspecified; left/right non-key column
-    names must not overlap."""
+    names must not overlap.
+
+    NULL timestamps follow native ASOF semantics (kdb/pandas/DuckDB):
+    right rows with NULL ``right_ts`` are dropped before the merge (they
+    can never be "the greatest ts <= left_ts"), and a left row with NULL
+    ``left_ts`` matches nothing (its right columns come back NULL) — it
+    sorts before every real timestamp in the merge window, so no right
+    row precedes it."""
     if how != "backward":
         raise ValueError(f"asof_join supports how='backward', got {how!r}")
     rvals = [c for c in right.columns if c != key]
@@ -83,7 +90,7 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(1).alias("_side"), F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
         *[F.col(c) for c in left.columns], null_rv)
-    rhs = right.select(
+    rhs = right.where(F.col(right_ts).isNotNull()).select(
         F.lit(0).alias("_side"), F.col(key).alias("_k"),
         F.col(right_ts).alias("_t"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -91,9 +98,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     u = lhs.unionByName(rhs)
     from pyspark.sql import Window
     # right rows (side 0) sort BEFORE left rows at equal _t, so a right row
-    # at exactly left_ts is visible to that left row (inclusive backward)
+    # at exactly left_ts is visible to that left row (inclusive backward).
+    # NULL left timestamps sort FIRST (explicitly, not by default) so they
+    # precede every right row and carry no match — native ASOF semantics.
     w = (Window.partitionBy("_k")
-         .orderBy(F.col("_t").asc(), F.col("_side").asc())
+         .orderBy(F.col("_t").asc_nulls_first(), F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_rvc")
     return (u.select("_side", *[F.col(c) for c in left.columns], carried)

@@ -56,8 +56,22 @@ def _estimate_matcher_bytes(surfaces_tuple: tuple, pattern) -> int:
     return 4096 + chars * per_char
 
 
+def _surface_digest(surfaces_tuple: tuple) -> bytes:
+    """Injective digest of a surface tuple: each component is length-
+    prefixed before hashing, so no choice of surface contents (embedded
+    NULs, separator look-alikes) can make two distinct dictionaries
+    collide to one cache key — a collision would silently return the
+    WRONG matcher."""
+    h = hashlib.sha1()
+    for s in surfaces_tuple:
+        b = s.encode("utf-8")
+        h.update(len(b).to_bytes(4, "big"))
+        h.update(b)
+    return h.digest()
+
+
 def _cached_pattern(surfaces_tuple: tuple):
-    key = hashlib.sha1("\x00".join(surfaces_tuple).encode()).digest()
+    key = _surface_digest(surfaces_tuple)
     hit = _PATTERN_CACHE.pop(key, None)
     if hit is None:
         pattern = build_alias_pattern(surfaces_tuple)

@@ -444,3 +444,136 @@ def test_count_min_sketch_ignores_null_keys(spark):
                 for r in count_min_sketch(df, "user_id").collect()}
 
     assert cells(with_nulls) == cells(without)
+
+
+def test_asof_join_null_timestamps(spark):
+    """ADVICE r03 fix: NULL timestamps follow native ASOF semantics —
+    a right row with NULL right_ts is never matched (it used to sort
+    first and be carried into every unmatched left row), and a left row
+    with NULL left_ts matches nothing."""
+    import datetime as dt
+
+    from recrun_spark.operators import asof_join
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [(1, t("2024-01-01 09:00"), "early"),   # before every real right ts
+         (1, t("2024-01-01 12:00"), "late"),
+         (1, None, "nullts")],
+        "k bigint, lts timestamp, ev string")
+    right = spark.createDataFrame(
+        [(1, None, 666),                        # must never match anything
+         (1, t("2024-01-01 10:00"), 100)],
+        "k bigint, rts timestamp, val int")
+    got = {r["ev"]: (r["val"], r["rts"])
+           for r in asof_join(left, right, "k", "lts", "rts").collect()}
+    assert got["early"] == (None, None)         # not the NULL-ts row
+    assert got["late"] == (100, t("2024-01-01 10:00"))
+    assert got["nullts"] == (None, None)
+    assert len(got) == 3                        # all left rows preserved
+
+
+def test_stage2_surface_digest_injective():
+    """ADVICE r03 fix: the worker matcher-cache key must be injective over
+    surface tuples — a NUL inside a surface used to collide ('a\\x00b',)
+    with ('a', 'b') and silently return the wrong matcher."""
+    from recrun_spark.stage2 import _surface_digest
+    assert _surface_digest(("a\x00b",)) != _surface_digest(("a", "b"))
+    assert _surface_digest(("ab", "c")) != _surface_digest(("a", "bc"))
+    assert _surface_digest(("x",)) == _surface_digest(("x",))
+
+
+def test_minhash_lsh_materialize_flag(spark):
+    """materialize=False builds the same result lazily (no eager candidate
+    job at construction) — the plan-only path explain_audit uses."""
+    from recrun_spark.functions.dedup import minhash_lsh_pairs
+    from recrun_spark.operators import release_caches
+    docs = spark.createDataFrame(
+        [("a", "alpha beta gamma delta epsilon zeta"),
+         ("b", "alpha beta gamma delta epsilon eta"),
+         ("c", "one two three four five six seven")],
+        ["doc_id", "text"])
+    eager = minhash_lsh_pairs(docs, threshold=0.5)
+    lazy = minhash_lsh_pairs(docs, threshold=0.5, materialize=False)
+    want = {(r["doc_a"], r["doc_b"]) for r in eager.collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in lazy.collect()}
+    assert got == want and ("a", "b") in got
+    release_caches(eager)
+    release_caches(lazy)
+
+
+def test_multimodal_probe_and_real_av_kernels(monkeypatch):
+    """The decoder probe reports per-modality availability, and the PyAV
+    audio/video kernels produce deterministic 8-dim features when an `av`
+    module is importable (faked here with the exact API surface the kernel
+    uses — the sandbox has no ffmpeg)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from recrun_spark.functions import multimodal
+
+    probe = multimodal._probe_real_decoders()
+    assert set(probe) == {"image", "audio", "video"}
+
+    class _Frame:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def to_ndarray(self, format=None):
+            return self._arr
+
+    class _Container:
+        def __init__(self, payload):
+            self._seed = (payload[0] if payload else 0) + 1
+
+        def decode(self, audio=None, video=None):
+            rng = np.random.RandomState(self._seed)
+            if audio is not None:
+                for _ in range(3):
+                    yield _Frame(rng.uniform(-1, 1, (1, 64))
+                                 .astype(np.float32))
+            else:
+                for _ in range(4):
+                    yield _Frame(rng.randint(0, 256, (4, 4, 3))
+                                 .astype(np.uint8))
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda f: _Container(f.read())
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+
+    assert multimodal._probe_real_decoders()["audio"] is True
+    a1 = multimodal.decode_real(b"\x03payload", "audio")
+    a2 = multimodal.decode_real(b"\x03payload", "audio")
+    v1 = multimodal.decode_real(b"\x07payload", "video")
+    assert a1.shape == (8,) and v1.shape == (8,)
+    assert np.array_equal(a1, a2)               # deterministic
+    assert np.isfinite(a1).all() and np.isfinite(v1).all()
+    assert not np.array_equal(a1, multimodal.decode_real(b"\x09x", "audio"))
+
+
+def test_multimodal_real_audio_raises_without_av(monkeypatch):
+    """Without PyAV the audio/video kernels raise loudly (honest boundary),
+    and they say how to get the stub instead."""
+    import builtins
+    import sys
+
+    import pytest
+
+    from recrun_spark.functions import multimodal
+
+    monkeypatch.delitem(sys.modules, "av", raising=False)
+    real_import = builtins.__import__
+
+    def no_av(name, *a, **kw):
+        if name == "av":
+            raise ImportError("no ffmpeg binding")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_av)
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        multimodal.decode_real(b"x", "audio")
+    assert multimodal._probe_real_decoders()["video"] is False
