@@ -435,10 +435,13 @@ def nation_order_balance(spark, sf_dir):
 
 def simhash_near_dups(spark, sf_dir):
     """Banded SimHash near-duplicate pairs: EXACT Hamming-<=3 result at LSH
-    cost (pigeonhole over max_hamming+1 bands guarantees every qualifying
-    pair shares a band — no recall loss, no all-pairs join).  Oracle: the
+    cost (pigeonhole over the block subsets guarantees every qualifying
+    pair shares a key — no recall loss, no all-pairs join).  The block
+    count is DERIVED from the corpus size (dedup.derive_simhash_blocks):
+    small corpora keep the classic k+1 bands, huge corpora automatically
+    widen keys so collision volume stays ~linear in n.  Oracle: the
     brute-force all-pairs Hamming filter over the same portable
-    md5-derived signatures."""
+    md5-derived signatures — independent of any banding choice."""
     from recrun_spark.functions.dedup import simhash_near_dups as snd
     return snd(_t(spark, sf_dir, "documents"), max_hamming=3)
 

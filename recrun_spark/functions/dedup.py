@@ -260,31 +260,86 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.6,
     return out
 
 
+def derive_simhash_blocks(n_docs: int, max_hamming: int = 3,
+                          max_tables: int = 64,
+                          collision_slack: int = 8) -> int:
+    """Pick the SimHash block count m from the corpus size (the
+    ``target_bucket_size`` pattern embedding_near_dups uses for K).
+
+    The banding splits the signature into m blocks and keys candidates on
+    every (m - k)-subset of blocks (k = ``max_hamming``) — exact by
+    pigeonhole for ANY m > k: ≤ k differing bits touch ≤ k blocks, so at
+    least one (m - k)-subset is untouched and still collides.  m = k + 1
+    is the classic single-block-key scheme (key width 60/(k+1) bits);
+    larger m widens each key to ~60·(m-k)/m bits, shrinking random
+    band-bucket collisions at the cost of C(m, m-k) tables per doc.
+
+    Returns the smallest m whose expected random collision volume
+    ``C(m, m-k) · n² / 2^width`` stays within ``collision_slack · n``
+    (linear in corpus size), capped at ``max_tables`` tables — so a
+    10⁷-doc corpus automatically takes wider keys instead of silently
+    drowning in the documented n²/2¹⁵ candidate flood."""
+    import math
+    k = max_hamming
+    best = k + 1
+    for m in range(k + 1, SIMHASH_BITS + 1):
+        n_tables = math.comb(m, m - k)
+        if n_tables > max_tables:
+            break
+        best = m
+        width = (m - k) * (SIMHASH_BITS // m)   # conservative (min) width
+        if n_tables * float(n_docs) ** 2 / (2.0 ** width) \
+                <= collision_slack * max(n_docs, 1):
+            return m
+    return best
+
+
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
-                      text_col: str = "text", id_col: str = "doc_id"
-                      ) -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_blocks: int | None = None,
+                      corpus_count: int | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming) — pairs whose SimHash signatures differ in at
     most ``max_hamming`` bits.  EXACT result at LSH cost: signatures are
-    split into ``max_hamming + 1`` bands, candidates share at least one
-    band (pigeonhole: ≤ k differing bits cannot touch all k+1 bands), and
-    candidates are verified with the true Hamming distance.  One groupBy
-    per band bucket + one equi-join — never an all-pairs comparison.
+    split into ``n_blocks`` blocks, candidates share every block of at
+    least one (n_blocks - max_hamming)-subset (pigeonhole: ≤ k differing
+    bits cannot touch more than k blocks), and candidates are verified
+    with the true Hamming distance.  One groupBy per key bucket + one
+    equi-join — never an all-pairs comparison.
 
-    At corpus scale the candidate volume is governed by band-bucket
-    collision rates; for 60-bit signatures and k=3 each band is 15 bits,
-    so random collisions are ~n²/2¹⁵ per band — fine to ~10⁷ docs/bucket
-    domain; larger corpora should raise SIMHASH_BITS or pre-partition by a
-    signature prefix."""
-    bands = max_hamming + 1
-    width = SIMHASH_BITS // bands
+    ``n_blocks=None`` (default) derives the block count from a corpus
+    count (one metadata-cheap count, or pass ``corpus_count`` to skip it)
+    via ``derive_simhash_blocks`` — small corpora take the classic
+    ``max_hamming + 1`` single-block keys, large corpora automatically
+    widen keys so candidate volume stays ~linear in n instead of
+    n²/2^(60/(k+1))."""
+    from itertools import combinations
+    k = max_hamming
+    if n_blocks is None:
+        n = corpus_count if corpus_count is not None \
+            else documents.count()
+        n_blocks = derive_simhash_blocks(n, k)
+    if not (k < n_blocks <= SIMHASH_BITS):
+        raise ValueError(
+            f"n_blocks must be in ({k}, {SIMHASH_BITS}], got {n_blocks}")
+    widths = [SIMHASH_BITS // n_blocks + (1 if i < SIMHASH_BITS % n_blocks
+                                          else 0)
+              for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block(i):
+        return (F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1)))
+
     sig = simhash(documents, text_col, id_col)
+    keys = [
+        F.struct(F.lit(ci).alias("band"),
+                 F.concat_ws("_", *[block(i).cast("string")
+                                    for i in combo]).alias("bucket"))
+        for ci, combo in enumerate(combinations(range(n_blocks),
+                                                n_blocks - k))]
     banded = sig.select(
         "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.shiftright(F.col("simhash"), i * width)
-                     .bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"))
-            for i in range(bands)])).alias("bb")) \
+        F.explode(F.array(*keys)).alias("bb")) \
         .select("doc_id", "simhash", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
     a = banded.select(F.col("doc_id").alias("doc_a"),
