@@ -334,6 +334,21 @@ def ann_ivf_topk(spark, sf_dir):
                     n_centroids=16, nprobe=4)
 
 
+def ann_ivf_topk_2level(spark, sf_dir):
+    """IVF top-k with the TWO-LEVEL coarse→fine quantizer — the
+    10^8-vector assignment path (VERDICT r03 #3): vectors rank against
+    ⌊√K⌋ coarse cells first, then only the fine centroids inside their
+    nearest cells, ~n·√K·(1+p) comparisons instead of flat n·K.  Same
+    deterministic hash-ordered centroids, rounded cosines, and ascending
+    tie-breaks, so the DuckDB oracle reproduces the coarse cells, the
+    fine→cell map, and the restricted ranking value-exactly."""
+    from recrun_spark.functions.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_ids=list(range(10)), k=5,
+                    n_centroids=16, nprobe=4,
+                    assignment="two_level", coarse_nprobe=2)
+
+
 def ann_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup family #5) — bucketed
     IVF multi-probe candidates + exact-cosine verify; every join is an
@@ -752,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_summary": lang_quality_summary,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_topk_2level": ann_ivf_topk_2level,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -871,6 +887,72 @@ scored AS (
          round(list_inner_product(qb.qvec, a.vec) /
                (sqrt(list_inner_product(qb.qvec, qb.qvec)) *
                 sqrt(list_inner_product(a.vec, a.vec))), 4) AS sim
+  FROM v a
+  JOIN buckets bk ON bk.vec_id = a.vec_id
+  JOIN qb ON qb.bucket = bk.bucket AND a.vec_id != qb.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+"""
+
+def _cosd(x: str, y: str) -> str:
+    """DuckDB cosine between two named DOUBLE[] expressions."""
+    return (f"list_inner_product({x}, {y}) / "
+            f"(sqrt(list_inner_product({x}, {x})) * "
+            f"sqrt(list_inner_product({y}, {y})))")
+
+
+# two-level coarse→fine corpus assignment (mirrors similarity._bucket_ranks
+# assignment='two_level': 4 = isqrt(16) coarse cells, 2 coarse probes),
+# then the same flat query-side probing as _IVF_SQL
+_IVF2_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC)
+           AS bucket, vec
+  FROM v ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC LIMIT 16
+),
+coarse AS (SELECT bucket AS cell, vec AS cellvec FROM cents
+           WHERE bucket <= 4),
+f2c0 AS (
+  SELECT c.bucket, c.vec, z.cell,
+         row_number() OVER (PARTITION BY c.bucket
+           ORDER BY round({_cosd('c.vec', 'z.cellvec')}, 6) DESC,
+                    z.cell ASC) AS fr
+  FROM cents c, coarse z
+),
+f2c AS (SELECT bucket, vec, cell FROM f2c0 WHERE fr = 1),
+vc0 AS (
+  SELECT a.vec_id, a.vec, z.cell,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY round({_cosd('a.vec', 'z.cellvec')}, 6) DESC,
+                    z.cell ASC) AS cr
+  FROM v a, coarse z
+),
+vc AS (SELECT vec_id, vec, cell FROM vc0 WHERE cr <= 2),
+assign0 AS (
+  SELECT vc.vec_id, f.bucket,
+         row_number() OVER (PARTITION BY vc.vec_id
+           ORDER BY round({_cosd('vc.vec', 'f.vec')}, 6) DESC,
+                    f.bucket ASC) AS r
+  FROM vc JOIN f2c f USING (cell)
+),
+buckets AS (SELECT vec_id, bucket FROM assign0 WHERE r = 1),
+q AS (SELECT vec_id, vec FROM v WHERE vec_id < 10),
+qprobe AS (
+  SELECT a.vec_id AS query_id, a.vec AS qvec, b.bucket,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS}, 6) DESC, b.bucket ASC) AS r
+  FROM q a, cents b
+),
+qb AS (SELECT query_id, qvec, bucket FROM qprobe WHERE r <= 4),
+scored AS (
+  SELECT qb.query_id, a.vec_id AS neighbor_id,
+         round({_cosd('qb.qvec', 'a.vec')}, 4) AS sim
   FROM v a
   JOIN buckets bk ON bk.vec_id = a.vec_id
   JOIN qb ON qb.bucket = bk.bucket AND a.vec_id != qb.query_id
@@ -1238,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
+        "ann_ivf_topk_2level": _IVF2_SQL,
         "ann_near_dups": f"""
             WITH {_ANN_ND_CTE}
             SELECT id_a, id_b, sim FROM verified WHERE sim >= 0.45

