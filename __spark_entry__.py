@@ -670,9 +670,11 @@ def events_sessions_stream(spark, sf_dir):
     """STATEFUL Structured Streaming sessionization (applyInPandasWithState
     + EVENT-TIME TIMEOUT, recrun_spark/streaming/sessions.py): events
     replayed as 3 time-ranged files → 3 micro-batches with per-user state
-    carried across them; emits sessions closed by a successor event AND
-    trailing sessions whose timeout fired (idle users are then EVICTED from
-    state — bounded state at any key cardinality).  session_id is derived
+    carried across them; events buffer in state until the watermark passes
+    them (order-tolerant within the delay, across batches), and a session
+    is emitted once the watermark passes its gap deadline (idle users are
+    then EVICTED from state — bounded state at any key cardinality).
+    session_id is derived
     at read time (row_number per user over start_us) — the operator itself
     keeps no counter, which would restart after an eviction.  The oracle is
     plain SQL mirroring the pinned timeout semantics (closed_sessions_sql)."""
@@ -1145,10 +1147,12 @@ def closed_sessions_sql(events_rel: str = "events",
           FROM s GROUP BY 1, 2
         ),
         emit AS (
+          -- a session is emitted once the watermark strictly passes its
+          -- gap deadline (ms-floored) — the buffer-until-watermark
+          -- operator's emission rule, independent of successors and of
+          -- arrival order (sessions.py module docstring)
           SELECT user_id, n_events, start_us, end_us FROM agg a
-          WHERE sess_no < (SELECT max(sess_no) FROM agg b
-                           WHERE b.user_id = a.user_id)
-             OR (end_us + {gap_us}) // 1000 < (SELECT wm_ms FROM stats)
+          WHERE (end_us + {gap_us}) // 1000 < (SELECT wm_ms FROM stats)
         )
         SELECT user_id,
                row_number() OVER (PARTITION BY user_id

@@ -3,14 +3,17 @@
 the batch ``events_sessionized`` query).
 
 Semantics: events grouped by ``user_id``; a new session starts when the
-gap to the previous event exceeds ``gap_s``.  A session is EMITTED when it
-closes — either a later event opens the next one, or the EVENT-TIME
-TIMEOUT fires: once the watermark passes ``last_event + gap``, no on-time
-event can extend the session, so it is emitted and the user's state is
-REMOVED.  Bounded state: idle/churned users do not accumulate state
-forever, and trailing sessions are not lost (VERDICT r02 item 2 — the
-NoTimeout design leaked state at billions of users and never emitted the
-final session).
+gap to the previous event exceeds ``gap_s``.  Events are BUFFERED in
+state until the watermark passes them (no on-time event can still arrive
+below the watermark), then folded in global (ts) order — so arrival
+order across micro-batches does NOT matter as long as lateness stays
+within the watermark delay, the same tolerance Spark's own late-row
+filter enforces.  A session is EMITTED once the watermark passes
+``last_event + gap`` (strict, ms-floored): at that point no on-time
+event can extend it (standard session-window emission).  When a key has
+neither an open session nor buffered events its state is REMOVED —
+bounded state: idle/churned users do not accumulate state forever, and
+trailing sessions are not lost (VERDICT r02 item 2).
 
 Timeout semantics (pinned by tests/test_streaming.py boundary test +
 tools/probe_timeout_semantics.py): Spark evaluates timeouts per
@@ -19,30 +22,30 @@ eviction watermark — max event time seen so far (ms, floored) minus the
 watermark delay — firing when ``timeout_ts < watermark`` (strict).  An
 availableNow drain additionally runs one EXTRA empty micro-batch after
 the data, so pending timeouts are evaluated at the FINAL watermark; the
-emitted set is therefore file-layout independent: a trailing session is
-emitted iff ``last_us + gap`` (ms) < final watermark.  Sessions whose
-gap window still overlaps the watermark stay in state for the next run
-(checkpoint resume).  The SQL mirror lives in ``__spark_entry__.
-closed_sessions_sql`` and is value-checked by the driver at sf0.01.
+emitted set is therefore file-layout independent: a session is emitted
+iff ``last_us + gap`` (ms) < final watermark.  Sessions whose gap window
+still overlaps the watermark — including any still-buffered events —
+stay in state for the next run (checkpoint resume).  The SQL mirror
+lives in ``__spark_entry__.closed_sessions_sql`` and is value-checked by
+the driver at sf0.01.
 
-Ordering contract: within a micro-batch the operator sorts each group by
-(ts, event_id); ACROSS micro-batches the input files must be time-ranged
-(``prepare_ranged_events``) so a user's later events arrive in later
-batches.  That is the standard file-backed replay shape; a live source
-with bounded out-of-order arrival is covered by the same watermark delay
-(events later than ``watermark_delay`` behind the max are dropped by the
-watermark before reaching the operator).
+Oracle-parity precondition: ``gap > delay`` (enforced) — it guarantees
+every event of an emittable session is itself below the watermark at
+emission time, so buffering never withholds a session the watermark rule
+says to emit.
 
-State: (last_us, n_events, start_us) per user — O(1) per key while live,
-REMOVED on timeout; partitioned by the groupBy hash; scales to any key
-cardinality the state store can shard.
+State: (last_us, n_events, start_us, pending) per user — O(1) plus the
+buffer of events the watermark has not passed yet, which the watermark
+bounds to the last ``delay_ms`` of each key's event time; REMOVED once
+drained; partitioned by the groupBy hash; scales to any key cardinality
+the state store can shard.
 
 Session identity: emitted rows carry (user_id, n_events, start_us,
 end_us); a per-user session COUNTER deliberately does not live in state —
 after a timeout evicts the state, a counter would restart and collide.
 Readers derive ``session_id`` as row_number over start_us per user (the
 driver query does exactly that), which is stable because start_us is
-unique per user under the ordering contract.
+unique per user within the gap semantics.
 """
 
 from __future__ import annotations
@@ -56,7 +59,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = ("user_id bigint, n_events bigint, "
                  "start_us bigint, end_us bigint")
-STATE_SCHEMA = "last_us bigint, n_events bigint, start_us bigint"
+STATE_SCHEMA = ("last_us bigint, n_events bigint, start_us bigint, "
+                "pending array<bigint>")
 
 DEFAULT_GAP_S = 1800
 # late-arrival tolerance; also the lag the eviction watermark runs behind
@@ -76,41 +80,67 @@ def _fn_factory(gap_us: int):
             out["start_us"].append(start_us)
             out["end_us"].append(end_us)
 
-        if state.hasTimedOut:
-            # watermark passed last_us + gap with no new data: the open
-            # session can never be extended — emit it and EVICT the key
-            last_us, n_ev, start_us = state.get
-            if start_us >= 0:
-                emit(n_ev, start_us, last_us)
-            state.remove()
-            yield pd.DataFrame(out)
-            return
-
+        wm_ms = state.getCurrentWatermarkMs()
         if state.exists:
-            last_us, n_ev, start_us = state.get
+            last_us, n_ev, start_us, pending = state.get
+            pending = [int(t) for t in (pending or [])]
         else:
+            last_us, n_ev, start_us, pending = -1, 0, -1, []
+
+        if not state.hasTimedOut:
+            parts = [p for p in pdfs if len(p)]
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True)
+                # unit-EXPLICIT conversion: pandas may deliver
+                # datetime64[us] (Arrow-backed) — a bare astype('int64')
+                # would silently yield milliseconds-scale values (ADVICE
+                # r02); normalize to ns first
+                ts_us = (pdf["ts"].astype("datetime64[ns]")
+                         .astype("int64") // 1000)
+                pending.extend(int(t) for t in ts_us.tolist())
+
+        # fold every buffered event the watermark has passed (ms-floored
+        # STRICT, mirroring the eviction comparison): Spark's late-row
+        # filter guarantees no on-time event below the watermark can
+        # still arrive, so these are safe to order globally — arrival
+        # order across micro-batches no longer matters within the delay
+        pending.sort()
+        n_fold = 0
+        for t in pending:
+            if t // 1000 >= wm_ms:
+                break
+            n_fold += 1
+            if start_us < 0:
+                n_ev, start_us = 1, t
+            elif t - last_us > gap_us:
+                emit(n_ev, start_us, last_us)   # close previous session
+                n_ev, start_us = 1, t
+            else:
+                n_ev += 1
+            last_us = t
+        del pending[:n_fold]
+
+        # the watermark passed last_us + gap: no on-time event can extend
+        # the open session (anything still buffered is past the watermark,
+        # hence — with gap > delay — past last_us + gap: a NEW session)
+        if start_us >= 0 and wm_ms > (last_us + gap_us) // 1000:
+            emit(n_ev, start_us, last_us)
             last_us, n_ev, start_us = -1, 0, -1
-        parts = [p for p in pdfs if len(p)]
-        if parts:
-            pdf = pd.concat(parts, ignore_index=True).sort_values(
-                ["ts", "event_id"])
-            # unit-EXPLICIT conversion: pandas may deliver datetime64[us]
-            # (Arrow-backed) — a bare astype('int64') would silently yield
-            # milliseconds-scale values (ADVICE r02); normalize to ns first
-            ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
-            for t in ts_us.tolist():
-                if start_us < 0:
-                    n_ev, start_us = 1, t
-                elif t - last_us > gap_us:
-                    emit(n_ev, start_us, last_us)   # close previous session
-                    n_ev, start_us = 1, t
-                else:
-                    n_ev += 1
-                last_us = t
-        state.update((last_us, n_ev, start_us))
-        # GroupState timestamps are MILLISECONDS; floor matches the
-        # watermark's own us->ms floor
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+        if start_us < 0 and not pending:
+            state.remove()                      # fully drained: EVICT
+        else:
+            state.update((last_us, n_ev, start_us, pending))
+            # wake when the watermark can either close the open session or
+            # fold the next buffered event; GroupState timestamps are
+            # MILLISECONDS; floor matches the watermark's own us->ms
+            # floor; clamp to the watermark (Spark rejects earlier values)
+            deadlines = []
+            if start_us >= 0:
+                deadlines.append((last_us + gap_us) // 1000)
+            if pending:
+                deadlines.append(pending[0] // 1000)
+            state.setTimeoutTimestamp(max(min(deadlines), wm_ms))
         yield pd.DataFrame(out)
 
     return fn
@@ -129,6 +159,13 @@ def sessionize_stream(events: DataFrame, gap_s: int = DEFAULT_GAP_S,
     early or too late."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
+    if gap_s * 1_000_000 <= delay_ms * 1000:
+        # with gap <= delay an emittable session could still hold buffered
+        # events above the watermark, breaking the closed_sessions_sql
+        # parity contract (see module docstring)
+        raise ValueError(
+            f"session gap ({gap_s}s) must exceed the watermark delay "
+            f"({delay_ms}ms) for the emission contract to hold")
     if not isinstance(events.schema["ts"].dataType, TimestampNTZType):
         # TIMESTAMP_LTZ input: normalize to NTZ whose wall clock IS the
         # true epoch (UTC) BEFORE anything downstream sees it.  Without
@@ -153,7 +190,11 @@ def prepare_ranged_events(events_parquet: str, out_dir: str,
                           n_files: int = 3) -> str:
     """Split an events parquet into ``n_files`` time-ranged files (equal-ts
     rows kept together, file mtimes ascending) so the file stream source
-    replays them oldest-first and per-key order holds across micro-batches.
+    replays them oldest-first and the watermark's late-row filter drops
+    nothing.  Since the buffer-until-watermark fold, strict ranging is a
+    REPLAY convenience, not a correctness precondition — the operator
+    tolerates any cross-batch disorder within the watermark delay (events
+    later than that are dropped by Spark's filter, standard semantics).
     Pure pyarrow/pandas — this is test/replay scaffolding, not a pipeline
     stage."""
     import pyarrow as pa

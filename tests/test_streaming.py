@@ -392,3 +392,67 @@ def test_sessionizer_ltz_input_under_non_utc_session(spark, tmpdir_path):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
     us = base * 1_000_000
     assert got == [(11, 1, us + 999_999_000, us + 999_999_000)], got
+
+
+def test_sessionizer_out_of_order_within_delay_across_batches(
+        spark, tmpdir_path):
+    """VERDICT r03 item 4: events arriving out of order ACROSS micro-batch
+    boundaries but within the watermark delay must still sessionize
+    correctly (the buffer-until-watermark fold orders them globally before
+    folding).  The pre-r04 fold assumed per-key in-order arrival across
+    batches: a later batch delivering an earlier event walked last_us
+    BACKWARD and corrupted session boundaries (u1's session would start at
+    100 s instead of 95 s).  Parity is against the same closed_sessions_sql
+    oracle the driver uses — the oracle knows nothing about batching."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recrun_spark.streaming.sessions import run_sessionize_available_now
+
+    base = 1_700_000_000
+
+    def mkfile(rows, path, mtime):
+        pdf = pd.DataFrame({
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(
+                [int(round((base + r[2]) * 1_000_000)) for r in rows],
+                unit="us").astype("datetime64[us]"),
+            "user_id": [r[1] for r in rows],
+            "event_type": "x", "value": 1.0, "props": "{}"})
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (mtime, mtime))
+
+    src = os.path.join(tmpdir_path, "in")
+    os.makedirs(src)
+    # gap=30s, delay=10s.  File B lands AFTER file A but carries EARLIER
+    # events — all within 10s of file A's max (100.0), so Spark's late-row
+    # filter drops none of them; the operator must reorder across batches.
+    mkfile([(1, 1, 100.0), (2, 2, 96.0), (3, 3, 94.0)],
+           os.path.join(src, "part-000.parquet"), 1_000_000)
+    mkfile([(4, 1, 95.0), (5, 2, 92.5), (6, 3, 91.0), (7, 1, 104.0)],
+           os.path.join(src, "part-001.parquet"), 1_000_001)
+    # file C pushes the final watermark far past every session's deadline
+    mkfile([(8, 9, 2000.0)],
+           os.path.join(src, "part-002.parquet"), 1_000_002)
+
+    schema = spark.read.parquet(os.path.join(src, "part-000.parquet")).schema
+    sink = run_sessionize_available_now(spark, src,
+                                        os.path.join(tmpdir_path, "out"),
+                                        schema, gap_s=30, delay_ms=10_000)
+    got = sorted((r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+                 for r in spark.read.parquet(sink).collect())
+    us = base * 1_000_000
+    assert got == [
+        (1, 3, us + 95_000_000, us + 104_000_000),   # 95,100,104 ONE session
+        (2, 2, us + 92_500_000, us + 96_000_000),
+        (3, 2, us + 91_000_000, us + 94_000_000),
+    ], got                                           # u9: gap window > wm
+
+    # and the SQL oracle agrees (it sessionizes the union in global order)
+    sql = _entry.closed_sessions_sql(f"read_parquet('{src}/*.parquet')",
+                                     gap_s=30, delay_ms=10_000)
+    oracle = sorted((u, n, s, e) for u, _sid, n, s, e
+                    in duckdb.sql(sql).fetchall())
+    assert got == oracle
