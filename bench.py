@@ -75,7 +75,70 @@ def ensure_corpus(spark, n_docs: int | None = None,
     return path
 
 
+def ensure_dedup_skew_corpus(spark, n_docs: int = 20_000,
+                             mega: int = 3_000) -> str:
+    """Deterministic corpus with one MEGA near-duplicate cluster: ``mega``
+    docs share a 60-word boilerplate template (7 suffix variants), the
+    rest are all-unique.  Stresses the df-cut (the template shingles blow
+    past max_shingle_freq and must be cut), the LSH banding under
+    near-identical signatures (a hot band bucket), and the distributed CC
+    path under a hot component (~mega²/2·(1/7) edges ≫ the 200k
+    driver-local threshold).  Pure SQL expressions — no Python row loop."""
+    from pyspark.sql import functions as F
+    path = os.path.join(CACHE, f"dedup_skew_{n_docs}_{mega}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    tpl = " ".join(f"boilerplate{j:02d}word" for j in range(60))
+    df = spark.range(n_docs).select(
+        F.concat(F.lit("doc"), F.lpad(F.col("id").cast("string"), 6, "0")
+                 ).alias("doc_id"),
+        F.when(
+            F.col("id") < mega,
+            F.concat(F.lit(tpl + " variant"),
+                     (F.col("id") % 7).cast("string"),
+                     F.lit("a variant"), (F.col("id") % 7).cast("string"),
+                     F.lit("b"))
+        ).otherwise(
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda j: F.concat(F.lit("u"), F.col("id").cast("string"),
+                                   F.lit("w"), j.cast("string"))))
+        ).alias("text"))
+    df.repartition(CPUS).write.mode("overwrite").parquet(path)
+    return path
+
+
+# ---- noise-proofing (VERDICT r03 #1): the artifact must defend itself --
+QUIET_LOAD = float(os.environ.get("RECRUN_BENCH_QUIET_LOAD", "4.0"))
+SECTION_GATE_MS = float(os.environ.get("RECRUN_BENCH_CANARY_GATE_MS",
+                                       "250"))
+
+
+def section_canary_ms() -> float:
+    """Short single-thread CPU canary (1M iterations; quiet-host readings
+    ~60-140 ms on this box) — cheap enough to run before EVERY timing
+    window.  Insensitive to partial-core contention against a 32-way job
+    (documented limitation), which is why every entry is also a
+    median-of-repeats."""
+    t0 = time.time()
+    s = 0
+    for i in range(1_000_000):
+        s += i * i
+    assert s > 0
+    return round((time.time() - t0) * 1000, 1)
+
+
 def main():
+    # start-of-run load gate: wait for a quiet window BEFORE the JVM
+    # starts contributing to loadavg itself (BENCH_r03 started at load
+    # 7.8 and contaminated every entry — this makes that impossible to
+    # repeat silently)
+    gate_wait = 0
+    while os.getloadavg()[0] > QUIET_LOAD and gate_wait < 600:
+        time.sleep(15)
+        gate_wait += 15
+    start_load = round(os.getloadavg()[0], 2)
+
     from recrun_spark.session import get_spark
     spark = get_spark("recrun_bench", cpus=CPUS, extra_conf={
         # the KG corpus is many small shards: size splits so the scan
@@ -116,17 +179,33 @@ def main():
     load_before = round(os.getloadavg()[0], 2)
 
     timings: dict = {}
+    sections: dict = {}
 
-    def timed(name, fn, repeats: int = 1):
-        """Record the MEDIAN wall time of `repeats` runs (this host shows
-        up to 3x run-to-run variance under noisy-neighbor load)."""
+    def timed(name, fn, repeats: int = 3):
+        """Record the MEDIAN wall time of ``repeats`` runs (this host shows
+        up to 3x run-to-run variance under noisy-neighbor load — EVERY
+        entry defaults to median-of-3 since r4, VERDICT r03 #1), behind a
+        per-section canary gate: if the short canary reads hot, wait for
+        the neighbors to quiet down (bounded retries) before timing, and
+        record the canary + loadavg alongside the number so the artifact
+        carries its own forensics."""
         import statistics
+        attempts, canary = 0, None
+        while True:
+            canary = section_canary_ms()
+            attempts += 1
+            if canary <= SECTION_GATE_MS or attempts >= 6:
+                break
+            time.sleep(10)
+        sections[name] = {"canary_ms": canary, "gate_attempts": attempts,
+                          "loadavg_1m": round(os.getloadavg()[0], 2)}
         durations, out = [], None
         for _ in range(repeats):
             t0 = time.time()
             out = fn()
             durations.append(time.time() - t0)
         timings[name] = round(statistics.median(durations), 3)
+        sections[name]["runs"] = [round(d, 3) for d in durations]
         return out
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------
@@ -139,14 +218,14 @@ def main():
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.sum("text_length").alias("chars")).collect()[0])
 
-    row = timed("kg_stage1_extract", run_extract, repeats=2)
+    row = timed("kg_stage1_extract", run_extract)
     assert row["n"] == n_big, (row["n"], n_big)
     extract_dps = round(n_big / timings["kg_stage1_extract"], 1)
 
     # leaner KG-only path: skip text/html renders (~50% of fold cost)
     timed("kg_stage1_spans_only",
           lambda: extract_documents(docs_big, include_renders=False)
-          .agg(F.count(F.lit(1))).collect(), repeats=2)
+          .agg(F.count(F.lit(1))).collect())
     spans_only_dps = round(n_big / timings["kg_stage1_spans_only"], 1)
 
     # -- relational / training-data queries at SF_DIR ---------------------
@@ -163,10 +242,22 @@ def main():
                  "text_stats", "dedup_exact", "dedup_minhash_lsh",
                  "ann_cosine_topk", "ann_ivf_topk", "cc_components",
                  "kg_mentions_flat", "events_hourly", "simhash_sigs"):
-        # the heavy multi-shuffle LSH entry swings 2x+ under neighbor
-        # noise: median of 3 keeps the recorded number honest
-        timed(name, lambda n=name: run_query(n),
-              repeats=3 if name == "dedup_minhash_lsh" else 1)
+        timed(name, lambda n=name: run_query(n))
+
+    # -- dedup skew stress (VERDICT r03 #6): one mega near-dup cluster ----
+    # through LSH (hot band bucket) -> df-cut -> distributed CC (hot
+    # component, >200k edges forces the star-loop path) -> canonical map
+    from recrun_spark.functions.dedup import dedup_clusters
+    n_dsk = int(os.environ.get("RECRUN_BENCH_DEDUP_SKEW_DOCS", "20000"))
+    docs_dsk = spark.read.parquet(ensure_dedup_skew_corpus(
+        spark, n_docs=n_dsk, mega=max(100, (n_dsk * 3) // 20)))
+
+    def run_dedup_skew():
+        out = dedup_clusters(docs_dsk, threshold=0.6)
+        n = out.count()
+        release_caches(out)
+        return n
+    n_dedup_skew = timed("dedup_clusters_skew", run_dedup_skew)
 
     # -- mention detection at dictionary scale -----------------------------
     # throughput with a >=100k-surface dictionary vs the 167-surface fixture
@@ -215,6 +306,7 @@ def main():
         return n
 
     n_triples = timed("kg_full_pipeline", run_pipeline)
+    assert n_dedup_skew == docs_dsk.count()
     pipeline_dps = round(n_big / timings["kg_full_pipeline"], 1)
 
     # -- skew stress: head-heavy corpus (>50% single-alias mention share,
@@ -262,9 +354,15 @@ def main():
         "skew_pipeline_docs_per_sec": skew_dps,
         "kg_triples_skewed": n_triples_skew,
         # noisy-neighbor forensics: inflated canaries (vs ~300-700 ms
-        # quiet on this box) or high load flag a contaminated run
+        # quiet on this box) or high load flag a contaminated run;
+        # per-section canaries + per-repeat runs let a single hot entry
+        # be adjudicated without discarding the whole artifact
         "noise_canary_ms": [canary_before, noise_canary_ms()],
         "loadavg_1m": [load_before, round(os.getloadavg()[0], 2)],
+        "start_gate": {"waited_s": gate_wait, "loadavg_after": start_load,
+                       "quiet_load_threshold": QUIET_LOAD},
+        "section_gate_ms": SECTION_GATE_MS,
+        "sections": sections,
     }))
 
 

@@ -197,6 +197,26 @@ def main():
          lambda p: "Exchange SinglePartition" not in p),
     ])
 
+    # 8d. MinHash+LSH (plan-only via materialize=False — ADVICE r03): the
+    # candidate stage must be an equi-join on the (band, bucket) key with
+    # no cartesian and no single-reducer funnel anywhere — the same plan
+    # the dedup_clusters_skew bench entry drives through a mega-cluster
+    from recrun_spark.functions.dedup import minhash_lsh_pairs
+    lsh_plan = minhash_lsh_pairs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), threshold=0.6,
+        materialize=False)
+    audit("dedup_minhash_lsh", lsh_plan, [
+        ("banded candidates via equi-join (hash/merge join present)",
+         lambda p: ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                    or "BroadcastHashJoin" in p)),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("no corpus-scale nested loop",
+         lambda p: "BroadcastNestedLoopJoin" not in p),
+    ])
+    release_caches(lsh_plan)
+
     # 9. skew path (VERDICT r02 item 6): the explicit salted join must carry
     # the salt in its join keys and must not funnel work through a single
     # reducer anywhere in the plan
