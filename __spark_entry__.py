@@ -551,6 +551,19 @@ def events_user_cms(spark, sf_dir):
     return cells.select(F.col("i").cast("int").alias("i"), "bucket", "cnt")
 
 
+def events_user_hll(spark, sf_dir):
+    """HYPERLOGLOG distinct-count sketch of events.user_id
+    (functions/sketch.py::hll_registers): 2^9 = 512 registers of fixed
+    state at any key cardinality — the sketch family's scale answer to
+    exact COUNT DISTINCT (which shuffles every distinct key).  The bit
+    rank is computed via integer base-2 string length (no float log2), so
+    the oracle rebuilds the IDENTICAL register table in SQL and the
+    driver value-checks it register-for-register; register tables merge
+    by cell-wise MAX (property-tested)."""
+    from recrun_spark.functions.sketch import hll_registers
+    return hll_registers(_t(spark, sf_dir, "events"), "user_id")
+
+
 def salted_join_revenue(spark, sf_dir):
     """Pins the SALTED repartition-join path (operators.salted_join) under
     the value oracle, the way cc_components pins distributed CC: orders ⋈
@@ -784,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_stats": events_running_stats,
         "events_time_rollup": events_time_rollup,
         "events_user_cms": events_user_cms,
+        "events_user_hll": events_user_hll,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -1461,6 +1475,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT i::INT AS i, bucket, count(*) AS cnt
             FROM b GROUP BY 1, 2
+        """,
+        # rebuild the IDENTICAL HyperLogLog register table in SQL: same
+        # md5-derived 60-bit hash, register = low 9 bits, rho via integer
+        # base-2 string length (bin()) — no float log2 on either side
+        "events_user_hll": f"""
+            WITH h AS (
+              SELECT ({_ddb_hash60("user_id::VARCHAR")}) AS h
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (
+              SELECT h % 512 AS reg,
+                     CASE WHEN h // 512 = 0 THEN 52
+                          ELSE 52 - length(bin(h // 512)) END AS rho
+              FROM h
+            )
+            SELECT reg, max(rho)::INT AS max_rho FROM r GROUP BY reg
         """,
         "events_after_orders_range": """
             SELECT o.o_orderkey AS order_key,

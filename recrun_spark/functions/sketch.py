@@ -63,6 +63,56 @@ def count_min_sketch(df: DataFrame, key_col: str,
             .agg(F.sum("_w").alias("cnt")))
 
 
+HLL_P = 9                 # 2^9 = 512 registers; std err ~1.04/sqrt(512) ≈ 4.6%
+HLL_M = 1 << HLL_P
+_HLL_WBITS = 60 - HLL_P   # rank bits left after the register index
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
+    """(reg, max_rho) — HYPERLOGLOG register table for the distinct count
+    of ``key_col`` (Flajolet et al.; PAPERS.md).  Register = low ``p``
+    bits of the portable md5-derived 60-bit hash; rho = leading-zero rank
+    of the remaining bits + 1; one groupBy bounded at 2^p output rows —
+    fixed-size state at any key cardinality (an exact COUNT DISTINCT
+    shuffles every distinct key).
+
+    Portability: the bit-rank is computed via base-2 string length
+    (``conv``/``bin``) — integer-exact in any engine, no float log2 — so
+    a SQL mirror rebuilds the IDENTICAL register table and the driver
+    value-oracle checks it cell-for-cell, like the CMS.
+
+    Mergeable: register tables of two corpora combine by cell-wise MAX
+    into exactly the union's table (max is idempotent/commutative — the
+    property that makes HLL the standard distributed distinct counter)."""
+    wbits = 60 - p
+    h = _hash60(F.col(key_col).cast("string"))
+    reg = h.bitwiseAND(F.lit((1 << p) - 1))
+    w = F.shiftright(h, p)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(wbits + 1)) \
+        .otherwise(F.lit(wbits + 1) - bitlen)
+    rows = (df.where(F.col(key_col).isNotNull())
+            .select(reg.alias("reg"), rho.cast("int").alias("rho")))
+    return rows.groupBy("reg").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_estimate(cells, p: int = HLL_P) -> float:
+    """Cardinality estimate from collected (reg, max_rho) rows —
+    driver-side helper (standard HLL bias-corrected estimator with the
+    small-range linear-counting correction)."""
+    import math
+    m = 1 << p
+    regs = [0] * m
+    for reg, max_rho in cells:
+        regs[int(reg)] = int(max_rho)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    return e
+
+
 def cms_estimate(cells, keys, depth: int = CMS_DEPTH,
                  width: int = CMS_WIDTH) -> dict:
     """Point estimates for ``keys`` from collected sketch cells

@@ -688,3 +688,70 @@ def test_two_level_assignment_cost_sublinear_in_k(spark):
     assert c1024 < n * 1024 / 4, c1024             # far below flat's n*K
     c4096 = comparisons(4096)
     assert c4096 / c1024 < 3.0, (c1024, c4096)     # sqrt-ish, not linear
+
+
+def test_near_dups_auto_two_level_with_derived_centroids(spark):
+    """When n_centroids is DERIVED from corpus size and crosses
+    TWO_LEVEL_MIN_CENTROIDS, embedding_near_dups auto-routes assignment
+    through the two-level quantizer — and still recovers every exact pair
+    on the clustered blob corpus (near-dups are intra-blob; probed cells
+    keep blobs together)."""
+    from recrun_spark.functions.similarity import (TWO_LEVEL_MIN_CENTROIDS,
+                                                   embedding_near_dups)
+    from recrun_spark.operators import release_caches
+    emb = _blob_corpus(spark)                     # n = 400
+    # target 5/bucket -> derived K = 80 >= 64: the auto two_level regime
+    assert 400 / 5 >= TWO_LEVEL_MIN_CENTROIDS
+    out = embedding_near_dups(emb, threshold=0.95, target_bucket_size=5,
+                              nprobe=8, coarse_nprobe=4)
+    got = {(r["id_a"], r["id_b"], r["sim"]) for r in out.collect()}
+    release_caches(out)
+    exact = {(r["id_a"], r["id_b"], r["sim"]) for r in
+             embedding_near_dups(emb, threshold=0.95,
+                                 method="exact").collect()}
+    assert len(exact) > 5000
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, recall
+    assert got <= exact                           # verify stage: no false positives
+
+
+def test_hll_registers_properties(spark):
+    """HyperLogLog invariants: the estimate lands within the ~4.6%
+    standard-error band of the true distinct count (we allow 3 sigma),
+    register tables of two halves MERGE by cell-wise max into exactly the
+    union's table, duplicates change nothing, and NULL keys are
+    excluded."""
+    from recrun_spark.functions.sketch import (HLL_M, hll_estimate,
+                                               hll_registers)
+    n = 10_000
+    df = spark.range(n).select(
+        F.concat(F.lit("user"), F.col("id")).alias("k"))
+    cells = [(r["reg"], r["max_rho"])
+             for r in hll_registers(df, "k").collect()]
+    est = hll_estimate(cells)
+    assert abs(est - n) / n < 3 * 1.04 / (HLL_M ** 0.5), est
+
+    # duplicates are invisible to a distinct sketch
+    dup = df.union(df).union(df)
+    cells_dup = sorted((r["reg"], r["max_rho"])
+                       for r in hll_registers(dup, "k").collect())
+    assert cells_dup == sorted(cells)
+
+    # merge = cell-wise max
+    a = df.where(F.col("k") < "user5")
+    b = df.where(F.col("k") >= "user5")
+    merged: dict = {}
+    for part in (a, b):
+        for r in hll_registers(part, "k").collect():
+            merged[r["reg"]] = max(merged.get(r["reg"], 0), r["max_rho"])
+    assert sorted(merged.items()) == sorted(cells)
+
+    # NULL keys excluded
+    with_null = spark.createDataFrame([("x",), (None,), ("y",)],
+                                      "k string")
+    without = spark.createDataFrame([("x",), ("y",)], "k string")
+    c1 = sorted((r["reg"], r["max_rho"])
+                for r in hll_registers(with_null, "k").collect())
+    c2 = sorted((r["reg"], r["max_rho"])
+                for r in hll_registers(without, "k").collect())
+    assert c1 == c2
