@@ -551,6 +551,18 @@ def events_user_cms(spark, sf_dir):
     return cells.select(F.col("i").cast("int").alias("i"), "bucket", "cnt")
 
 
+def documents_hash_split(spark, sf_dir):
+    """Deterministic content-keyed train/val/test split (functions/
+    sampling.py::hash_split, 0.8/0.1/0.1): each doc's label is a pure
+    function of md5(doc_id), so it never changes across runs, engines,
+    repartitioning, or corpus growth — the reproducibility property
+    rand()-based splits lack.  Zero shuffle (a projection).  Oracle:
+    the identical hash-range CASE in DuckDB, checked row-for-row."""
+    from recrun_spark.functions.sampling import hash_split
+    return hash_split(_t(spark, sf_dir, "documents").select("doc_id"),
+                      {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def events_user_hll(spark, sf_dir):
     """HYPERLOGLOG distinct-count sketch of events.user_id
     (functions/sketch.py::hll_registers): 2^9 = 512 registers of fixed
@@ -798,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_rollup": events_time_rollup,
         "events_user_cms": events_user_cms,
         "events_user_hll": events_user_hll,
+        "documents_hash_split": documents_hash_split,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -1190,6 +1203,8 @@ ments AS (SELECT * FROM hits WHERE n_mentions > 0)
 
 
 def oracle_sql() -> dict[str, str]:
+    from recrun_spark.functions.sampling import _thresholds
+    _split_edges = _thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
     return {
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
@@ -1475,6 +1490,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT i::INT AS i, bucket, count(*) AS cnt
             FROM b GROUP BY 1, 2
+        """,
+        # the identical hash-range split assignment: thresholds computed
+        # ONCE in Python (sampling._thresholds, _split_edges above) and
+        # embedded as integer literals on both sides, so float rounding
+        # cannot diverge
+        "documents_hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN ({_ddb_hash60('doc_id::VARCHAR')})
+                          < {_split_edges[0][1]}
+                          THEN '{_split_edges[0][0]}'
+                        WHEN ({_ddb_hash60('doc_id::VARCHAR')})
+                          < {_split_edges[1][1]}
+                          THEN '{_split_edges[1][0]}'
+                        ELSE '{_split_edges[2][0]}' END AS split
+            FROM documents
         """,
         # rebuild the IDENTICAL HyperLogLog register table in SQL: same
         # md5-derived 60-bit hash, register = low 9 bits, rho via integer

@@ -1,0 +1,84 @@
+"""Deterministic content-keyed sampling and dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that are
+REPRODUCIBLE (the same document always lands in the same split, across
+runs, engines, repartitioning, and corpus growth) — `rand()` gives none
+of that.  Both operators here key on the portable md5-derived 60-bit
+hash (``dedup._hash60``) of a row key:
+
+* ``hash_sample`` — keep rows whose hash falls in the lowest
+  ``fraction`` of the hash space.  Pure filter: no shuffle, pushes into
+  the scan's row-group filtering where possible, composes with any plan.
+* ``hash_split`` — assign each row a split label by consecutive hash
+  ranges (e.g. train/val/test at 0.8/0.1/0.1).  A row's label never
+  changes when the corpus grows — the property rand-based splits lack —
+  and any engine with md5 reproduces the assignment exactly (the driver
+  value-oracle checks every row's label against DuckDB).
+
+Because the hash is content-keyed, sampling is per-key CONSISTENT: all
+rows of one key sample together (join-safe — sample both sides of a join
+by the join key and the join is a uniform sample of the joined relation,
+the classic correlated-sampling trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _hash60
+
+HASH_SPACE = 1 << 60
+
+
+def _thresholds(weights: dict) -> list:
+    """Cumulative integer thresholds over the 60-bit hash space, in
+    insertion order; the final edge is clamped to the full space so float
+    rounding can never leave rows unlabeled."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    edges, acc = [], 0.0
+    items = list(weights.items())
+    for name, w in items:
+        if w < 0:
+            raise ValueError(f"negative weight for {name!r}")
+        acc += w / total
+        edges.append((name, min(int(acc * HASH_SPACE), HASH_SPACE)))
+    edges[-1] = (edges[-1][0], HASH_SPACE)
+    return edges
+
+
+def hash_sample(df: DataFrame, fraction: float,
+                key_col: str = "doc_id") -> DataFrame:
+    """Deterministic ``fraction`` sample: rows whose md5-derived hash of
+    ``key_col`` falls in the lowest ``fraction`` of the hash space."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thresh = min(int(fraction * HASH_SPACE), HASH_SPACE)
+    return df.where(
+        _hash60(F.col(key_col).cast("string")) < F.lit(thresh))
+
+
+def split_label(key: Column, weights: dict) -> Column:
+    """Split label expression for ``key`` under ``weights`` (see
+    hash_split)."""
+    h = _hash60(key.cast("string"))
+    # WHEN chain lowest-edge-first: each row takes the FIRST range
+    # containing its hash
+    expr = None
+    for name, edge in _thresholds(weights):
+        cond = h < F.lit(edge)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    return expr
+
+
+def hash_split(df: DataFrame, weights: dict,
+               key_col: str = "doc_id",
+               label_col: str = "split") -> DataFrame:
+    """Assign every row a deterministic split label by consecutive hash
+    ranges sized by ``weights`` (insertion order; normalized to sum 1).
+    Adds ``label_col``; no shuffle."""
+    return df.withColumn(label_col,
+                         split_label(F.col(key_col), weights))

@@ -755,3 +755,41 @@ def test_hll_registers_properties(spark):
     c2 = sorted((r["reg"], r["max_rho"])
                 for r in hll_registers(without, "k").collect())
     assert c1 == c2
+
+
+def test_hash_sampling_and_split_determinism(spark):
+    """Content-keyed sampling invariants: a doc's split label is a pure
+    function of its id (stable when the corpus GROWS — the property
+    rand() splits lack), proportions track the weights, hash_sample is a
+    subset consistent with the split ranges, and bad inputs raise."""
+    import pytest
+
+    from recrun_spark.functions.sampling import hash_sample, hash_split
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.range(2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"))
+    big = spark.range(6000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"))
+
+    lab_small = {r["doc_id"]: r["split"]
+                 for r in hash_split(small, w).collect()}
+    lab_big = {r["doc_id"]: r["split"] for r in hash_split(big, w).collect()}
+    assert all(lab_big[d] == s for d, s in lab_small.items())  # growth-stable
+
+    n = len(lab_big)
+    frac_train = sum(s == "train" for s in lab_big.values()) / n
+    frac_val = sum(s == "val" for s in lab_big.values()) / n
+    assert abs(frac_train - 0.8) < 0.03 and abs(frac_val - 0.1) < 0.02, \
+        (frac_train, frac_val)
+
+    # hash_sample(0.8) keeps exactly the 'train' range
+    sampled = {r["doc_id"] for r in hash_sample(big, 0.8).collect()}
+    assert sampled == {d for d, s in lab_big.items() if s == "train"}
+    assert {r["doc_id"] for r in hash_sample(big, 1.0).collect()} == set(
+        lab_big)
+    assert hash_sample(big, 0.0).count() == 0
+
+    with pytest.raises(ValueError):
+        hash_sample(big, 1.5)
+    with pytest.raises(ValueError):
+        hash_split(big, {"a": -1.0, "b": 2.0})
