@@ -563,6 +563,19 @@ def documents_hash_split(spark, sf_dir):
                       {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def documents_pack_blocks(spark, sf_dir):
+    """SEQUENCE PACKING (functions/pack.py): concatenate the corpus's
+    tokens in a deterministic order and cut every 512 — one row per
+    (document, spanned training block) with the block offset and token
+    count a loader needs.  The global running offset is a two-phase
+    DISTRIBUTED PREFIX SUM (per-bucket totals → driver → broadcast
+    offsets → per-bucket windows) — never a global single-partition
+    window.  Oracle: a plain global-window cumsum in DuckDB, which is
+    exactly what the distributed decomposition must equal."""
+    from recrun_spark.functions.pack import pack_blocks
+    return pack_blocks(_t(spark, sf_dir, "documents"), block_tokens=512)
+
+
 def events_user_hll(spark, sf_dir):
     """HYPERLOGLOG distinct-count sketch of events.user_id
     (functions/sketch.py::hll_registers): 2^9 = 512 registers of fixed
@@ -811,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_cms": events_user_cms,
         "events_user_hll": events_user_hll,
         "documents_hash_split": documents_hash_split,
+        "documents_pack_blocks": documents_pack_blocks,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -1505,6 +1519,38 @@ def oracle_sql() -> dict[str, str]:
                           THEN '{_split_edges[1][0]}'
                         ELSE '{_split_edges[2][0]}' END AS split
             FROM documents
+        """,
+        # the same packing as ONE global-window cumsum — the serial
+        # specification the distributed prefix-sum decomposition must
+        # equal; packing order is lexicographic over the STRING key
+        "documents_pack_blocks": """
+            WITH d AS (
+              SELECT doc_id,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END)::BIGINT AS n_tok
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tok,
+                     (sum(n_tok) OVER (ORDER BY doc_id::VARCHAR ASC
+                                       ROWS UNBOUNDED PRECEDING)
+                      - n_tok)::BIGINT AS strt
+              FROM d WHERE n_tok > 0
+            ),
+            e AS (
+              SELECT doc_id, n_tok, strt,
+                     unnest(range(strt // 512,
+                                  (strt + n_tok - 1) // 512 + 1))
+                       AS block_id
+              FROM c
+            )
+            SELECT doc_id, n_tok, block_id,
+                   greatest(strt, block_id * 512) - block_id * 512
+                     AS block_offset,
+                   least(strt + n_tok, (block_id + 1) * 512)
+                     - greatest(strt, block_id * 512) AS tokens_in_block
+            FROM e
         """,
         # rebuild the IDENTICAL HyperLogLog register table in SQL: same
         # md5-derived 60-bit hash, register = low 9 bits, rho via integer

@@ -1,0 +1,91 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+blocks — the layout step of a pretraining data pipeline (concatenate all
+tokens in a deterministic order, cut every ``block_tokens``; a document
+spanning a cut lands in both blocks).
+
+Output: one row per (document, spanned block) —
+``(doc_id, n_tok, block_id, block_offset, tokens_in_block)`` —
+exactly what a loader needs to materialize block ``b``: its rows sorted
+by ``block_offset``.
+
+Scale design — the global running token offset is a PREFIX SUM, and a
+naive window over a global ORDER BY funnels the whole corpus through one
+partition (Spark warns and single-threads it).  This implements the
+classic two-phase distributed prefix sum instead:
+
+1. rows bucket by an ORDER-PRESERVING key prefix (string prefix of the
+   sort key: ``prefix(a) < prefix(b) ⇒ a < b``);
+2. per-bucket token totals (one small aggregate) come to the driver —
+   bounded by the number of distinct prefixes, not corpus size — and
+   prefix-offsets per bucket go back as a broadcast;
+3. each bucket computes its interior running sum in parallel (window
+   PARTITIONED by bucket) and adds its offset.
+
+Packing order is LEXICOGRAPHIC over the STRING form of the sort key
+(documented contract — numeric ids pack in string order); any total
+order works as long as both engines use the same one, and the DuckDB
+oracle mirrors this exactly with a plain global-window cumsum.
+
+``bucket_prefix_len`` trades driver rows against bucket skew: longer
+prefixes → more, smaller buckets.  Zero-token documents are excluded
+(nothing to pack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+
+def pack_blocks(documents: DataFrame, block_tokens: int = 2048,
+                id_col: str = "doc_id", text_col: str = "text",
+                bucket_prefix_len: int = 5) -> DataFrame:
+    """(doc_id, n_tok, block_id, block_offset, tokens_in_block) — greedy
+    concatenate-and-cut packing of the corpus into ``block_tokens``-sized
+    blocks (see module docstring)."""
+    if block_tokens <= 0:
+        raise ValueError(f"block_tokens must be positive, got {block_tokens}")
+    d = (documents
+         .select(F.col(id_col).cast("string").alias("_k"),
+                 F.col(id_col).alias(id_col),
+                 token_count(F.col(text_col)).cast("long").alias("n_tok"))
+         .where(F.col("n_tok") > 0))
+    d = d.withColumn("_b", F.substring(F.col("_k"), 1, bucket_prefix_len))
+
+    # phase 1+2: per-bucket totals -> driver (bounded: one row per
+    # distinct prefix) -> exclusive prefix offsets, rebroadcast
+    totals = {r["_b"]: r["t"] for r in
+              d.groupBy("_b").agg(F.sum("n_tok").alias("t")).collect()}
+    off, acc = [], 0
+    for b in sorted(totals):
+        off.append((b, acc))
+        acc += totals[b]
+    if not off:
+        return d.sparkSession.createDataFrame(
+            [], f"{id_col} string, n_tok long, block_id long, "
+                "block_offset long, tokens_in_block long")
+    off_df = d.sparkSession.createDataFrame(off, "_b string, _off long")
+
+    # phase 3: interior running sum per bucket, in parallel
+    w = (Window.partitionBy("_b").orderBy("_k")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    e = (d.join(F.broadcast(off_df), "_b")
+         .withColumn("_start",
+                     F.col("_off") + F.sum("n_tok").over(w)
+                     - F.col("n_tok")))
+
+    B = F.lit(block_tokens).cast("long")
+    first = F.floor(F.col("_start") / B)
+    last = F.floor((F.col("_start") + F.col("n_tok") - 1) / B)
+    ex = e.select(id_col, "n_tok", "_start",
+                  F.explode(F.sequence(first, last)).alias("block_id"))
+    blk_lo = F.col("block_id") * B
+    blk_hi = blk_lo + B
+    return ex.select(
+        id_col, "n_tok", "block_id",
+        (F.greatest(F.col("_start"), blk_lo) - blk_lo)
+        .alias("block_offset"),
+        (F.least(F.col("_start") + F.col("n_tok"), blk_hi)
+         - F.greatest(F.col("_start"), blk_lo)).alias("tokens_in_block"))

@@ -793,3 +793,55 @@ def test_hash_sampling_and_split_determinism(spark):
         hash_sample(big, 1.5)
     with pytest.raises(ValueError):
         hash_split(big, {"a": -1.0, "b": 2.0})
+
+
+def test_pack_blocks_invariants(spark):
+    """Sequence packing: every token lands in exactly one block slot,
+    no block exceeds its budget, blocks tile contiguously, and the
+    distributed prefix-sum gives IDENTICAL output for any bucketing
+    (bucket_prefix_len is a pure parallelism knob, not a semantics one).
+    """
+    from recrun_spark.functions.pack import pack_blocks
+    import pytest
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 37) % 90 + 1)))
+         for i in range(200)] + [(999, "   ")],      # blank doc: excluded
+        ["doc_id", "text"])
+    B = 64
+    rows = pack_blocks(docs, block_tokens=B).collect()
+
+    # conservation: per doc, the spanned slots sum to its token count
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert 999 not in per_doc
+    assert len(per_doc) == 200
+    for doc, rr in per_doc.items():
+        assert sum(x["tokens_in_block"] for x in rr) == rr[0]["n_tok"]
+        ids = sorted(x["block_id"] for x in rr)
+        assert ids == list(range(ids[0], ids[-1] + 1))   # contiguous span
+
+    # budget + tiling: every block except the last is exactly full
+    per_block: dict = {}
+    for r in rows:
+        per_block[r["block_id"]] = per_block.get(r["block_id"], 0) \
+            + r["tokens_in_block"]
+    last = max(per_block)
+    assert set(per_block) == set(range(last + 1))
+    for b, tot in per_block.items():
+        assert tot == B or (b == last and 0 < tot <= B), (b, tot)
+
+    # decomposition-independence: different bucketings, identical result
+    key = lambda r: (r["doc_id"], r["block_id"], r["block_offset"],
+                     r["tokens_in_block"])
+    base = sorted(map(key, rows))
+    for plen in (1, 2, 8):
+        alt = sorted(map(key, pack_blocks(docs, block_tokens=B,
+                                          bucket_prefix_len=plen).collect()))
+        assert alt == base, plen
+
+    with pytest.raises(ValueError):
+        pack_blocks(docs, block_tokens=0)
+    # fully-empty corpus -> empty frame with the right schema
+    empty = pack_blocks(docs.where(F.col("doc_id") == 999), block_tokens=B)
+    assert empty.count() == 0

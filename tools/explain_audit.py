@@ -217,6 +217,23 @@ def main():
     ])
     release_caches(lsh_plan)
 
+    # 8e. sequence packing: the global token prefix-sum must be the
+    # two-phase distributed decomposition (bucket-partitioned windows +
+    # broadcast offsets) — NEVER the naive global-ORDER-BY window, which
+    # funnels the corpus through one partition
+    from recrun_spark.functions.pack import pack_blocks
+    audit("documents_pack_blocks",
+          pack_blocks(spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+                      block_tokens=512), [
+              ("bucket-interior running-sum window present",
+               lambda p: "Window" in p),
+              ("no single-reducer exchange (the global-window trap)",
+               lambda p: "Exchange SinglePartition" not in p),
+              ("bucket offsets broadcast (no shuffle of the corpus side "
+               "for the offset join)",
+               lambda p: "BroadcastHashJoin" in p),
+          ])
+
     # 9. skew path (VERDICT r02 item 6): the explicit salted join must carry
     # the salt in its join keys and must not funnel work through a single
     # reducer anywhere in the plan
