@@ -1,15 +1,16 @@
-"""Incremental frequency sketch over a stream — the count-min sketch's
-merge property (cell-wise sum) turned into a streaming operator.
+"""Incremental sketches over a stream — merge properties (CMS: cell-wise
+sum; HLL: cell-wise max) turned into streaming operators.
 
 Each micro-batch's cells are written to ``cells/batch=<id>/`` with
 mode=overwrite — idempotent per batchId, the same exactly-once recipe as
-streaming/kg.py — and the reader sums cells across batches, which by the
-merge property equals the batch sketch of everything seen.  No state
+streaming/kg.py — and the reader merges cells across batches, which by
+the merge property equals the batch sketch of everything seen.  No state
 store at all: the sketch IS the state, persisted as data, bounded at
-depth x width cells per batch regardless of key cardinality.  This is
-the streaming shape for "how often did we see key X" questions (hot-key
-detection, frequency capping) at key cardinalities where exact streaming
-counts would blow the state store.
+depth x width (CMS) / 2^p (HLL) cells per batch regardless of key
+cardinality.  CMS answers streaming "how often did we see key X" (hot-key
+detection, frequency capping); HLL answers streaming "how many DISTINCT
+keys so far" (unique users/documents) — both at cardinalities where exact
+streaming state would blow the state store.
 """
 
 from __future__ import annotations
@@ -19,7 +20,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.sketch import CMS_DEPTH, CMS_WIDTH, count_min_sketch
+from ..functions.sketch import (CMS_DEPTH, CMS_WIDTH, HLL_P,
+                                count_min_sketch, hll_registers)
 
 
 def run_cms_available_now(spark: SparkSession, input_dir: str, out_dir: str,
@@ -53,3 +55,36 @@ def read_sketch(spark: SparkSession, cells_root: str) -> DataFrame:
     return (spark.read.parquet(os.path.join(cells_root, "batch=*"))
             .groupBy("i", "bucket")
             .agg(F.sum("cnt").alias("cnt")))
+
+
+def run_hll_available_now(spark: SparkSession, input_dir: str, out_dir: str,
+                          key_col: str, schema, p: int = HLL_P,
+                          max_files_per_trigger: int = 1) -> str:
+    """Drain available input files, writing each micro-batch's HLL
+    register table to ``registers/batch=<id>/`` (idempotent per batchId);
+    returns the registers root.  Re-running after new files land sketches
+    ONLY the new files (file-source checkpoint)."""
+    root = os.path.join(out_dir, "registers")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (hll_registers(batch_df, key_col, p)
+         .write.mode("overwrite")
+         .parquet(os.path.join(root, f"batch={batch_id}")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return root
+
+
+def read_hll(spark: SparkSession, registers_root: str) -> DataFrame:
+    """Merge all per-batch register tables into the table of everything
+    ingested (cell-wise MAX — the HLL merge property)."""
+    return (spark.read.parquet(os.path.join(registers_root, "batch=*"))
+            .groupBy("reg")
+            .agg(F.max("max_rho").alias("max_rho")))

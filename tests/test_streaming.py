@@ -456,3 +456,47 @@ def test_sessionizer_out_of_order_within_delay_across_batches(
     oracle = sorted((u, n, s, e) for u, _sid, n, s, e
                     in duckdb.sql(sql).fetchall())
     assert got == oracle
+
+
+def test_incremental_hll_stream_equals_batch(spark, tmpdir_path):
+    """Streaming HyperLogLog: 3 micro-batches' register tables merge
+    (cell-wise MAX) into EXACTLY the batch register table of all events;
+    a late 4th file is sketched alone and the merge still equals the
+    batch computation — the HLL merge property as an exactly-once
+    streaming distinct-counter with no state store."""
+    import shutil
+
+    from recrun_spark.functions.sketch import hll_registers
+    from recrun_spark.streaming.freq import (read_hll,
+                                             run_hll_available_now)
+    from recrun_spark.streaming.sessions import prepare_ranged_events
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    staging = prepare_ranged_events(events,
+                                    os.path.join(tmpdir_path, "staging"), 4)
+    files = sorted(os.listdir(staging))
+    src = os.path.join(tmpdir_path, "in")
+    os.makedirs(src)
+    for f in files[:3]:
+        shutil.copy2(os.path.join(staging, f), os.path.join(src, f))
+    schema = spark.read.parquet(events).schema
+    out_dir = os.path.join(tmpdir_path, "hll")
+
+    def regs_of(df):
+        return {r["reg"]: r["max_rho"] for r in df.collect()}
+
+    root = run_hll_available_now(spark, src, out_dir, "user_id", schema)
+    assert len([d for d in os.listdir(root)
+                if d.startswith("batch=")]) == 3
+    got3 = regs_of(read_hll(spark, root))
+    assert got3 == regs_of(hll_registers(spark.read.parquet(src),
+                                         "user_id"))
+
+    shutil.copy2(os.path.join(staging, files[3]),
+                 os.path.join(src, files[3]))
+    run_hll_available_now(spark, src, out_dir, "user_id", schema)
+    assert len([d for d in os.listdir(root)
+                if d.startswith("batch=")]) == 4   # only the new file
+    got4 = regs_of(read_hll(spark, root))
+    assert got4 == regs_of(hll_registers(spark.read.parquet(events),
+                                         "user_id"))
