@@ -563,6 +563,35 @@ def documents_hash_split(spark, sf_dir):
                       {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def documents_pii_scrub(spark, sf_dir):
+    """PII redaction (functions/text.py::pii_scrub): emails, IPv4s, and
+    phone numbers replaced by typed tokens — pure chained regexp_replace,
+    zero shuffle, patterns restricted to the Java-regex ∩ RE2 dialect so
+    DuckDB reproduces the scrub byte-for-byte.  The fixture corpus has no
+    PII, so each doc gets a DETERMINISTIC synthetic contact line
+    (doc_id-derived email/phone/IP, identical arithmetic on both sides);
+    the oracle checks the scrubbed-text fingerprint and per-kind counts
+    row-for-row."""
+    from recrun_spark.functions.text import pii_count, pii_scrub
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail.example ph 555-"),
+        (did % 900 + 100).cast("string"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (did % 256).cast("string"),
+        F.lit("."), ((did * 7) % 256).cast("string"))
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(pii_scrub(injected)), 1, 16).alias("scrub_fp"),
+        pii_count(injected, "email").cast("int").alias("n_email"),
+        pii_count(injected, "ip").cast("int").alias("n_ip"),
+        pii_count(injected, "phone").cast("int").alias("n_phone"))
+
+
 def documents_pack_blocks(spark, sf_dir):
     """SEQUENCE PACKING (functions/pack.py): concatenate the corpus's
     tokens in a deterministic order and cut every 512 — one row per
@@ -825,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_hll": events_user_hll,
         "documents_hash_split": documents_hash_split,
         "documents_pack_blocks": documents_pack_blocks,
+        "documents_pii_scrub": documents_pii_scrub,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -1218,7 +1248,15 @@ ments AS (SELECT * FROM hits WHERE n_mentions > 0)
 
 def oracle_sql() -> dict[str, str]:
     from recrun_spark.functions.sampling import _thresholds
+    from recrun_spark.functions.text import PII_PATTERNS
     _split_edges = _thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    # chained regexp_replace in PII_PATTERNS order, global flag (DuckDB
+    # replaces first-only by default; Spark replaces all)
+    _pii_scrub_sql = "t"
+    for _, _pat, _repl in PII_PATTERNS:
+        _pii_scrub_sql = (f"regexp_replace({_pii_scrub_sql}, "
+                          f"'{_pat}', '{_repl}', 'g')")
+    _pii = {k: p for k, p, _ in PII_PATTERNS}
     return {
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
@@ -1519,6 +1557,28 @@ def oracle_sql() -> dict[str, str]:
                           THEN '{_split_edges[1][0]}'
                         ELSE '{_split_edges[2][0]}' END AS split
             FROM documents
+        """,
+        # the identical synthetic-PII injection + chained scrub in RE2;
+        # patterns come from the same PII_PATTERNS tuples as the Spark side
+        "documents_pii_scrub": f"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                          || '@mail.example ph 555-'
+                          || (doc_id % 900 + 100)::VARCHAR || '-'
+                          || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                          || ' ip 10.0.' || (doc_id % 256)::VARCHAR
+                          || '.' || ((doc_id * 7) % 256)::VARCHAR AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   substr(md5({_pii_scrub_sql}), 1, 16) AS scrub_fp,
+                   len(regexp_extract_all(t, '{_pii["email"]}'))::INT
+                     AS n_email,
+                   len(regexp_extract_all(t, '{_pii["ip"]}'))::INT AS n_ip,
+                   len(regexp_extract_all(t, '{_pii["phone"]}'))::INT
+                     AS n_phone
+            FROM inj
         """,
         # the same packing as ONE global-window cumsum — the serial
         # specification the distributed prefix-sum decomposition must

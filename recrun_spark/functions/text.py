@@ -120,3 +120,30 @@ def text_stats(documents: DataFrame, text_col: str = "text",
         fingerprint_md5(t).alias("fp_md5"),
         fingerprint_rolling(t).alias("fp_roll"),
     )
+
+
+# PII redaction — regexes chosen to behave IDENTICALLY under Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, and \b
+# only; no lookarounds (RE2 has none).  Applied in tuple order.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails, IPv4s, and phone numbers (in PII_PATTERNS order —
+    IPs before phones so dotted phone-alikes inside IPs are gone first).
+    Pure chained regexp_replace: zero shuffle, whole-stage codegen."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII kind ('email' | 'ip' | 'phone') in the
+    ORIGINAL text."""
+    pats = {k: p for k, p, _ in PII_PATTERNS}
+    return F.regexp_count(text, F.lit(pats[kind]))

@@ -845,3 +845,26 @@ def test_pack_blocks_invariants(spark):
     # fully-empty corpus -> empty frame with the right schema
     empty = pack_blocks(docs.where(F.col("doc_id") == 999), block_tokens=B)
     assert empty.count() == 0
+
+
+def test_pii_scrub_semantics(spark):
+    """PII redaction: emails/IPv4s/phones replaced with typed tokens, IPs
+    scrubbed before phones (a dotted phone-alike inside an IP never
+    survives as a phone), non-PII digit runs untouched."""
+    from recrun_spark.functions.text import pii_count, pii_scrub
+    rows = spark.createDataFrame(
+        [("a", "mail bob.smith+x@corp.example.org now"),
+         ("b", "call 555-123-4567 or 555.987.6543 today"),
+         ("c", "host 192.168.254.1 port 8080 build 12345"),
+         ("d", "no pii here just words 99 and 2024")],
+        ["id", "t"]).select(
+        "id", pii_scrub(F.col("t")).alias("s"),
+        pii_count(F.col("t"), "email").alias("ne"),
+        pii_count(F.col("t"), "ip").alias("ni"),
+        pii_count(F.col("t"), "phone").alias("np"))
+    got = {r["id"]: (r["s"], r["ne"], r["ni"], r["np"])
+           for r in rows.collect()}
+    assert got["a"] == ("mail <EMAIL> now", 1, 0, 0)
+    assert got["b"] == ("call <PHONE> or <PHONE> today", 0, 0, 2)
+    assert got["c"] == ("host <IP> port 8080 build 12345", 0, 1, 0)
+    assert got["d"] == ("no pii here just words 99 and 2024", 0, 0, 0)
