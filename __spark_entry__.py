@@ -563,6 +563,17 @@ def documents_hash_split(spark, sf_dir):
                       {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def documents_repetition_stats(spark, sf_dir):
+    """Word-2-gram repetition signals (functions/text.py::
+    repetition_stats — the Gopher-style boilerplate/spam filters): share
+    of all 2-grams carried by the most frequent one, and the distinct
+    share.  One combinable shuffle keyed (doc, gram) + a per-doc
+    aggregate.  Oracle: identical n-gram generation + aggregates in
+    DuckDB over the shared token expression."""
+    from recrun_spark.functions.text import repetition_stats
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def documents_pii_scrub(spark, sf_dir):
     """PII redaction (functions/text.py::pii_scrub): emails, IPv4s, and
     phone numbers replaced by typed tokens — pure chained regexp_replace,
@@ -855,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_hash_split": documents_hash_split,
         "documents_pack_blocks": documents_pack_blocks,
         "documents_pii_scrub": documents_pii_scrub,
+        "documents_repetition_stats": documents_repetition_stats,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -1557,6 +1569,37 @@ def oracle_sql() -> dict[str, str]:
                           THEN '{_split_edges[1][0]}'
                         ELSE '{_split_edges[2][0]}' END AS split
             FROM documents
+        """,
+        # identical 2-gram generation + aggregates over the shared token
+        # expression; left join restores 0-gram docs with 0.0 fractions
+        "documents_repetition_stats": f"""
+            WITH norm AS (
+              SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])
+                       ELSE [] END) AS gram
+              FROM norm
+            ),
+            pg AS (SELECT doc_id, gram, count(*) AS c
+                   FROM g GROUP BY 1, 2),
+            ag AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+                     max(c) AS mx, count(*) AS uniq
+              FROM pg GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_ngrams, 0) AS n_ngrams,
+                   round(coalesce(mx / n_ngrams, 0.0), 6)
+                     AS top_ngram_frac,
+                   round(coalesce(uniq / n_ngrams, 0.0), 6)
+                     AS uniq_ngram_frac
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN ag USING (doc_id)
         """,
         # the identical synthetic-PII injection + chained scrub in RE2;
         # patterns come from the same PII_PATTERNS tuples as the Spark side

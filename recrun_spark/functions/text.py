@@ -147,3 +147,45 @@ def pii_count(text: Column, kind: str) -> Column:
     ORIGINAL text."""
     pats = {k: p for k, p, _ in PII_PATTERNS}
     return F.regexp_count(text, F.lit(pats[kind]))
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """(doc_id, n_ngrams, top_ngram_frac, uniq_ngram_frac) — word-n-gram
+    repetition signals (the Gopher-style quality filters: a doc whose
+    most frequent 2-gram carries a large share of all 2-grams, or whose
+    distinct share is low, is boilerplate/spam-repetitive).
+
+    One shuffle keyed (doc, gram) with map-side partial counts, then a
+    per-doc aggregate — both combinable, no per-doc data skew beyond doc
+    length.  Tokenization matches the dedup shingle normalization
+    (lowercase, non-alphanumerics stripped), so the SQL oracle shares the
+    corpus's token expression.  Docs with fewer than ``n`` tokens report
+    0 n-grams and 0.0 fractions."""
+    toks = F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^a-z0-9 ]", " ")), r"\s+")
+    d = documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)))
+        ).otherwise(F.array().cast("array<string>"))).alias("gram"))
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.max("c").alias("_mx"),
+        F.count(F.lit(1)).alias("_uniq"))
+    ids = documents.select(F.col(id_col).alias("doc_id")).distinct()
+    return (ids.join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+                    F.round(F.coalesce(F.col("_mx") / F.col("n_ngrams"),
+                                       F.lit(0.0)), 6)
+                    .alias("top_ngram_frac"),
+                    F.round(F.coalesce(F.col("_uniq") / F.col("n_ngrams"),
+                                       F.lit(0.0)), 6)
+                    .alias("uniq_ngram_frac")))

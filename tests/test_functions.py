@@ -868,3 +868,24 @@ def test_pii_scrub_semantics(spark):
     assert got["b"] == ("call <PHONE> or <PHONE> today", 0, 0, 2)
     assert got["c"] == ("host <IP> port 8080 build 12345", 0, 1, 0)
     assert got["d"] == ("no pii here just words 99 and 2024", 0, 0, 0)
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    """Repetition signals: a doc that repeats one phrase has a high
+    top-2gram share and low distinct share; diverse text is the
+    opposite; short/empty docs report zeros."""
+    from recrun_spark.functions.text import repetition_stats
+    docs = spark.createDataFrame(
+        [("spam", "buy now " * 50),
+         ("prose", "the quick brown fox jumps over one lazy dog today"),
+         ("tiny", "word"),
+         ("empty", "")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got["spam"]["top_ngram_frac"] > 0.4          # 'buy now' dominates
+    assert got["spam"]["uniq_ngram_frac"] < 0.1
+    assert got["prose"]["top_ngram_frac"] < 0.2
+    assert got["prose"]["uniq_ngram_frac"] == 1.0
+    for d in ("tiny", "empty"):
+        assert (got[d]["n_ngrams"], got[d]["top_ngram_frac"],
+                got[d]["uniq_ngram_frac"]) == (0, 0.0, 0.0)
