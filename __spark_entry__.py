@@ -563,6 +563,19 @@ def documents_hash_split(spark, sf_dir):
                       {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def documents_stratified_sample(spark, sf_dir):
+    """Per-language corpus REBALANCING (functions/sampling.py::
+    hash_sample_stratified): keep 100% of de, 50% of en, 20% of
+    everything else — content-keyed hash ranges, so the kept set is
+    stable under corpus growth and nested across fractions.  Zero
+    shuffle.  Oracle: the identical per-stratum CASE thresholds in
+    DuckDB (integer literals shared via sampling.stratum_threshold)."""
+    from recrun_spark.functions.sampling import hash_sample_stratified
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample_stratified(d, {"de": 1.0, "en": 0.5}, "lang",
+                                  default=0.2)
+
+
 def documents_repetition_stats(spark, sf_dir):
     """Word-2-gram repetition signals (functions/text.py::
     repetition_stats — the Gopher-style boilerplate/spam filters): share
@@ -867,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pack_blocks": documents_pack_blocks,
         "documents_pii_scrub": documents_pii_scrub,
         "documents_repetition_stats": documents_repetition_stats,
+        "documents_stratified_sample": documents_stratified_sample,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -1259,9 +1273,12 @@ ments AS (SELECT * FROM hits WHERE n_mentions > 0)
 
 
 def oracle_sql() -> dict[str, str]:
-    from recrun_spark.functions.sampling import _thresholds
+    from recrun_spark.functions.sampling import (_thresholds,
+                                                 stratum_threshold)
     from recrun_spark.functions.text import PII_PATTERNS
     _split_edges = _thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    _strat = {s: stratum_threshold(f)
+              for s, f in (("de", 1.0), ("en", 0.5), ("*", 0.2))}
     # chained regexp_replace in PII_PATTERNS order, global flag (DuckDB
     # replaces first-only by default; Spark replaces all)
     _pii_scrub_sql = "t"
@@ -1569,6 +1586,15 @@ def oracle_sql() -> dict[str, str]:
                           THEN '{_split_edges[1][0]}'
                         ELSE '{_split_edges[2][0]}' END AS split
             FROM documents
+        """,
+        # per-stratum thresholds are the SAME integers computed by
+        # sampling.stratum_threshold on the Spark side
+        "documents_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ({_ddb_hash60('doc_id::VARCHAR')}) <
+                  CASE lang WHEN 'de' THEN {_strat["de"]}
+                            WHEN 'en' THEN {_strat["en"]}
+                            ELSE {_strat["*"]} END
         """,
         # identical 2-gram generation + aggregates over the shared token
         # expression; left join restores 0-gram docs with 0.0 fractions

@@ -82,3 +82,34 @@ def hash_split(df: DataFrame, weights: dict,
     Adds ``label_col``; no shuffle."""
     return df.withColumn(label_col,
                          split_label(F.col(key_col), weights))
+
+
+def stratum_threshold(fraction: float) -> int:
+    """Integer hash-space threshold for one stratum's fraction — computed
+    ONCE here and shared with SQL mirrors so float rounding cannot
+    diverge between engines."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return min(int(fraction * HASH_SPACE), HASH_SPACE)
+
+
+def hash_sample_stratified(df: DataFrame, fractions: dict,
+                           strata_col: str, key_col: str = "doc_id",
+                           default: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — the language/source
+    REBALANCING step of a corpus pipeline (keep 100% of a rare language,
+    10% of a dominant one).  Each stratum keeps the rows whose
+    content-keyed hash falls in the lowest ``fractions[stratum]`` of the
+    hash space; strata not listed use ``default``.  Same stability
+    properties as hash_sample (a kept row stays kept as the corpus
+    grows), and a row kept at fraction f is also kept at every f' > f —
+    nested samples for free.  Pure filter, zero shuffle."""
+    h = _hash60(F.col(key_col).cast("string"))
+    thresh = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(stratum)
+        t = F.lit(stratum_threshold(frac))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    dflt = F.lit(stratum_threshold(default))
+    thresh = dflt if thresh is None else thresh.otherwise(dflt)
+    return df.where(h < thresh)

@@ -889,3 +889,29 @@ def test_repetition_stats_flags_boilerplate(spark):
     for d in ("tiny", "empty"):
         assert (got[d]["n_ngrams"], got[d]["top_ngram_frac"],
                 got[d]["uniq_ngram_frac"]) == (0, 0.0, 0.0)
+
+
+def test_stratified_sampling_rebalance(spark):
+    """Per-stratum sampling: fractions apply per stratum, kept sets are
+    NESTED across fractions (a row kept at 0.2 is kept at 0.5), and the
+    default covers unlisted strata."""
+    from recrun_spark.functions.sampling import hash_sample_stratified
+    df = spark.range(3000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.element_at(F.array(F.lit("en"), F.lit("en"), F.lit("en"),
+                             F.lit("de"), F.lit("fr")),
+                     (F.col("id") % 5 + 1).cast("int")).alias("lang"))
+    kept = hash_sample_stratified(df, {"de": 1.0, "en": 0.5}, "lang",
+                                  default=0.2).collect()
+    by_lang: dict = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    n = {"en": 1800, "de": 600, "fr": 600}
+    assert len(by_lang["de"]) == n["de"]                    # 1.0: all kept
+    assert abs(len(by_lang["en"]) / n["en"] - 0.5) < 0.05
+    assert abs(len(by_lang["fr"]) / n["fr"] - 0.2) < 0.07   # default
+    # nesting: the en-sample at 0.2 is a subset of the en-sample at 0.5
+    kept02 = {r["doc_id"]
+              for r in hash_sample_stratified(df, {"en": 0.2}, "lang")
+              .collect()}
+    assert kept02 <= by_lang["en"]
