@@ -500,3 +500,58 @@ def test_incremental_hll_stream_equals_batch(spark, tmpdir_path):
     got4 = regs_of(read_hll(spark, root))
     assert got4 == regs_of(hll_registers(spark.read.parquet(events),
                                          "user_id"))
+
+
+def test_sessionizer_out_of_order_survives_restart(spark, tmpdir_path):
+    """The pending (not-yet-folded) event buffer must survive a query
+    RESTART: drain out-of-order files, stop while events are still
+    buffered above the watermark, land a later file, drain again with the
+    SAME checkpoint — the resumed state folds the buffer correctly and
+    the final emissions equal the single-drain result."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recrun_spark.streaming.sessions import run_sessionize_available_now
+
+    base = 1_700_000_000
+
+    def mkfile(rows, path, mtime):
+        pdf = pd.DataFrame({
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(
+                [int(round((base + r[2]) * 1_000_000)) for r in rows],
+                unit="us").astype("datetime64[us]"),
+            "user_id": [r[1] for r in rows],
+            "event_type": "x", "value": 1.0, "props": "{}"})
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (mtime, mtime))
+
+    src = os.path.join(tmpdir_path, "in")
+    os.makedirs(src)
+    mkfile([(1, 1, 100.0), (2, 2, 96.0), (3, 3, 94.0)],
+           os.path.join(src, "part-000.parquet"), 1_000_000)
+    mkfile([(4, 1, 95.0), (5, 2, 92.5), (6, 3, 91.0), (7, 1, 104.0)],
+           os.path.join(src, "part-001.parquet"), 1_000_001)
+
+    out = os.path.join(tmpdir_path, "out")
+    sink = run_sessionize_available_now(spark, src, out, spark.read.parquet(
+        os.path.join(src, "part-000.parquet")).schema,
+        gap_s=30, delay_ms=10_000)
+    # final wm of drain 1 = 104 - 10 = 94s: every session deadline is
+    # still ahead, so NOTHING is emitted — events sit in the buffer/state
+    assert spark.read.parquet(sink).count() == 0
+
+    mkfile([(8, 9, 2000.0)], os.path.join(src, "part-002.parquet"),
+           1_000_002)
+    sink = run_sessionize_available_now(spark, src, out, spark.read.parquet(
+        os.path.join(src, "part-000.parquet")).schema,
+        gap_s=30, delay_ms=10_000)
+    got = sorted((r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+                 for r in spark.read.parquet(sink).collect())
+    us = base * 1_000_000
+    assert got == [
+        (1, 3, us + 95_000_000, us + 104_000_000),
+        (2, 2, us + 92_500_000, us + 96_000_000),
+        (3, 2, us + 91_000_000, us + 94_000_000),
+    ], got
