@@ -626,7 +626,8 @@ def documents_pack_blocks(spark, sf_dir):
     window.  Oracle: a plain global-window cumsum in DuckDB, which is
     exactly what the distributed decomposition must equal."""
     from recrun_spark.functions.pack import pack_blocks
-    return pack_blocks(_t(spark, sf_dir, "documents"), block_tokens=512)
+    return _finalize(pack_blocks(_t(spark, sf_dir, "documents"),
+                                 block_tokens=512))
 
 
 def events_user_hll(spark, sf_dir):
@@ -1658,7 +1659,7 @@ def oracle_sql() -> dict[str, str]:
                      (CASE WHEN trim(text) = '' THEN 0
                            ELSE len(string_split_regex(trim(text), '\\s+'))
                       END)::BIGINT AS n_tok
-              FROM documents
+              FROM documents WHERE doc_id IS NOT NULL
             ),
             c AS (
               SELECT doc_id, n_tok,

@@ -64,7 +64,10 @@ def _probe_real_decoders() -> dict:
     return out
 
 
-REAL_DECODERS_AVAILABLE = _probe_real_decoders()  # driver-side snapshot
+# NOTE: the old module-level REAL_DECODERS_AVAILABLE bool was removed —
+# routing probes per worker inside extract_features; a driver-side
+# snapshot would be wrong on heterogeneous clusters AND truthiness-traps
+# callers now that the probe returns a per-modality dict.
 
 
 def _fake_decode(payload: bytes, modality: str) -> np.ndarray:

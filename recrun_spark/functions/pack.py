@@ -47,12 +47,21 @@ def pack_blocks(documents: DataFrame, block_tokens: int = 2048,
     blocks (see module docstring)."""
     if block_tokens <= 0:
         raise ValueError(f"block_tokens must be positive, got {block_tokens}")
+    # NULL sort keys have no defined packing position — excluded, like
+    # every other content-keyed operator here.  The sort key must be
+    # UNIQUE per row: duplicate keys tie in the window order and their
+    # relative offsets would be nondeterministic (doc ids satisfy this).
     d = (documents
+         .where(F.col(id_col).isNotNull())
          .select(F.col(id_col).cast("string").alias("_k"),
                  F.col(id_col).alias(id_col),
                  token_count(F.col(text_col)).cast("long").alias("n_tok"))
          .where(F.col("n_tok") > 0))
     d = d.withColumn("_b", F.substring(F.col("_k"), 1, bucket_prefix_len))
+    # the scan+tokenize subtree feeds BOTH the totals collect and the
+    # phase-3 window — persist so it runs once (caller releases via
+    # operators.release_caches)
+    d = d.persist()
 
     # phase 1+2: per-bucket totals -> driver (bounded: one row per
     # distinct prefix) -> exclusive prefix offsets, rebroadcast
@@ -63,9 +72,13 @@ def pack_blocks(documents: DataFrame, block_tokens: int = 2048,
         off.append((b, acc))
         acc += totals[b]
     if not off:
-        return d.sparkSession.createDataFrame(
-            [], f"{id_col} string, n_tok long, block_id long, "
-                "block_offset long, tokens_in_block long")
+        d.unpersist()
+        from pyspark.sql.types import LongType, StructField, StructType
+        schema = StructType(
+            [StructField(id_col, documents.schema[id_col].dataType)]
+            + [StructField(c, LongType()) for c in
+               ("n_tok", "block_id", "block_offset", "tokens_in_block")])
+        return documents.sparkSession.createDataFrame([], schema)
     off_df = d.sparkSession.createDataFrame(off, "_b string, _off long")
 
     # phase 3: interior running sum per bucket, in parallel
@@ -83,9 +96,11 @@ def pack_blocks(documents: DataFrame, block_tokens: int = 2048,
                   F.explode(F.sequence(first, last)).alias("block_id"))
     blk_lo = F.col("block_id") * B
     blk_hi = blk_lo + B
-    return ex.select(
+    out = ex.select(
         id_col, "n_tok", "block_id",
         (F.greatest(F.col("_start"), blk_lo) - blk_lo)
         .alias("block_offset"),
         (F.least(F.col("_start") + F.col("n_tok"), blk_hi)
          - F.greatest(F.col("_start"), blk_lo)).alias("tokens_in_block"))
+    out._recrun_caches = [d]
+    return out

@@ -52,10 +52,11 @@ def _thresholds(weights: dict) -> list:
 def hash_sample(df: DataFrame, fraction: float,
                 key_col: str = "doc_id") -> DataFrame:
     """Deterministic ``fraction`` sample: rows whose md5-derived hash of
-    ``key_col`` falls in the lowest ``fraction`` of the hash space."""
-    if not (0.0 <= fraction <= 1.0):
-        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    thresh = min(int(fraction * HASH_SPACE), HASH_SPACE)
+    ``key_col`` falls in the lowest ``fraction`` of the hash space.
+    Rows with a NULL key are dropped (no hash, no position in the
+    sample space).  The threshold integer comes from the same
+    ``stratum_threshold`` the SQL mirrors embed."""
+    thresh = stratum_threshold(fraction)
     return df.where(
         _hash60(F.col(key_col).cast("string")) < F.lit(thresh))
 
@@ -65,13 +66,17 @@ def split_label(key: Column, weights: dict) -> Column:
     hash_split)."""
     h = _hash60(key.cast("string"))
     # WHEN chain lowest-edge-first: each row takes the FIRST range
-    # containing its hash
+    # containing its hash.  A NULL key hashes to NULL (every comparison
+    # NULL) — the otherwise() assigns it the LAST split, matching the SQL
+    # mirrors' ELSE branch, so every row gets a label in both engines.
+    edges = _thresholds(weights)
     expr = None
-    for name, edge in _thresholds(weights):
+    for name, edge in edges[:-1]:
         cond = h < F.lit(edge)
         expr = F.when(cond, F.lit(name)) if expr is None \
             else expr.when(cond, F.lit(name))
-    return expr
+    last = F.lit(edges[-1][0])
+    return last if expr is None else expr.otherwise(last)
 
 
 def hash_split(df: DataFrame, weights: dict,

@@ -915,3 +915,31 @@ def test_stratified_sampling_rebalance(spark):
               for r in hash_sample_stratified(df, {"en": 0.2}, "lang")
               .collect()}
     assert kept02 <= by_lang["en"]
+
+
+def test_pack_and_split_null_key_edges(spark):
+    """Self-review r4 fixes: pack_blocks excludes NULL-keyed rows (and
+    keeps the input id TYPE on the all-empty path), hash_split labels a
+    NULL key with the LAST split (matching the oracle's ELSE), and
+    hash_sample drops NULL keys."""
+    from pyspark.sql.types import LongType
+
+    from recrun_spark.functions.pack import pack_blocks
+    from recrun_spark.functions.sampling import hash_sample, hash_split
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (None, "words here too"), (2, "")],
+        "doc_id bigint, text string")
+    rows = pack_blocks(docs, block_tokens=8).collect()
+    assert {r["doc_id"] for r in rows} == {1}          # NULL + empty gone
+    empty = pack_blocks(docs.where(F.col("doc_id") == 99), block_tokens=8)
+    assert empty.count() == 0
+    assert isinstance(empty.schema["doc_id"].dataType, LongType)
+    assert [f.name for f in empty.schema.fields] == \
+        ["doc_id", "n_tok", "block_id", "block_offset", "tokens_in_block"]
+
+    labs = {r["doc_id"]: r["split"]
+            for r in hash_split(docs, {"train": 0.5, "test": 0.5}).collect()}
+    assert labs[None] == "test"                        # last split, not NULL
+    assert all(v in ("train", "test") for v in labs.values())
+    kept = {r["doc_id"] for r in hash_sample(docs, 1.0).collect()}
+    assert None not in kept and kept == {1, 2}
