@@ -643,6 +643,17 @@ def events_user_hll(spark, sf_dir):
     return hll_registers(_t(spark, sf_dir, "events"), "user_id")
 
 
+def events_user_bloom(spark, sf_dir):
+    """BLOOM FILTER membership sketch of events.user_id
+    (functions/sketch.py::bloom_bits): the distinct set-bit positions of
+    a 16384-bit / 6-hash filter — bounded output at any key cardinality,
+    mergeable by position-set union (bitwise OR).  Same md5-derived
+    row-hash scheme as the CMS, so the oracle rebuilds the IDENTICAL bit
+    set in SQL (checked position-for-position)."""
+    from recrun_spark.functions.sketch import bloom_bits
+    return bloom_bits(_t(spark, sf_dir, "events"), "user_id")
+
+
 def salted_join_revenue(spark, sf_dir):
     """Pins the SALTED repartition-join path (operators.salted_join) under
     the value oracle, the way cc_components pins distributed CC: orders ⋈
@@ -877,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_rollup": events_time_rollup,
         "events_user_cms": events_user_cms,
         "events_user_hll": events_user_hll,
+        "events_user_bloom": events_user_bloom,
         "documents_hash_split": documents_hash_split,
         "documents_pack_blocks": documents_pack_blocks,
         "documents_pii_scrub": documents_pii_scrub,
@@ -1680,6 +1692,19 @@ def oracle_sql() -> dict[str, str]:
                      AS block_offset,
                    least(strt + n_tok, (block_id + 1) * 512)
                      - greatest(strt, block_id * 512) AS tokens_in_block
+            FROM e
+        """,
+        # rebuild the IDENTICAL Bloom bit set in SQL: same "i<US>key"
+        # md5-derived row hashes as the CMS, 6 hashes into 16384 bits
+        "events_user_bloom": f"""
+            WITH e AS (
+              SELECT i, user_id::VARCHAR AS k
+              FROM events CROSS JOIN (SELECT unnest(range(6)) AS i)
+              WHERE user_id IS NOT NULL
+            )
+            SELECT DISTINCT
+                   ({_ddb_hash60("i::VARCHAR || chr(31) || k")}) % 16384
+                     AS pos
             FROM e
         """,
         # rebuild the IDENTICAL HyperLogLog register table in SQL: same

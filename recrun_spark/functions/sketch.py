@@ -113,6 +113,49 @@ def hll_estimate(cells, p: int = HLL_P) -> float:
     return e
 
 
+BLOOM_M = 1 << 14          # bit-space size (16384)
+BLOOM_K = 6                # hash functions per key
+
+
+def bloom_bits(df: DataFrame, key_col: str, m: int = BLOOM_M,
+               k: int = BLOOM_K) -> DataFrame:
+    """(pos) — the DISTINCT set bit positions of a BLOOM FILTER over
+    ``key_col`` (membership sketch; completes the sketch family next to
+    CMS=frequency and HLL=distinct).  Each key sets ``k`` md5-derived
+    positions (the same "i<US>key" row-hash scheme as the CMS, so any
+    SQL engine rebuilds the identical bit set); output is bounded at
+    ``m`` rows regardless of key cardinality.
+
+    Mergeable: the filter of a union is the UNION of the position sets
+    (bitwise OR) — `bloom_a.union(bloom_b).distinct()`.  Query-side:
+    `bloom_might_contain` for driver-side checks; for a join-shaped
+    probe, an equi-join on pos with a HAVING count == k per candidate.
+    False-positive rate ~(1 - e^{-kn/m})^k; NULL keys are excluded."""
+    rows = (df.where(F.col(key_col).isNotNull())
+            .select(F.col(key_col).cast("string").alias("_k")))
+    exploded = rows.select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"), "_k")
+    return (exploded
+            .select(cms_bucket(F.col("i"), F.col("_k"), m).alias("pos"))
+            .distinct())
+
+
+def bloom_might_contain(positions, key, m: int = BLOOM_M,
+                        k: int = BLOOM_K) -> bool:
+    """Driver-side membership probe against collected bit positions
+    (an iterable of pos ints): True = maybe present (false positives
+    possible), False = DEFINITELY absent."""
+    import hashlib
+    pset = {int(p) for p in positions} if not isinstance(positions, set) \
+        else positions
+    for i in range(k):
+        h = int(hashlib.md5(f"{i}{_SEP}{key}".encode())
+                .hexdigest()[:15], 16) % m
+        if h not in pset:
+            return False
+    return True
+
+
 def cms_estimate(cells, keys, depth: int = CMS_DEPTH,
                  width: int = CMS_WIDTH) -> dict:
     """Point estimates for ``keys`` from collected sketch cells

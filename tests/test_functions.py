@@ -943,3 +943,29 @@ def test_pack_and_split_null_key_edges(spark):
     assert all(v in ("train", "test") for v in labs.values())
     kept = {r["doc_id"] for r in hash_sample(docs, 1.0).collect()}
     assert None not in kept and kept == {1, 2}
+
+
+def test_bloom_filter_properties(spark):
+    """Bloom invariants: no false negatives for inserted keys, absent
+    keys mostly rejected (false positives bounded), merge = position-set
+    union, NULL keys excluded."""
+    from recrun_spark.functions.sketch import (bloom_bits,
+                                               bloom_might_contain)
+    keys = [f"user{i}" for i in range(300)]
+    df = spark.createDataFrame([(x,) for x in keys] + [(None,)],
+                               "k string")
+    pos = {r["pos"] for r in bloom_bits(df, "k").collect()}
+    assert all(bloom_might_contain(pos, x) for x in keys)  # no false negs
+    absent = [f"other{i}" for i in range(1000)]
+    fp = sum(bloom_might_contain(pos, x) for x in absent) / len(absent)
+    assert fp < 0.05, fp        # ~(1-e^{-6*300/16384})^6 ≈ 1e-6 expected
+
+    a = df.where(F.col("k") < "user2")
+    b = df.where(F.col("k") >= "user2")
+    merged = {r["pos"] for r in
+              bloom_bits(a, "k").union(bloom_bits(b, "k"))
+              .distinct().collect()}
+    assert merged == pos
+
+    no_null = spark.createDataFrame([(x,) for x in keys], "k string")
+    assert {r["pos"] for r in bloom_bits(no_null, "k").collect()} == pos
