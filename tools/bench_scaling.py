@@ -36,8 +36,11 @@ spark = get_spark(f"scale{{cpus}}", cpus=cpus, extra_conf={{
     "spark.sql.files.openCostInBytes": "4m"}})
 docs = spark.read.parquet({corpus!r})
 # warm-up, untimed: full scan (page cache) + python worker pool + codegen
-docs.agg(F.sum(F.size("spans"))).collect()
-extract_documents(docs.limit(2000)).agg(F.count(F.lit(1))).collect()
+if job == "dedup":
+    docs.agg(F.sum(F.length("text"))).collect()
+else:
+    docs.agg(F.sum(F.size("spans"))).collect()
+    extract_documents(docs.limit(2000)).agg(F.count(F.lit(1))).collect()
 
 
 def run_extract():
@@ -62,7 +65,19 @@ def run_pipeline():
     return n
 
 
-fn = run_pipeline if job == "pipeline" else run_extract
+def run_dedup():
+    # end-to-end text dedup over the boilerplate-heavy corpus: shingle ->
+    # LSH -> df-cut verify -> distributed CC -> canonical map (the whole
+    # training-data dedup path under one timing)
+    from recrun_spark.functions.dedup import dedup_clusters
+    from recrun_spark.operators import release_caches
+    out = dedup_clusters(docs, threshold=0.6)
+    n = out.count()
+    release_caches(out)
+    return n
+
+
+fn = {{"pipeline": run_pipeline, "dedup": run_dedup}}.get(job, run_extract)
 ds = []
 for _ in range({repeats}):
     t0 = time.time()
@@ -90,6 +105,25 @@ def ensure_corpus(n_docs: int) -> str:
     return path
 
 
+def ensure_dedup_corpus(n_docs: int) -> str:
+    """The boilerplate-heavy dedup corpus (bench.ensure_dedup_skew_corpus
+    defaults: 15% mega-cluster share)."""
+    sys.path.insert(0, REPO)
+    mega = max(100, (n_docs * 3) // 20)
+    path = os.path.join(REPO, ".bench_cache",
+                        f"dedup_skew_{n_docs}_{mega}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    code = (f"import sys; sys.path.insert(0, {REPO!r})\n"
+            "from recrun_spark.session import get_spark\n"
+            "import bench\n"
+            f"bench.ensure_dedup_skew_corpus(get_spark('gen', cpus=32), "
+            f"n_docs={n_docs}, mega={mega})\n")
+    subprocess.run([sys.executable, "-c", code], check=True,
+                   env=dict(os.environ, PYTHONPATH=REPO), cwd=REPO)
+    return path
+
+
 def run_level(cpus: int, corpus: str, repeats: int,
               job: str = "extract") -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, repeats=repeats,
@@ -106,11 +140,14 @@ def main():
                                                "200000")))
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--levels", type=str, default="8,32")
-    ap.add_argument("--job", choices=["extract", "pipeline"],
+    ap.add_argument("--job", choices=["extract", "pipeline", "dedup"],
                     default="extract")
     args = ap.parse_args()
 
-    corpus = ensure_corpus(args.docs)
+    if args.job == "dedup":
+        corpus = ensure_dedup_corpus(args.docs)
+    else:
+        corpus = ensure_corpus(args.docs)
     levels = [int(x) for x in args.levels.split(",")]
     results = {c: run_level(c, corpus, args.repeats, args.job)
                for c in levels}
@@ -131,8 +168,9 @@ def main():
         "rule": f"eff = dps[{hi}] / ({hi // lo} * dps[{lo}]) >= 0.8",
         "pass": eff >= 0.8,
     }
-    out_name = ("BENCH_SCALING.json" if args.job == "extract"
-                else "BENCH_SCALING_PIPELINE.json")
+    out_name = {"extract": "BENCH_SCALING.json",
+                "pipeline": "BENCH_SCALING_PIPELINE.json",
+                "dedup": "BENCH_SCALING_DEDUP.json"}[args.job]
     with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
