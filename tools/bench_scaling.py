@@ -105,11 +105,16 @@ def ensure_corpus(n_docs: int) -> str:
     return path
 
 
-def ensure_dedup_corpus(n_docs: int) -> str:
-    """The boilerplate-heavy dedup corpus (bench.ensure_dedup_skew_corpus
-    defaults: 15% mega-cluster share)."""
+def ensure_dedup_corpus(n_docs: int, mega: int | None = None) -> str:
+    """The dedup corpus (bench.ensure_dedup_skew_corpus).  ``mega`` is
+    the near-duplicate mega-cluster size: the 15% default mirrors the
+    bench's adversarial skew entry; pass a small value (e.g. 100) for
+    the near-uniform corpus the SCALING measurement wants — the hot
+    band-bucket's candidate expansion is deliberately skewed work, which
+    measures the adversary, not the operator's parallelizability."""
     sys.path.insert(0, REPO)
-    mega = max(100, (n_docs * 3) // 20)
+    if mega is None:
+        mega = max(100, (n_docs * 3) // 20)
     path = os.path.join(REPO, ".bench_cache",
                         f"dedup_skew_{n_docs}_{mega}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -142,10 +147,14 @@ def main():
     ap.add_argument("--levels", type=str, default="8,32")
     ap.add_argument("--job", choices=["extract", "pipeline", "dedup"],
                     default="extract")
+    ap.add_argument("--dedup-mega", type=int, default=None,
+                    help="mega-cluster size for --job dedup (default: the "
+                         "bench's 15%% adversarial share; use ~100 for the "
+                         "near-uniform scaling corpus)")
     args = ap.parse_args()
 
     if args.job == "dedup":
-        corpus = ensure_dedup_corpus(args.docs)
+        corpus = ensure_dedup_corpus(args.docs, args.dedup_mega)
     else:
         corpus = ensure_corpus(args.docs)
     levels = [int(x) for x in args.levels.split(",")]
