@@ -563,6 +563,31 @@ def documents_hash_split(spark, sf_dir):
                       {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def documents_corpus_filter(spark, sf_dir):
+    """END-TO-END corpus quality filter — the keep/drop decision a
+    training-data pipeline actually materializes, composing this suite's
+    signals in one pass: English (lang_guess), quality score >= 0.5,
+    most-frequent-2-gram share <= 0.2 (repetition/boilerplate cut), and
+    >= 20 tokens.  Pure projections + the one (doc, gram) shuffle from
+    repetition_stats.  Oracle: the same predicate over the combined
+    text-stats + repetition CTEs in DuckDB."""
+    from recrun_spark.functions.text import (lang_guess, quality_score,
+                                             repetition_stats, token_count)
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id",
+                    token_count(F.col("text")).alias("n_tokens"),
+                    F.round(quality_score(F.col("text")), 6)
+                    .alias("quality"),
+                    lang_guess(F.col("text")).alias("lang_guess"))
+    rep = repetition_stats(d).select("doc_id", "top_ngram_frac")
+    return (base.join(rep, "doc_id")
+            .where((F.col("lang_guess") == "en")
+                   & (F.col("quality") >= 0.5)
+                   & (F.col("top_ngram_frac") <= 0.2)
+                   & (F.col("n_tokens") >= 20))
+            .select("doc_id", "n_tokens", "quality", "top_ngram_frac"))
+
+
 def documents_stratified_sample(spark, sf_dir):
     """Per-language corpus REBALANCING (functions/sampling.py::
     hash_sample_stratified): keep 100% of de, 50% of en, 20% of
@@ -894,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pii_scrub": documents_pii_scrub,
         "documents_repetition_stats": documents_repetition_stats,
         "documents_stratified_sample": documents_stratified_sample,
+        "documents_corpus_filter": documents_corpus_filter,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -1599,6 +1625,34 @@ def oracle_sql() -> dict[str, str]:
                           THEN '{_split_edges[1][0]}'
                         ELSE '{_split_edges[2][0]}' END AS split
             FROM documents
+        """,
+        # the same keep/drop predicate over the combined text-stats +
+        # repetition CTEs (both reused verbatim from their own oracles)
+        "documents_corpus_filter": f"""
+            WITH ts AS ({_TEXT_STATS_SQL}),
+            norm2 AS (
+              SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS toks
+              FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])
+                       ELSE [] END) AS gram
+              FROM norm2
+            ),
+            pg2 AS (SELECT doc_id, gram, count(*) AS c
+                    FROM g2 GROUP BY 1, 2),
+            rep AS (
+              SELECT doc_id,
+                     round(max(c) / sum(c)::DOUBLE, 6) AS top_ngram_frac
+              FROM pg2 GROUP BY 1
+            )
+            SELECT ts.doc_id, ts.n_tokens, ts.quality, rep.top_ngram_frac
+            FROM ts JOIN rep USING (doc_id)
+            WHERE ts.lang_guess = 'en' AND ts.quality >= 0.5
+              AND rep.top_ngram_frac <= 0.2 AND ts.n_tokens >= 20
         """,
         # per-stratum thresholds are the SAME integers computed by
         # sampling.stratum_threshold on the Spark side
