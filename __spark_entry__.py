@@ -878,6 +878,10 @@ def kg_triples_interleaved(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # flagship first: the end-to-end KG parity row must land in the
+        # driver artifact even if a later-query budget/timeout trims the
+        # tail of the dict (r4 lost exactly this row by registering it last)
+        "kg_triples_interleaved": kg_triples_interleaved,
         "q1_pricing": q1_pricing,
         "revenue_by_region": revenue_by_region,
         "top_customer_per_nation": top_customer_per_nation,
@@ -928,7 +932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         "render_overlay": render_overlay,
         "events_sessions_stream": events_sessions_stream,
-        "kg_triples_interleaved": kg_triples_interleaved,
     }
 
 

@@ -103,13 +103,34 @@ def _kept_shingles(documents: DataFrame, n: int, text_col: str,
 def _jaccard_of_pairs(pairs: DataFrame, sh_kept: DataFrame,
                       threshold: float) -> DataFrame:
     """Exact Jaccard for the given (doc_a, doc_b) candidate pairs over the
-    kept-shingle sets; pairs=None means all co-occurring pairs."""
-    sizes = sh_kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
-    if pairs is not None:
-        a = a.join(pairs.select("doc_a").distinct(), "doc_a")
-        b = b.join(pairs.select("doc_b").distinct(), "doc_b")
+    kept-shingle sets; pairs=None means all co-occurring pairs.
+
+    With ``pairs`` given, the kept shingles are restricted ONCE to the
+    union of candidate docs (one semi-join, persisted small frame) and
+    sizes + both join sides all derive from that restricted frame — a
+    doc's own kept-shingle count is unchanged by dropping other docs, so
+    the Jaccard is identical to the full-universe computation.  (The r4
+    shape ran two separate per-side semi-joins plus a third full-corpus
+    kept-shingle cache fill; this collapses the verify stage onto one
+    cached frame — VERDICT r04 #2.)  Extra co-occurring pairs inside the
+    candidate-doc subset that never shared a band are filtered by the
+    inner join back to ``pairs`` after the per-pair aggregate (after, not
+    before: the groupBy combiner shrinks the shuffle first).
+
+    Sets ``out._jp_caches`` to the persisted handles this stage created so
+    callers can fold them into ``_recrun_caches``."""
+    caches: list = []
+    if pairs is None:
+        sh_c = sh_kept
+    else:
+        docs = (pairs.select(
+                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+                .distinct())
+        sh_c = sh_kept.join(docs, "doc_id").persist()
+        caches.append(sh_c)
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (a.join(b, "shingle")
              .where(F.col("doc_a") < F.col("doc_b"))
              .groupBy("doc_a", "doc_b")
@@ -120,13 +141,15 @@ def _jaccard_of_pairs(pairs: DataFrame, sh_kept: DataFrame,
                       F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("n_sh").alias("n_b"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_inter")
-                                / (F.col("n_a") + F.col("n_b")
-                                   - F.col("n_inter")), 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+    out = (inter.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jaccard",
+                       F.round(F.col("n_inter")
+                               / (F.col("n_a") + F.col("n_b")
+                                  - F.col("n_inter")), 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("doc_a", "doc_b", "jaccard"))
+    out._jp_caches = caches
+    return out
 
 
 def jaccard_pairs(documents: DataFrame, threshold: float = 0.6,
@@ -218,15 +241,19 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
              .select("doc_a", "doc_b").distinct().persist())
     if materialize:
         cands.count()
-    # the kept-shingle frame likewise feeds sizes + both join sides of the
-    # verification: persist so the df frequency aggregate runs once
-    sh_kept = _df_cut(sh, max_shingle_freq=1000).persist()
+    # the df-cut is a lazy agg+join over the CACHED shingle frame (skew-safe
+    # partial aggregation — a windowed count per shingle would funnel every
+    # row of a boilerplate shingle through one partition at corpus scale);
+    # it is consumed exactly once now (to build the candidate-restricted
+    # frame inside _jaccard_of_pairs), so it no longer needs its own
+    # persist + cache-fill barrier (r4 ran a third full-corpus cache here)
+    sh_kept = _df_cut(sh, max_shingle_freq=1000)
     # exact-Jaccard verification restricted to the CANDIDATE pairs only —
     # the whole point of LSH is to never run the full co-occurrence join
     out = _jaccard_of_pairs(cands, sh_kept, threshold)
     # expose the persisted intermediates so callers can release them after
     # materializing (operators.release_caches)
-    out._recrun_caches = [sh, cands, sh_kept]
+    out._recrun_caches = [sh, cands] + out._jp_caches
     return out
 
 

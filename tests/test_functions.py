@@ -659,6 +659,38 @@ def test_two_level_assignment_equals_flat_when_probing_all_cells(spark):
     assert agree >= 0.6, agree
 
 
+def test_fine_centroid_shuffle_join_past_broadcast_ceiling(spark):
+    """VERDICT r04 #4: past ``fine_broadcast_max_centroids`` the probed-cell
+    join must stop broadcasting the K-row fine-centroid table (K·dim
+    doubles to EVERY executor — ~1 GB at K=1M, dim=128) and take a
+    cell-keyed shuffle hash join instead.  Same deterministic ranking both
+    ways — assignments must be IDENTICAL — and the forced-shuffle plan
+    must carry a ShuffledHashJoin keyed on the cell column (the √K-row
+    coarse-cell broadcasts stay broadcast by design; the ceiling governs
+    only the K-row fine table)."""
+    import contextlib
+    import io
+
+    from recrun_spark.functions.similarity import assign_buckets
+    emb = _blob_corpus(spark)                      # n = 400, 8 blobs
+    kw = dict(n_centroids=8, assignment="two_level", coarse_nprobe=2)
+    bcast = {r["vec_id"]: r["bucket"]
+             for r in assign_buckets(emb, **kw).collect()}
+    shuf_df = assign_buckets(emb, fine_broadcast_max_centroids=0, **kw)
+    shuf = {r["vec_id"]: r["bucket"] for r in shuf_df.collect()}
+    assert shuf == bcast and len(shuf) == 400
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        shuf_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan, plan
+    # the detail section of the (sole) ShuffledHashJoin must be keyed on
+    # the cell column — i.e. the shuffle join IS the fine-centroid join
+    idx = plan.rindex("ShuffledHashJoin")
+    assert "cell#" in plan[idx:idx + 400], plan[idx:idx + 400]
+
+
 def test_two_level_assignment_cost_sublinear_in_k(spark):
     """VERDICT r03 item 2: with K derived from corpus size, flat
     assignment is O(n·K) — the step that dies first at 10^8 vectors.  The
@@ -845,6 +877,48 @@ def test_pack_blocks_invariants(spark):
     # fully-empty corpus -> empty frame with the right schema
     empty = pack_blocks(docs.where(F.col("doc_id") == 999), block_tokens=B)
     assert empty.count() == 0
+
+
+def test_pack_blocks_numeric_key_order(spark):
+    """VERDICT r04 wrong-#5: the lexicographic default packs numeric ids
+    as "1","10","100","2"…; ``pad_numeric_key=True`` zero-pads to the
+    corpus-max key width so packing follows NUMERIC id order, with every
+    invariant (conservation, bucketing-independence) intact.  ``order_col``
+    packs by a different column under the same contract."""
+    from recrun_spark.functions.pack import pack_blocks
+    docs = spark.createDataFrame(
+        [(i, i % 7, "w " * ((i * 13) % 9 + 1)) for i in range(1, 25)],
+        ["doc_id", "grp_key", "text"])
+
+    def starts(rows):
+        # reconstruct each doc's global start offset from its first block
+        s = {}
+        for r in rows:
+            pos = r["block_id"] * 8 + r["block_offset"]
+            s[r["doc_id"]] = min(s.get(r["doc_id"], pos), pos)
+        return s
+
+    lex = starts(pack_blocks(docs, block_tokens=8).collect())
+    num = starts(pack_blocks(docs, block_tokens=8,
+                             pad_numeric_key=True).collect())
+    # lexicographic: doc 10 packs before doc 2; numeric: after
+    assert lex[10] < lex[2] and num[10] > num[2]
+    # numeric order: start offsets strictly increase with doc_id
+    order = [d for d, _ in sorted(num.items(), key=lambda kv: kv[1])]
+    assert order == sorted(num)
+    # bucketing stays a pure parallelism knob on the padded key too
+    for plen in (1, 3):
+        alt = starts(pack_blocks(docs, block_tokens=8, pad_numeric_key=True,
+                                 bucket_prefix_len=plen).collect())
+        assert alt == num, plen
+    # order_col: duplicate grp_key values are NOT a valid sort key, but a
+    # unique derived column is — pack by descending-id proxy (-doc_id,
+    # padded won't apply: negative) via a string key
+    from pyspark.sql import functions as FF
+    docs2 = docs.withColumn("rk", FF.format_string("%03d", 25 - FF.col("doc_id")))
+    rev = starts(pack_blocks(docs2, block_tokens=8, order_col="rk").collect())
+    order_rev = [d for d, _ in sorted(rev.items(), key=lambda kv: kv[1])]
+    assert order_rev == sorted(rev, reverse=True)
 
 
 def test_pii_scrub_semantics(spark):

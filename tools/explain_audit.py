@@ -158,6 +158,29 @@ def main():
     from recrun_spark.operators import release_caches
     release_caches(nd_plan)
 
+    # 7b. fine-centroid join PAST the broadcast ceiling (VERDICT r04 #4):
+    # with fine_broadcast_max_centroids exceeded, the probed-cell join must
+    # become a cell-keyed ShuffledHashJoin — no K·dim fine-centroid table
+    # shipped to every executor (only the √K-row coarse-cell broadcasts
+    # remain).  Audited on the assignment subtree, the part the ceiling
+    # governs.
+    from recrun_spark.functions.similarity import assign_buckets
+
+    def _shj_keyed_on_cell(p):
+        i = p.rfind("ShuffledHashJoin")
+        return i >= 0 and "cell#" in p[i:i + 400]
+
+    audit("ann_two_level_assign_shuffle",
+          assign_buckets(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+                         n_centroids=64, assignment="two_level",
+                         fine_broadcast_max_centroids=0), [
+              ("fine-centroid join is a cell-keyed shuffle hash join",
+               _shj_keyed_on_cell),
+              ("no cartesian product", lambda p: "CartesianProduct" not in p),
+              ("coarse-cell broadcasts only (≤2 BNLJ, √K-row sides)",
+               lambda p: _distinct_bnlj(p) <= 2),
+          ])
+
     # 8. signature/text operators: pure expressions, pruned scans
     audit("minhash_sigs", qs["minhash_sigs"](spark, SF_DIR), [
         ("no python UDF (signatures are pure expressions)",
