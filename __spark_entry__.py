@@ -601,6 +601,35 @@ def documents_stratified_sample(spark, sf_dir):
                                   default=0.2)
 
 
+def documents_domain_cap(spark, sf_dir):
+    """Per-domain document caps (functions/sampling.py::cap_per_group —
+    the defense against one crawler-friendly site dominating a corpus):
+    keep at most 10 docs per source, chosen deterministically as the
+    smallest (md5(doc_id), doc_id) within each source.  One shuffle keyed
+    on source + an in-partition sort; the opt-in mega-domain hash
+    prefilter is unit-tested for path equality.  Oracle: the identical
+    row_number window in DuckDB."""
+    from recrun_spark.functions.sampling import cap_per_group
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(d, cap=10, group_col="source")
+
+
+def documents_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.py::decontaminate): flag
+    corpus docs sharing any word 3-gram with a held-out eval set — here a
+    deterministic stand-in benchmark, the 5 docs with the smallest
+    (md5(doc_id), doc_id), anti-joined out of the corpus side.  The
+    benchmark shingle set broadcasts, so the corpus shingle stream is
+    filtered map-side with zero corpus shuffle before the per-doc hit
+    aggregate.  Oracle: the same shingle CTE + join in DuckDB."""
+    from recrun_spark.functions.dedup import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    bench = (docs.orderBy(F.md5(F.col("doc_id").cast("string")).asc(),
+                          F.col("doc_id").asc()).limit(5))
+    corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    return decontaminate(corpus, bench)
+
+
 def documents_repetition_stats(spark, sf_dir):
     """Word-2-gram repetition signals (functions/text.py::
     repetition_stats — the Gopher-style boilerplate/spam filters): share
@@ -924,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_repetition_stats": documents_repetition_stats,
         "documents_stratified_sample": documents_stratified_sample,
         "documents_corpus_filter": documents_corpus_filter,
+        "documents_domain_cap": documents_domain_cap,
+        "documents_decontaminate": documents_decontaminate,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -1665,6 +1696,65 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'de' THEN {_strat["de"]}
                             WHEN 'en' THEN {_strat["en"]}
                             ELSE {_strat["*"]} END
+        """,
+        # the identical deterministic (md5, id) row_number window — the
+        # cap keeps the 10 hash-smallest docs per source
+        "documents_domain_cap": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents
+              WHERE source IS NOT NULL AND doc_id IS NOT NULL) t
+            WHERE rn <= 10
+        """,
+        # same normalization/shingling as the dedup oracles, two sources:
+        # the 5 hash-smallest docs form the stand-in benchmark; corpus =
+        # the rest; n_hits counts DISTINCT shared 3-grams per corpus doc
+        "documents_decontaminate": f"""
+            WITH bench_ids AS (
+              SELECT doc_id FROM documents WHERE doc_id IS NOT NULL
+              ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id LIMIT 5
+            ),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IS NOT NULL
+                AND doc_id NOT IN (SELECT doc_id FROM bench_ids)
+            ),
+            cnorm AS (
+              SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS toks
+              FROM corpus
+            ),
+            csh AS (
+              SELECT DISTINCT doc_id,
+                unnest(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END) AS shingle
+              FROM cnorm
+            ),
+            bnorm AS (
+              SELECT d.doc_id, list_filter({_TOKS}, t -> t != '') AS toks
+              FROM documents d JOIN bench_ids USING (doc_id)
+            ),
+            bsh AS (
+              SELECT DISTINCT
+                unnest(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END) AS shingle
+              FROM bnorm
+            ),
+            hits AS (
+              SELECT doc_id, count(*)::BIGINT AS n_hits
+              FROM csh JOIN bsh USING (shingle) GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM corpus) c
+            LEFT JOIN hits h USING (doc_id)
         """,
         # identical 2-gram generation + aggregates over the shared token
         # expression; left join restores 0-gram docs with 0.0 fractions

@@ -271,6 +271,13 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.6,
     broadcast-free left join back to the corpus.
     """
     from ..operators import connected_components
+    # keep the LSH candidate barrier (materialize=True default): folding
+    # it into the CC checkpoint job was TRIED-AND-MEASURED in r5 — the
+    # 2000-doc control improved 5.6→4.9 s, but at 50k docs / 8 cores the
+    # verify job's three cold-cache consumers of `cands` race and
+    # recompute the signature pipeline, 12.0 s → 41.9 s median.  The
+    # eager count is one extra small job that guarantees every consumer
+    # hits a warm cache.
     pairs = minhash_lsh_pairs(documents, threshold, text_col=text_col,
                               id_col=id_col, **lsh_kwargs)
     comp = connected_components(
@@ -285,6 +292,46 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.6,
     # (operators.release_caches) can free them after materializing
     out._recrun_caches = getattr(pairs, "_recrun_caches", [])
     return out
+
+
+def decontaminate(documents: DataFrame, benchmark: DataFrame, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None,
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with a held-out evaluation set — the step that keeps test
+    answers out of a pretraining corpus.  Returns one row per corpus doc:
+    ``(doc_id, n_hits, contaminated)`` where ``n_hits`` counts DISTINCT
+    shared shingles (the same normalization + shingling as the dedup
+    operators, so the two universes are comparable) and ``contaminated``
+    is ``n_hits > 0``.
+
+    Scale shape: the benchmark shingle set is tiny next to the corpus
+    (eval suites are thousands of docs, the corpus is billions) —
+    ``broadcast_benchmark=True`` (default) ships it to every executor so
+    the corpus-side shingle stream is filtered map-side with ZERO corpus
+    shuffle before the per-doc hit count (a small aggregate over matches
+    only).  Pass ``False`` for an oversized benchmark to take a shuffle
+    equi-join on the shingle key instead.  Docs shorter than ``n`` tokens
+    fall back to their whole normalized text as one shingle (same rule as
+    ``shingles``), so short exact quotes still match."""
+    bench_sh = (shingles(benchmark, n,
+                         bench_text_col or text_col, id_col)
+                .select("shingle").distinct())
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = shingles(documents, n, text_col, id_col)
+    hits = (doc_sh.join(bench_sh, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    ids = (documents.where(F.col(id_col).isNotNull())
+           .select(F.col(id_col).alias("doc_id")).distinct())
+    return (ids.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0).cast("long"))
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))
 
 
 def derive_simhash_blocks(n_docs: int, max_hamming: int = 3,

@@ -98,6 +98,47 @@ def stratum_threshold(fraction: float) -> int:
     return min(int(fraction * HASH_SPACE), HASH_SPACE)
 
 
+def cap_per_group(df: DataFrame, cap: int, group_col: str = "source",
+                  key_col: str = "doc_id",
+                  prefilter_slack: int | None = None) -> DataFrame:
+    """Keep at most ``cap`` rows per group (domain caps — the standard
+    defense against one crawler-friendly site dominating a pretraining
+    corpus).  Which rows survive is DETERMINISTIC and corpus-growth-
+    stable-ish: the ``cap`` rows with the smallest (md5(key), key) within
+    each group — the same content-keyed order every other sampler here
+    uses, so re-runs and other engines agree row-for-row.  NULL group or
+    key rows are excluded (no defined position).
+
+    Default path: one shuffle on ``group_col`` + an in-partition sort
+    (row_number window) — EXACT for any input.  ``prefilter_slack=s``
+    opts into the mega-domain escape hatch: join per-group counts and
+    pre-drop rows whose uniform 60-bit hash is above ``s·cap/n`` of the
+    hash space BEFORE the sort, so a domain with 10⁹ rows sorts only
+    ~s·cap survivors instead of 10⁹ (P[fewer than cap survive] <
+    e^{-(s-1)²·cap/(s+1)} by Chernoff — already ~1e-98 at s=8, cap=50 —
+    but nonzero, which is why it is opt-in and the exact window stays
+    the default)."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    from pyspark.sql import Window
+    d = df.where(F.col(group_col).isNotNull() & F.col(key_col).isNotNull())
+    h = _hash60(F.col(key_col).cast("string"))
+    if prefilter_slack is not None:
+        if prefilter_slack < 2:
+            raise ValueError("prefilter_slack must be >= 2")
+        cnt = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+        d = (d.join(cnt, group_col)
+             .where(h < F.least(
+                 F.lit(HASH_SPACE).cast("double"),
+                 F.lit(float(prefilter_slack * cap) * HASH_SPACE)
+                 / F.col("_n")).cast("long"))
+             .drop("_n"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc())
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cap).drop("_rn"))
+
+
 def hash_sample_stratified(df: DataFrame, fractions: dict,
                            strata_col: str, key_col: str = "doc_id",
                            default: float = 0.0) -> DataFrame:

@@ -125,17 +125,20 @@ def release_caches(df: DataFrame) -> None:
             cached.unpersist()
 
 
-def _cc_driver_local(e: DataFrame) -> DataFrame:
+def _cc_driver_local(e: DataFrame, rows=None) -> DataFrame:
     """Min-label union-find over a collected edge list — the fast path for
     metadata-scale graphs (entity dictionaries), where shipping the edges
     to the driver is cheaper than one iteration of the distributed loop.
     Delegates to linking.min_label_components, the same implementation the
-    golden canonical map uses."""
+    golden canonical map uses.  ``rows`` lets the caller hand over an
+    already-collected edge list (the size-gate probe) so the fast path
+    costs ONE job, not a count plus a collect."""
     from pyspark.sql.types import StructField, StructType
 
     from .linking import min_label_components
     comp = min_label_components(
-        [], ((r["u"], r["v"]) for r in e.collect()))
+        [], ((r["u"], r["v"]) for r in (e.collect() if rows is None
+                                        else rows)))
     node_type = e.schema["u"].dataType
     schema = StructType([StructField("node", node_type),
                          StructField("component", node_type)])
@@ -201,9 +204,14 @@ def connected_components(edges: DataFrame, src: str = "src",
          .where(F.col("u") != F.col("v")).distinct()
          .localCheckpoint(eager=True))
 
-    if small_graph_rows and \
-            e.limit(small_graph_rows + 1).count() <= small_graph_rows:
-        return _cc_driver_local(e)
+    if small_graph_rows:
+        # ONE probing collect doubles as the edge transfer: ≤ threshold
+        # rows come back, the union-find runs on them directly (no second
+        # job); one row over, the (few-MB) probe is discarded and the
+        # distributed loop takes over
+        probe = e.limit(small_graph_rows + 1).collect()
+        if len(probe) <= small_graph_rows:
+            return _cc_driver_local(e, probe)
 
     def _canon(edge_df: DataFrame) -> DataFrame:
         return edge_df.select(F.greatest("u", "v").alias("cu"),

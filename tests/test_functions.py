@@ -879,6 +879,77 @@ def test_pack_blocks_invariants(spark):
     assert empty.count() == 0
 
 
+def test_cap_per_group_exact_and_prefilter_agree(spark):
+    """Domain caps: at most ``cap`` rows per group, chosen as the hash-
+    smallest keys — deterministic across runs.  The opt-in mega-domain
+    hash prefilter must give the IDENTICAL kept set (it drops only rows
+    that sort after the cap-th hash with overwhelming probability, and
+    the test corpus makes that certain), groups at or under the cap pass
+    through whole, and NULL group/key rows are excluded."""
+    from recrun_spark.functions.sampling import cap_per_group
+    import pytest
+    rows = ([(i, "mega") for i in range(400)]          # far over cap
+            + [(1000 + i, "mid") for i in range(7)]    # exactly cap
+            + [(2000 + i, "tiny") for i in range(3)]   # under cap
+            + [(3000, None), (None, "mega")])          # excluded
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = cap_per_group(df, cap=7, group_col="source").collect()
+    by_grp: dict = {}
+    for r in kept:
+        by_grp.setdefault(r["source"], set()).add(r["doc_id"])
+    assert set(by_grp) == {"mega", "mid", "tiny"}
+    assert len(by_grp["mega"]) == 7
+    assert by_grp["mid"] == {1000 + i for i in range(7)}
+    assert by_grp["tiny"] == {2000 + i for i in range(3)}
+    # deterministic: the mega survivors are the 7 hash-smallest ids
+    import hashlib
+    want = sorted(range(400),
+                  key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                 i))[:7]
+    assert by_grp["mega"] == set(want)
+    # prefilter path: identical kept set
+    pre = cap_per_group(df, cap=7, group_col="source",
+                        prefilter_slack=8).collect()
+    assert {(r["doc_id"], r["source"]) for r in pre} \
+        == {(r["doc_id"], r["source"]) for r in kept}
+    with pytest.raises(ValueError):
+        cap_per_group(df, cap=0)
+    with pytest.raises(ValueError):
+        cap_per_group(df, cap=5, prefilter_slack=1)
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """Benchmark decontamination: a doc sharing any word 3-gram with the
+    held-out set is flagged with the DISTINCT shared-shingle count; clean
+    docs come back with n_hits=0 (every corpus doc present); short docs
+    fall back to whole-text matching; normalization (case, punctuation)
+    is the dedup operators' rule."""
+    from recrun_spark.functions.dedup import decontaminate
+    bench = spark.createDataFrame(
+        [(900, "The quick brown fox jumps over the lazy dog"),
+         (901, "tiny doc")],                           # < 3 tokens
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "QUICK, brown FOX jumps high today"),     # shares 2 shingles
+         (2, "a completely different document body here"),
+         (3, "tiny doc"),                              # whole-text match
+         (4, "the quick brown fox jumps over the lazy dog exactly")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(docs, bench).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # doc 1: "quick brown fox" + "brown fox jumps" (normalized)
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)
+    assert got[4][0] >= 6 and got[4][1]
+    # shuffle-join path (broadcast off) agrees
+    got2 = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+            for r in decontaminate(docs, bench,
+                                   broadcast_benchmark=False).collect()}
+    assert got2 == got
+
+
 def test_pack_blocks_numeric_key_order(spark):
     """VERDICT r04 wrong-#5: the lexicographic default packs numeric ids
     as "1","10","100","2"…; ``pad_numeric_key=True`` zero-pads to the
