@@ -268,6 +268,60 @@ def kg_comentions_flat(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def kg_entity_pagerank(spark, sf_dir):
+    """Entity importance over the doc↔entity mention graph
+    (operators.pagerank — integer-arithmetic, bit-exact across engines):
+    bipartite edges both ways between 'd<doc_id>' nodes and entity nodes,
+    10 damped iterations.  One join + one keyed sum per iteration, O(E)
+    per round.  Oracle: the identical 10 rounds unrolled as chained CTEs
+    in DuckDB over the shared mentions CTE — int64 div/sum make the
+    trajectories EQUAL, not approximately equal."""
+    from recrun_spark.operators import pagerank
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    de = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"))
+    edges = de.union(de.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    return _finalize(pagerank(edges, iterations=10))
+
+
+def _pagerank_sql(iters: int = 10, damping_pct: int = 85,
+                  scale: int = 10 ** 12) -> str:
+    """The pagerank oracle: the same integer recurrence unrolled as
+    chained CTEs (a recursive CTE can reference the recursive table only
+    once, but one round needs it in both the contribution join and the
+    all-nodes left join — unrolling sidesteps that and keeps each round
+    literally readable)."""
+    base = (scale * (100 - damping_pct)) // 100
+    rounds = [f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank "
+              "FROM nodes)"]
+    for i in range(1, iters + 1):
+        rounds.append(f"""r{i} AS (
+              SELECT n.node,
+                     CAST({base} + ({damping_pct} * coalesce(c.s, 0)) // 100
+                          AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(p.rank // d.out_deg) AS s
+                FROM r{i - 1} p
+                JOIN edges e ON e.src = p.node
+                JOIN deg d ON d.src = p.node
+                GROUP BY 1) c ON c.node = n.node)""")
+    return f"""
+        WITH {_MENTIONS_CTE},
+        m AS (SELECT DISTINCT doc_id, entity FROM ments),
+        de AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                      entity AS dst FROM m),
+        edges AS (SELECT src, dst FROM de
+                  UNION SELECT dst AS src, src AS dst FROM de),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+        {','.join(rounds)}
+        SELECT node, rank FROM r{iters}
+    """
+
+
 def _finalize(df):
     """Materialize the (small) result and free operator-attached caches.
     The driver harness collects the returned frame but never calls
@@ -922,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": cc_components,
         "kg_mentions_flat": kg_mentions_flat,
         "kg_comentions_flat": kg_comentions_flat,
+        "kg_entity_pagerank": kg_entity_pagerank,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1467,6 +1522,7 @@ def oracle_sql() -> dict[str, str]:
                              AND a.entity < b.entity
             GROUP BY 1, 2
         """,
+        "kg_entity_pagerank": _pagerank_sql(),
         "dedup_exact": """
             WITH fp AS (
               SELECT doc_id,

@@ -879,6 +879,41 @@ def test_pack_blocks_invariants(spark):
     assert empty.count() == 0
 
 
+def test_pagerank_integer_semantics(spark):
+    """Integer-arithmetic PageRank: a directed cycle preserves every
+    node's full starting mass exactly (each node has one in-neighbor of
+    out-degree 1, so rank' = 0.15·S + 0.85·rank = S at the fixed point —
+    integer div is exact here); a star concentrates rank in the center;
+    a dangling node leaks its damped mass (documented variant) but still
+    holds at least the base rank; results are bit-identical across
+    repartitionings (the property float PageRank lacks)."""
+    from recrun_spark.operators import pagerank, release_caches
+    S = 10 ** 12
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(cycle).collect()}
+    assert got == {"a": S, "b": S, "c": S}
+
+    star = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub"),
+         ("hub", "s1"), ("hub", "s2"), ("hub", "s3")], ["src", "dst"])
+    ranks = {r["node"]: r["rank"] for r in pagerank(star).collect()}
+    assert ranks["hub"] > ranks["s1"] > 0
+    assert ranks["s1"] == ranks["s2"] == ranks["s3"]
+
+    dangle = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    dr = {r["node"]: r["rank"] for r in pagerank(dangle).collect()}
+    base = (S * 15) // 100
+    assert dr["a"] == base                       # no in-edges after iter 1
+    assert dr["b"] == base + (85 * base) // 100  # a's mass, damped once
+
+    # bit-exact under repartitioning — same integers, any partitioning
+    out = pagerank(star.repartition(7))
+    again = {r["node"]: r["rank"] for r in out.collect()}
+    assert again == ranks
+    release_caches(out)
+
+
 def test_cap_per_group_exact_and_prefilter_agree(spark):
     """Domain caps: at most ``cap`` rows per group, chosen as the hash-
     smallest keys — deterministic across runs.  The opt-in mega-domain
