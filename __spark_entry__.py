@@ -940,6 +940,50 @@ def events_sessions_stream(spark, sf_dir):
         "n_events", "start_us", "end_us")
 
 
+def documents_dedup_stream(spark, sf_dir):
+    """STREAMING first-seen exact dedup (streaming/dedup.py): documents
+    replayed as 3 doc_id-ranged files → 3 micro-batches; each batch
+    reduces to (fp, min doc_id) and appends only fingerprints the unique
+    sink has never seen (foreachBatch + anti-join — idempotent on batch
+    retry, no state-store growth).  With id-ordered ranges the
+    first-batch winner IS the global min doc_id, so the oracle is a plain
+    GROUP BY.  Same digest-keyed cached-workdir pattern as
+    events_sessions_stream (atomic publish; keyed on source identity +
+    operator source)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import recrun_spark.streaming.dedup as sdedup
+    _ensure_pkg(spark)
+    src_file = f"{sf_dir}/documents.parquet"
+    st = os.stat(src_file)
+    digest = hashlib.sha1(
+        f"{src_file}:{st.st_size}:{st.st_mtime_ns}:3files".encode())
+    digest.update(open(sdedup.__file__, "rb").read())
+    work = os.path.join(tempfile.gettempdir(),
+                        f"recrun_dedup_stream_{digest.hexdigest()[:12]}")
+    if not os.path.isdir(work):
+        build = tempfile.mkdtemp(prefix="recrun_dedup_build_")
+        try:
+            src = sdedup.prepare_ranged_docs(src_file,
+                                             os.path.join(build, "in"),
+                                             n_files=3)
+            schema = spark.read.parquet(src_file).schema
+            sdedup.run_dedup_available_now(spark, src,
+                                           os.path.join(build, "out"),
+                                           schema)
+            try:
+                os.rename(build, work)   # atomic publish; loser keeps build
+            except OSError:
+                pass
+        finally:
+            if os.path.isdir(build) and os.path.isdir(work) and build != work:
+                shutil.rmtree(build, ignore_errors=True)
+    return spark.read.parquet(os.path.join(work, "out", "unique")) \
+        .select("fp", "doc_id")
+
+
 def kg_triples_interleaved(spark, sf_dir):
     """The real interleaved KG pipeline end-to-end on a synthesized corpus.
     Value oracle: data/golden/entry_triples_60.parquet — the Node reference
@@ -965,6 +1009,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver artifact even if a later-query budget/timeout trims the
         # tail of the dict (r4 lost exactly this row by registering it last)
         "kg_triples_interleaved": kg_triples_interleaved,
+        # round-5 additions next: new rows get witnessed by the driver
+        # artifact even if a per-round budget trims the tail of the dict
+        "kg_entity_pagerank": kg_entity_pagerank,
+        "documents_domain_cap": documents_domain_cap,
+        "documents_decontaminate": documents_decontaminate,
+        "documents_dedup_stream": documents_dedup_stream,
         "q1_pricing": q1_pricing,
         "revenue_by_region": revenue_by_region,
         "top_customer_per_nation": top_customer_per_nation,
@@ -976,7 +1026,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": cc_components,
         "kg_mentions_flat": kg_mentions_flat,
         "kg_comentions_flat": kg_comentions_flat,
-        "kg_entity_pagerank": kg_entity_pagerank,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1008,8 +1057,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_repetition_stats": documents_repetition_stats,
         "documents_stratified_sample": documents_stratified_sample,
         "documents_corpus_filter": documents_corpus_filter,
-        "documents_domain_cap": documents_domain_cap,
-        "documents_decontaminate": documents_decontaminate,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
@@ -2005,6 +2052,15 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_REPO}/data/golden/entry_overlays_60.parquet')
         """,
         "events_sessions_stream": closed_sessions_sql(),
+        # first-seen streaming dedup over id-ordered ranges == global min
+        # doc_id per fingerprint (same normalization as dedup_exact)
+        "documents_dedup_stream": """
+            SELECT substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                  'g'))), 1, 16) AS fp,
+                   min(doc_id) AS doc_id
+            FROM documents WHERE doc_id IS NOT NULL
+            GROUP BY 1
+        """,
     }
 
 

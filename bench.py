@@ -257,7 +257,8 @@ def main():
     for name in ("q1_pricing", "revenue_by_region", "word_counts",
                  "text_stats", "dedup_exact", "dedup_minhash_lsh",
                  "ann_cosine_topk", "ann_ivf_topk", "cc_components",
-                 "kg_mentions_flat", "events_hourly", "simhash_sigs"):
+                 "kg_mentions_flat", "events_hourly", "simhash_sigs",
+                 "kg_entity_pagerank"):
         timed(name, lambda n=name: run_query(n))
 
     # -- dedup skew stress (VERDICT r03 #6): one mega near-dup cluster ----

@@ -555,3 +555,52 @@ def test_sessionizer_out_of_order_survives_restart(spark, tmpdir_path):
         (2, 2, us + 92_500_000, us + 96_000_000),
         (3, 2, us + 91_000_000, us + 94_000_000),
     ], got
+
+
+def test_streaming_dedup_first_seen_and_incremental(spark, tmpdir_path):
+    """Streaming first-seen exact dedup (streaming/dedup.py): duplicates
+    WITHIN a batch keep the min doc_id; duplicates ACROSS batches keep the
+    first batch's winner even when a later doc_id is smaller (first-seen,
+    not global-min, is the streaming contract); re-running after a new
+    file lands processes ONLY the new file and appends only novel
+    fingerprints."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recrun_spark.streaming.dedup import run_dedup_available_now
+
+    in_dir = os.path.join(tmpdir_path, "in")
+    out_dir = os.path.join(tmpdir_path, "out")
+    os.makedirs(in_dir)
+
+    def write(path, rows):
+        pq.write_table(pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                                    pa.int64()),
+                                 "text": [r[1] for r in rows]}), path)
+
+    # batch 1: "alpha" duplicated within the batch (ids 7, 3 -> keep 3)
+    write(os.path.join(in_dir, "b1.parquet"),
+          [(7, "alpha"), (3, "alpha"), (10, "beta")])
+    # batch 2: "alpha" again with a SMALLER id (1) -> still batch-1's 3;
+    # "gamma" is new
+    write(os.path.join(in_dir, "b2.parquet"), [(1, "alpha"), (2, "gamma")])
+    schema = spark.read.parquet(os.path.join(in_dir, "b1.parquet")).schema
+    sink = run_dedup_available_now(spark, in_dir, out_dir, schema)
+    got = {r["fp"]: r["doc_id"]
+           for r in spark.read.parquet(sink).collect()}
+    from recrun_spark.functions.text import fingerprint_md5
+    from pyspark.sql import functions as F
+    fps = {r["t"]: r["fp"] for r in spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], ["t"])
+        .select("t", fingerprint_md5(F.col("t")).alias("fp")).collect()}
+    assert got == {fps["alpha"]: 3, fps["beta"]: 10, fps["gamma"]: 2}
+
+    # incremental: a third file lands; only it is processed, only novel
+    # fingerprints appended
+    write(os.path.join(in_dir, "b3.parquet"), [(99, "beta"), (42, "delta")])
+    fps["delta"] = spark.createDataFrame([("delta",)], ["t"]).select(
+        fingerprint_md5(F.col("t")).alias("fp")).collect()[0]["fp"]
+    run_dedup_available_now(spark, in_dir, out_dir, schema)
+    got2 = {r["fp"]: r["doc_id"]
+            for r in spark.read.parquet(sink).collect()}
+    assert got2 == {**got, fps["delta"]: 42}
