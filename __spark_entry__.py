@@ -684,6 +684,16 @@ def documents_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench)
 
 
+def documents_chunks(spark, sf_dir):
+    """Context-window chunking (functions/text.py::chunk_windows): 64-token
+    windows at stride 32 (50% overlap) — one row per (doc, window), raw
+    whitespace tokens, zero shuffle.  Oracle: identical
+    sequence + list_slice windows in DuckDB."""
+    from recrun_spark.functions.text import chunk_windows
+    return chunk_windows(_t(spark, sf_dir, "documents"),
+                         window_tokens=64, stride=32)
+
+
 def documents_repetition_stats(spark, sf_dir):
     """Word-2-gram repetition signals (functions/text.py::
     repetition_stats — the Gopher-style boilerplate/spam filters): share
@@ -1015,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_domain_cap": documents_domain_cap,
         "documents_decontaminate": documents_decontaminate,
         "documents_dedup_stream": documents_dedup_stream,
+        "documents_chunks": documents_chunks,
         "q1_pricing": q1_pricing,
         "revenue_by_region": revenue_by_region,
         "top_customer_per_nation": top_customer_per_nation,
@@ -1858,6 +1869,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM (SELECT DISTINCT doc_id FROM corpus) c
             LEFT JOIN hits h USING (doc_id)
+        """,
+        # identical sliding windows: raw-whitespace tokens, starts every
+        # 32 while inside the doc, 64-token slices, single-space rejoin
+        "documents_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+              WHERE doc_id IS NOT NULL AND len(trim(text)) > 0
+            ),
+            w AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, len(toks), 32)) AS start_tok
+              FROM t
+            )
+            SELECT doc_id,
+                   (start_tok // 32)::BIGINT AS chunk_id,
+                   start_tok::BIGINT AS start_tok,
+                   len(list_slice(toks, start_tok + 1,
+                                  start_tok + 64))::BIGINT AS n_tok,
+                   array_to_string(list_slice(toks, start_tok + 1,
+                                              start_tok + 64), ' ')
+                     AS chunk_text
+            FROM w
         """,
         # identical 2-gram generation + aggregates over the shared token
         # expression; left join restores 0-gram docs with 0.0 fractions

@@ -224,6 +224,28 @@ def main():
             sections[name]["jobs_per_run"] = round(n_jobs / repeats, 1)
         return out
 
+    # -- relational / training-data queries at SF_DIR ---------------------
+    # these sub-second-to-seconds sections run FIRST: when they followed
+    # the two 32-wide extract sections (r4/r5 ordering) they landed in
+    # those sections' loadavg-decay window and the cheapest entries read
+    # 2-3x hot (r5 forensics: q1_pricing at loadavg 18.7) — the short
+    # canary cannot flag partial-core contention, so ordering is the fix
+    qs = entry.queries()
+    from recrun_spark.operators import release_caches
+
+    def run_query(n):
+        df = qs[n](spark, SF_DIR)
+        out = df.agg(F.count(F.lit(1))).collect()
+        release_caches(df)  # free persisted intermediates between repeats
+        return out
+
+    for name in ("q1_pricing", "revenue_by_region", "word_counts",
+                 "text_stats", "dedup_exact", "dedup_minhash_lsh",
+                 "ann_cosine_topk", "ann_ivf_topk", "cc_components",
+                 "kg_mentions_flat", "events_hourly", "simhash_sigs",
+                 "kg_entity_pagerank"):
+        timed(name, lambda n=name: run_query(n))
+
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------
     docs_big = spark.read.parquet(corpus_path)
     n_big = N_DOCS
@@ -243,23 +265,6 @@ def main():
           lambda: extract_documents(docs_big, include_renders=False)
           .agg(F.count(F.lit(1))).collect())
     spans_only_dps = round(n_big / timings["kg_stage1_spans_only"], 1)
-
-    # -- relational / training-data queries at SF_DIR ---------------------
-    qs = entry.queries()
-    from recrun_spark.operators import release_caches
-
-    def run_query(n):
-        df = qs[n](spark, SF_DIR)
-        out = df.agg(F.count(F.lit(1))).collect()
-        release_caches(df)  # free persisted intermediates between repeats
-        return out
-
-    for name in ("q1_pricing", "revenue_by_region", "word_counts",
-                 "text_stats", "dedup_exact", "dedup_minhash_lsh",
-                 "ann_cosine_topk", "ann_ivf_topk", "cc_components",
-                 "kg_mentions_flat", "events_hourly", "simhash_sigs",
-                 "kg_entity_pagerank"):
-        timed(name, lambda n=name: run_query(n))
 
     # -- dedup skew stress (VERDICT r03 #6): one mega near-dup cluster ----
     # through LSH (hot band bucket) -> df-cut -> distributed CC (hot

@@ -189,3 +189,47 @@ def repetition_stats(documents: DataFrame, text_col: str = "text",
                     F.round(F.coalesce(F.col("_uniq") / F.col("n_ngrams"),
                                        F.lit(0.0)), 6)
                     .alias("uniq_ngram_frac")))
+
+
+def chunk_windows(documents: DataFrame, window_tokens: int = 512,
+                  stride: int | None = None, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-size (optionally overlapping) token
+    windows — the context-window chunking step of a pretraining /
+    retrieval pipeline.  One row per (doc, window):
+    ``(doc_id, chunk_id, start_tok, n_tok, chunk_text)``.
+
+    Windows start at 0 and every ``stride`` tokens after (default:
+    ``window_tokens`` — non-overlapping), while the start is inside the
+    document; each takes ``window_tokens`` tokens or whatever remains, so
+    tail windows are short and a doc shorter than one window yields one
+    chunk (the standard sliding-window convention — trailing windows
+    already covered by their predecessor's range ARE emitted).
+    Tokenization is raw whitespace splitting (case/punctuation
+    preserved — chunking must not alter content); chunk_text re-joins
+    with single spaces, so only inter-token whitespace is canonicalized.
+    NULL ids and whitespace-only docs are excluded.
+
+    Pure projection + explode — ZERO shuffle at any corpus size; the
+    fan-out is bounded by ~n_tokens/stride rows per doc."""
+    stride = window_tokens if stride is None else stride
+    if window_tokens <= 0 or stride <= 0:
+        raise ValueError(
+            f"window_tokens and stride must be positive, got "
+            f"{window_tokens}/{stride}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = (documents
+         .where(F.col(id_col).isNotNull()
+                & (F.length(F.trim(F.col(text_col))) > 0))
+         .select(F.col(id_col).alias("doc_id"), toks.alias("_toks")))
+    d = d.withColumn(
+        "start_tok",
+        F.explode(F.sequence(F.lit(0), F.size("_toks") - 1,
+                             F.lit(stride))))
+    chunk = F.slice("_toks", F.col("start_tok") + 1, window_tokens)
+    return d.select(
+        "doc_id",
+        F.expr(f"start_tok div {stride}").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.concat_ws(" ", chunk).alias("chunk_text"))

@@ -879,6 +879,40 @@ def test_pack_blocks_invariants(spark):
     assert empty.count() == 0
 
 
+def test_chunk_windows_semantics(spark):
+    """Sliding-window chunking: starts every stride while inside the doc,
+    window-sized slices with short tails, content preserved verbatim
+    (case/punct), inter-token whitespace canonicalized to single spaces,
+    whitespace-only docs excluded, non-overlapping default."""
+    from recrun_spark.functions.text import chunk_windows
+    import pytest
+    docs = spark.createDataFrame(
+        [(1, "A b C d E f G"),           # 7 tokens
+         (2, "one  two\tthree"),         # messy whitespace, 3 tokens
+         (3, "   "),                     # excluded
+         (None, "x y z")],               # excluded
+        ["doc_id", "text"])
+    rows = sorted((r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tok"],
+                   r["chunk_text"])
+                  for r in chunk_windows(docs, window_tokens=4,
+                                         stride=2).collect())
+    assert rows == [
+        (1, 0, 0, 4, "A b C d"),
+        (1, 1, 2, 4, "C d E f"),
+        (1, 2, 4, 3, "E f G"),
+        (1, 3, 6, 1, "G"),
+        (2, 0, 0, 3, "one two three"),
+        (2, 1, 2, 1, "three"),
+    ]
+    # non-overlapping default: stride == window
+    nn = sorted((r["doc_id"], r["start_tok"], r["chunk_text"])
+                for r in chunk_windows(docs, window_tokens=4).collect())
+    assert nn == [(1, 0, "A b C d"), (1, 4, "E f G"),
+                  (2, 0, "one two three")]
+    with pytest.raises(ValueError):
+        chunk_windows(docs, window_tokens=0)
+
+
 def test_pagerank_integer_semantics(spark):
     """Integer-arithmetic PageRank: a directed cycle preserves every
     node's full starting mass exactly (each node has one in-neighbor of

@@ -584,6 +584,13 @@ def test_streaming_dedup_first_seen_and_incremental(spark, tmpdir_path):
     # batch 2: "alpha" again with a SMALLER id (1) -> still batch-1's 3;
     # "gamma" is new
     write(os.path.join(in_dir, "b2.parquet"), [(1, "alpha"), (2, "gamma")])
+    # the file source replays by mtime: same-second writes can TIE and
+    # flip the batch order (prepare_ranged_docs sets mtimes for the real
+    # path; the test must too or the cross-batch assertion is flaky)
+    base = os.stat(os.path.join(in_dir, "b1.parquet")).st_mtime
+    for i, f in enumerate(["b1.parquet", "b2.parquet"]):
+        p = os.path.join(in_dir, f)
+        os.utime(p, (os.stat(p).st_atime, base + i))
     schema = spark.read.parquet(os.path.join(in_dir, "b1.parquet")).schema
     sink = run_dedup_available_now(spark, in_dir, out_dir, schema)
     got = {r["fp"]: r["doc_id"]
@@ -598,6 +605,8 @@ def test_streaming_dedup_first_seen_and_incremental(spark, tmpdir_path):
     # incremental: a third file lands; only it is processed, only novel
     # fingerprints appended
     write(os.path.join(in_dir, "b3.parquet"), [(99, "beta"), (42, "delta")])
+    p3 = os.path.join(in_dir, "b3.parquet")
+    os.utime(p3, (os.stat(p3).st_atime, base + 2))
     fps["delta"] = spark.createDataFrame([("delta",)], ["t"]).select(
         fingerprint_md5(F.col("t")).alias("fp")).collect()[0]["fp"]
     run_dedup_available_now(spark, in_dir, out_dir, schema)
