@@ -195,6 +195,13 @@ def main():
          lambda p: "Exchange" not in p),
         ("no python UDF", lambda p: "BatchEvalPython" not in p),
     ])
+    audit("documents_chunks", qs["documents_chunks"](spark, SF_DIR), [
+        ("zero shuffle (projection + explode only)",
+         lambda p: "Exchange" not in p),
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("generator (explode) present",
+         lambda p: "Generate" in p),
+    ])
 
     # 8b. range join: the equality key must drive a hash/merge join with
     # the time-range predicate as a join filter — never a nested loop
