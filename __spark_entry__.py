@@ -861,9 +861,9 @@ def media_features(spark, sf_dir):
         .alias("idx", "val"))
 
 
-def _entry_corpus(spark):
-    """The 60-doc interleaved entry corpus (cache keyed on GEN_VERSION so a
-    generator change invalidates it)."""
+def _entry_corpus_path():
+    """Build (once) and return the 60-doc interleaved entry corpus path
+    (cache keyed on GEN_VERSION so a generator change invalidates it)."""
     import tempfile
 
     from recrun_spark.fixtures.generator import (GEN_VERSION,
@@ -872,7 +872,11 @@ def _entry_corpus(spark):
                         f"entry_corpus_v{GEN_VERSION}_60.parquet")
     if not os.path.exists(path):
         write_corpus_parquet(path, 60)
-    return spark.read.parquet(path)
+    return path
+
+
+def _entry_corpus(spark):
+    return spark.read.parquet(_entry_corpus_path())
 
 
 def render_overlay(spark, sf_dir):
@@ -994,6 +998,49 @@ def documents_dedup_stream(spark, sf_dir):
         .select("fp", "doc_id")
 
 
+def kg_triples_stream(spark, sf_dir):
+    """END-TO-END STREAMING KG parity (streaming/kg.py): the SAME 60-doc
+    interleaved corpus as the flagship, replayed as 3 doc_id-ranged files
+    → 3 foreachBatch micro-batches through the full extract→link→
+    canonicalize→triples flow — and the UNION of the per-batch outputs
+    must hash-equal the SAME Node-reference golden the batch flagship is
+    checked against (every triple rule is doc-scoped and each doc lands
+    in exactly one batch, so stream == batch EXACTLY).  This puts the
+    streaming end-to-end path in the driver's hard signal, not just the
+    unit suite.  Cached-workdir pattern as events_sessions_stream."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import recrun_spark.streaming.kg as skg
+    from recrun_spark.stage2 import load_aliases
+    from recrun_spark.streaming.dedup import prepare_ranged_docs
+    _ensure_pkg(spark)
+    corpus_path = _entry_corpus_path()
+    st = os.stat(corpus_path)
+    digest = hashlib.sha1(
+        f"{corpus_path}:{st.st_size}:{st.st_mtime_ns}:3files".encode())
+    digest.update(open(skg.__file__, "rb").read())
+    work = os.path.join(tempfile.gettempdir(),
+                        f"recrun_kg_stream_{digest.hexdigest()[:12]}")
+    if not os.path.isdir(work):
+        build = tempfile.mkdtemp(prefix="recrun_kgs_build_")
+        try:
+            src = prepare_ranged_docs(corpus_path,
+                                      os.path.join(build, "in"), n_files=3)
+            skg.run_kg_available_now(spark, src, os.path.join(build, "out"),
+                                     aliases_df=load_aliases(spark))
+            try:
+                os.rename(build, work)   # atomic publish; loser keeps build
+            except OSError:
+                pass
+        finally:
+            if os.path.isdir(build) and os.path.isdir(work) and build != work:
+                shutil.rmtree(build, ignore_errors=True)
+    return (spark.read.parquet(os.path.join(work, "out", "triples"))
+            .select("subj", "pred", "obj", "doc_id"))
+
+
 def kg_triples_interleaved(spark, sf_dir):
     """The real interleaved KG pipeline end-to-end on a synthesized corpus.
     Value oracle: data/golden/entry_triples_60.parquet — the Node reference
@@ -1021,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_interleaved": kg_triples_interleaved,
         # round-5 additions next: new rows get witnessed by the driver
         # artifact even if a per-round budget trims the tail of the dict
+        "kg_triples_stream": kg_triples_stream,
         "kg_entity_pagerank": kg_entity_pagerank,
         "documents_domain_cap": documents_domain_cap,
         "documents_decontaminate": documents_decontaminate,
@@ -2078,6 +2126,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_REPO}/data/golden/media_features_64.parquet')
         """,
         "kg_triples_interleaved": f"""
+            SELECT subj, pred, obj, doc_id
+            FROM read_parquet('{_REPO}/data/golden/entry_triples_60.parquet')
+        """,
+        # the STREAMING end-to-end path must reproduce the SAME reference
+        # golden as the batch flagship (doc-scoped triples, one doc per
+        # micro-batch => stream union == batch output exactly)
+        "kg_triples_stream": f"""
             SELECT subj, pred, obj, doc_id
             FROM read_parquet('{_REPO}/data/golden/entry_triples_60.parquet')
         """,
