@@ -322,6 +322,33 @@ def _pagerank_sql(iters: int = 10, damping_pct: int = 85,
     """
 
 
+def _bfs_sql(max_hops: int = 3, seed: str = "E_SPARK") -> str:
+    """The BFS oracle: frontier rounds unrolled as chained CTEs — layer k
+    is the frontier-join minus everything already settled, exactly the
+    operator's anti-join recurrence."""
+    rounds = [f"s0 AS (SELECT '{seed}' AS node, "
+              "CAST(0 AS INTEGER) AS dist)"]
+    for k in range(1, max_hops + 1):
+        rounds.append(f"""f{k} AS (
+              SELECT DISTINCT e.dst AS node
+              FROM edges e
+              JOIN s{k - 1} p ON e.src = p.node AND p.dist = {k - 1}
+              WHERE e.dst NOT IN (SELECT node FROM s{k - 1})),
+            s{k} AS (SELECT node, dist FROM s{k - 1}
+                     UNION ALL
+                     SELECT node, CAST({k} AS INTEGER) FROM f{k})""")
+    return f"""
+        WITH {_MENTIONS_CTE},
+        m AS (SELECT DISTINCT doc_id, entity FROM ments),
+        de AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                      entity AS dst FROM m),
+        edges AS (SELECT src, dst FROM de
+                  UNION SELECT dst AS src, src AS dst FROM de),
+        {','.join(rounds)}
+        SELECT node, dist FROM s{max_hops}
+    """
+
+
 def _finalize(df):
     """Materialize the (small) result and free operator-attached caches.
     The driver harness collects the returned frame but never calls
@@ -333,6 +360,71 @@ def _finalize(df):
     out = df.localCheckpoint(eager=True)
     release_caches(df)
     return out
+
+
+def kg_bfs_neighborhood(spark, sf_dir):
+    """K-hop neighborhood expansion over the doc↔entity mention graph
+    (operators.bfs_distances — frontier-based multi-source BFS, integer
+    hop distances): every node within 3 hops of the seed entity E_SPARK.
+    Hop 1 = docs mentioning it, hop 2 = entities co-mentioned with it,
+    hop 3 = docs mentioning those.  Oracle: the same rounds unrolled as
+    CTEs (layer k = frontier-join minus settled), set-exact."""
+    from recrun_spark.operators import bfs_distances
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    de = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"))
+    edges = de.union(de.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    seeds = spark.createDataFrame([("E_SPARK",)], ["node"])
+    return _finalize(bfs_distances(edges, seeds, max_hops=3))
+
+
+def kg_triangles(spark, sf_dir):
+    """Per-node triangle counts (operators.triangle_counts — degree-
+    ordered orientation, Suri & Vassilvitskii) over a deterministic
+    ring-with-chords graph derived from the customer table: u—u+1, u—u+2,
+    u—u+3 within custkey ≤ 500, so interior nodes close multiple
+    triangles and boundary nodes fewer — a shape with verifiable
+    non-uniform counts.  Oracle: the identical orientation + wedge-close
+    joins in SQL, count-exact."""
+    from recrun_spark.operators import triangle_counts
+    cust = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") <= 500)
+            .select(F.col("c_custkey").alias("u")))
+    edges = (cust.select(
+        "u", F.explode(F.array(*[F.col("u") + d for d in (1, 2, 3)]))
+        .alias("dst"))
+        .where(F.col("dst") <= 500)
+        .select(F.col("u").alias("src"), "dst"))
+    return _finalize(triangle_counts(edges))
+
+
+def kg_entity_jaccard(spark, sf_dir):
+    """Structural same-as candidates (operators.neighborhood_jaccard —
+    inverted-index join on the shared neighbor, never all-pairs): Jaccard
+    neighbor-set overlap over the doc↔entity bipartite graph, docs
+    restricted to doc_id < 150 to bound the candidate volume at oracle
+    scale.  Doc-doc pairs share mentioned entities; entity-entity pairs
+    share mentioning docs.  All-integer output (common, union, scaled
+    quotient) — bit-exact."""
+    from recrun_spark.operators import neighborhood_jaccard
+    ments = (_mentions_df(spark, sf_dir)
+             .where(F.col("doc_id") < 150)
+             .select("doc_id", "entity").distinct())
+    de = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"))
+    return _finalize(neighborhood_jaccard(de, min_intersection=2))
+
+
+def documents_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by integer-surrogate
+    TF-IDF (functions.text.tfidf_top_terms): score = tf·((10⁶·N) div df),
+    monotone in tf·N/df and all-int64, so the DuckDB oracle reproduces
+    every score bit-for-bit (float log-idf can't be value-hashed)."""
+    from recrun_spark.functions.text import tfidf_top_terms
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
 def dedup_exact(spark, sf_dir):
@@ -1070,6 +1162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # artifact even if a per-round budget trims the tail of the dict
         "kg_triples_stream": kg_triples_stream,
         "kg_entity_pagerank": kg_entity_pagerank,
+        "kg_bfs_neighborhood": kg_bfs_neighborhood,
+        "kg_triangles": kg_triangles,
+        "kg_entity_jaccard": kg_entity_jaccard,
+        "documents_tfidf_topk": documents_tfidf_topk,
         "documents_domain_cap": documents_domain_cap,
         "documents_decontaminate": documents_decontaminate,
         "documents_dedup_stream": documents_dedup_stream,
@@ -1629,6 +1725,86 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kg_entity_pagerank": _pagerank_sql(),
+        "kg_bfs_neighborhood": _bfs_sql(),
+        "kg_triangles": """
+            WITH base AS (SELECT c_custkey AS u FROM customer
+                          WHERE c_custkey <= 500),
+            raw(src, dst) AS (
+              SELECT u, u + d FROM base,
+                   (VALUES (1), (2), (3)) AS t(d)
+              WHERE u + d <= 500),
+            sym AS (SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+                    UNION SELECT dst, src FROM raw WHERE src <> dst),
+            deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1),
+            o AS (SELECT s.u, s.v, dv.d AS dv
+                  FROM sym s
+                  JOIN deg du ON du.u = s.u
+                  JOIN deg dv ON dv.u = s.v
+                  WHERE du.d < dv.d OR (du.d = dv.d AND s.u < s.v)),
+            wedges AS (SELECT o1.u, o1.v AS a, o2.v AS b
+                       FROM o o1 JOIN o o2 ON o1.u = o2.u
+                       WHERE o1.dv < o2.dv
+                          OR (o1.dv = o2.dv AND o1.v < o2.v)),
+            tri AS (SELECT w.u, w.a, w.b
+                    FROM wedges w JOIN o ON o.u = w.a AND o.v = w.b),
+            pts AS (SELECT u AS node FROM tri
+                    UNION ALL SELECT a FROM tri
+                    UNION ALL SELECT b FROM tri),
+            counts AS (SELECT node, count(*) AS n FROM pts GROUP BY 1)
+            SELECT n.node, coalesce(c.n, 0)::BIGINT AS n_triangles
+            FROM (SELECT DISTINCT u AS node FROM sym) n
+            LEFT JOIN counts c ON c.node = n.node
+        """,
+        "kg_entity_jaccard": f"""
+            WITH {_MENTIONS_CTE},
+            m AS (SELECT DISTINCT doc_id, entity FROM ments
+                  WHERE doc_id < 150),
+            raw(src, dst) AS (SELECT 'd' || CAST(doc_id AS VARCHAR),
+                                     entity FROM m),
+            adj AS (SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+                    UNION SELECT dst, src FROM raw WHERE src <> dst),
+            deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1),
+            inter AS (
+              SELECT m1.u AS node_a, m2.u AS node_b,
+                     count(*) AS n_common
+              FROM adj m1 JOIN adj m2 ON m1.v = m2.v
+              WHERE m1.u < m2.u
+              GROUP BY 1, 2
+              HAVING count(*) >= 2)
+            SELECT i.node_a, i.node_b,
+                   i.n_common::BIGINT AS n_common,
+                   (da.d + db.d - i.n_common)::BIGINT AS n_union,
+                   ((1000000 * i.n_common)
+                    // (da.d + db.d - i.n_common))::BIGINT
+                     AS jaccard_scaled
+            FROM inter i
+            JOIN deg da ON da.u = i.node_a
+            JOIN deg db ON db.u = i.node_b
+        """,
+        "documents_tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM documents
+              WHERE doc_id IS NOT NULL AND trim(text) <> ''),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::BIGINT AS df
+                   FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf)
+            SELECT doc_id, term, tf, df, score, rank FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     (tf.tf * ((1000000 * n.n_docs) // df.df))::BIGINT
+                       AS score,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (tf.tf * ((1000000 * n.n_docs) // df.df))
+                                  DESC,
+                                tf.term ASC) AS rank
+              FROM tf JOIN df ON df.term = tf.term, n
+            ) WHERE rank <= 3
+        """,
         "dedup_exact": """
             WITH fp AS (
               SELECT doc_id,

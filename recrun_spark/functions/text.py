@@ -233,3 +233,47 @@ def chunk_windows(documents: DataFrame, window_tokens: int = 512,
         F.col("start_tok").cast("long").alias("start_tok"),
         F.size(chunk).cast("long").alias("n_tok"),
         F.concat_ws(" ", chunk).alias("chunk_text"))
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5,
+                    scale: int = 10 ** 6, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` characteristic terms per document by INTEGER-surrogate
+    TF-IDF: ``score = tf · ((scale·N) div df)`` where N = corpus docs
+    with ≥1 token and df = docs containing the term.  The idf surrogate
+    ``(scale·N) div df`` is strictly monotone in N/df — same ranking
+    family as log-idf for fixed tf — and all-integer, so scores are
+    bit-exact in any engine (float log idf differs in ulps per libm and
+    can't be value-hashed cross-engine).  Tokens are lowercased
+    whitespace words.
+
+    Scale shape: one (doc, term) count shuffle, one term-keyed df
+    aggregate (vocabulary-scale — tiny next to the corpus), the N total
+    rides in as a broadcast 1-row frame (no driver collect), and the
+    top-k window partitions BY DOC — per-partition heaps, no global
+    sort.  Ties break deterministically (score desc, term asc).
+
+    Returns (doc_id, term, tf:long, df:long, score:long, rank:int)."""
+    from pyspark.sql import Window
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = (documents
+            .where(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_col(F.lower(F.col(text_col))))
+                    .alias("term")))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("term").asc())
+    return (tf.join(df_, "term")
+            .crossJoin(F.broadcast(n))
+            .withColumn("score",
+                        (F.col("tf")
+                         * F.expr(f"{scale} * n_docs div df"))
+                        .cast("long"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "df", "score", "rank"))

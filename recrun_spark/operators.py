@@ -323,3 +323,148 @@ def connected_components(edges: DataFrame, src: str = "src",
              .join(children.select("node"), "node", "left_anti")
              .withColumn("component", F.col("node")))
     return children.unionByName(roots)
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
+                  src: str = "src", dst: str = "dst",
+                  seed_col: str = "node") -> DataFrame:
+    """Multi-source BFS: exact integer hop distance from the nearest seed,
+    following edges src→dst (symmetrize first for an undirected graph).
+    KG use: "which entities are within K hops of these seed entities"
+    (neighborhood expansion for subgraph extraction / context retrieval).
+
+    FRONTIER-based, the scale-correct shape: round k joins only the layer
+    settled at distance k-1 against the edge list, anti-joins the settled
+    set, and the new layer becomes the next frontier — per-round cost is
+    O(edges touching the frontier), not O(E·K), and the loop short-circuits
+    the moment a frontier drains (one tiny count on an already-checkpointed
+    layer).  Distances are integers produced by set operations only, so the
+    result is bit-exact under any partitioning — value-oracle-able as
+    unrolled SQL rounds.  Both the settled set and each frontier are
+    localCheckpoint-ed: constant-depth plans in the driver loop, same
+    lineage discipline as connected_components/pagerank.
+
+    Returns (node, dist:int) for every node within ``max_hops`` of a seed
+    (seeds themselves at dist 0).  Unreachable nodes are absent — callers
+    left-join if they want NULL/∞ rows."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+         .distinct().persist())
+    frontier = (seeds.select(F.col(seed_col).alias("node")).distinct()
+                .localCheckpoint(eager=True))
+    settled = frontier.select("node", F.lit(0).cast("int").alias("dist"))
+    settled = settled.localCheckpoint(eager=True)
+    for k in range(1, max_hops + 1):
+        nxt = (e.join(frontier.withColumnRenamed("node", "u"), "u")
+               .select(F.col("v").alias("node")).distinct()
+               .join(settled.select("node"), "node", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.limit(1).count() == 0:
+            break
+        settled = (settled.unionByName(
+            nxt.select("node", F.lit(k).cast("int").alias("dist")))
+            .localCheckpoint(eager=True))
+        frontier = nxt
+    settled._recrun_caches = [e]
+    return settled
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph — the KG
+    clustering-coefficient building block (how interconnected is an
+    entity's co-mention neighborhood).
+
+    Degree-ordered orientation (Suri & Vassilvitskii, "Counting Triangles
+    and the Curse of the Last Reducer", WWW'11 — PAPERS.md): each
+    undirected edge is directed from its (degree, node)-smaller endpoint
+    to the larger, so every node's OUT-degree is O(√E) regardless of how
+    skewed the raw degree distribution is — the wedge self-join's fan-out
+    is bounded and no hot entity melts a reducer.  Wedges (u→v, u→w with
+    v before w in orientation order) close into triangles via ONE
+    equi-join back onto the oriented edge list on (v, w); every triangle
+    is produced exactly once.  All equi-joins — no cartesian anywhere.
+
+    Pure set/count arithmetic → bit-exact in any engine (SQL-oracle-able).
+    Returns (node, n_triangles:long) for every node incident to ≥1 edge,
+    zeros included."""
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    sym = (sym.union(sym.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+           .where(F.col("u") != F.col("v")).distinct().persist())
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orientation: u→v iff (deg(u), u) < (deg(v), v); carry the endpoint
+    # orders so the wedge filter below needs no re-join
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    o = (sym.join(du, "u").join(dv, "v")
+         .where((F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+         .select("u", "v", "dv").persist())
+    # wedges at u: unordered out-neighbor pairs, ordered by (deg, node)
+    w1 = o.select("u", F.col("v").alias("a"), F.col("dv").alias("da"))
+    w2 = o.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
+    wedges = (w1.join(w2, "u")
+              .where((F.col("da") < F.col("db"))
+                     | ((F.col("da") == F.col("db"))
+                        & (F.col("a") < F.col("b")))))
+    tri = wedges.join(
+        o.select(F.col("u").alias("a"), F.col("v").alias("b")), ["a", "b"])
+    counts = (tri.select(F.explode(F.array("u", "a", "b")).alias("node"))
+              .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    out = (sym.select(F.col("u").alias("node")).distinct()
+           .join(counts, "node", "left")
+           .select("node", F.coalesce("n_triangles", F.lit(0))
+                   .cast("long").alias("n_triangles")))
+    out._recrun_caches = [sym, o]
+    return out
+
+
+def neighborhood_jaccard(edges: DataFrame, min_intersection: int = 1,
+                         scale: int = 10 ** 6, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Structural entity similarity: Jaccard overlap of neighbor sets for
+    every node pair sharing ≥ ``min_intersection`` neighbors — the KG
+    same-as candidate generator (two entities whose co-mention
+    neighborhoods coincide are merge candidates even when their surface
+    forms don't match).
+
+    Inverted-index shape (the same pattern as n-gram Jaccard dedup,
+    functions/dedup.py): group by the shared NEIGHBOR and emit its member
+    pairs — candidate volume is Σ_w deg(w)², never the all-pairs n².  Hot
+    neighbors (head entities adjacent to everything) are the classic
+    quadratic blow-up; callers cut them with ``max_degree`` in the query
+    layer (mirrors the dedup df-cut) when the degree histogram demands it.
+    The ratio is reported as integers — (intersection, union, and
+    ``scale``-scaled quotient via int div) — bit-exact cross-engine.
+
+    Returns (node_a, node_b, n_common:long, n_union:long,
+    jaccard_scaled:long) with node_a < node_b."""
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    adj = (sym.union(sym.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+           .where(F.col("u") != F.col("v")).distinct().persist())
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    m1 = adj.select(F.col("v").alias("w"), F.col("u").alias("node_a"))
+    m2 = adj.select(F.col("v").alias("w"), F.col("u").alias("node_b"))
+    inter = (m1.join(m2, "w")
+             .where(F.col("node_a") < F.col("node_b"))
+             .groupBy("node_a", "node_b")
+             .agg(F.count(F.lit(1)).alias("n_common"))
+             .where(F.col("n_common") >= min_intersection))
+    da = deg.select(F.col("u").alias("node_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("node_b"), F.col("d").alias("db"))
+    out = (inter.join(da, "node_a").join(db, "node_b")
+           .select("node_a", "node_b",
+                   F.col("n_common").cast("long").alias("n_common"),
+                   (F.col("da") + F.col("db") - F.col("n_common"))
+                   .cast("long").alias("n_union"))
+           .withColumn("jaccard_scaled",
+                       F.expr(f"{scale} * n_common div n_union")
+                       .cast("long")))
+    out._recrun_caches = [adj]
+    return out

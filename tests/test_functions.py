@@ -1183,3 +1183,147 @@ def test_bloom_filter_properties(spark):
 
     no_null = spark.createDataFrame([(x,) for x in keys], "k string")
     assert {r["pos"] for r in bloom_bits(no_null, "k").collect()} == pos
+
+
+def test_bfs_distances_semantics(spark):
+    """Frontier BFS: exact hop distances on a path, directed edges
+    honored, multi-source takes the nearest seed, unreachable nodes
+    absent, max_hops truncates, and the frontier drain short-circuits
+    without changing the result."""
+    from recrun_spark.operators import bfs_distances, release_caches
+    import pytest
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    e = spark.createDataFrame(path, ["src", "dst"])
+    sym = e.union(e.selectExpr("dst as src", "src as dst"))
+    seeds = spark.createDataFrame([("a",)], ["node"])
+
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(sym, seeds, max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # e beyond 3; x,y apart
+
+    # directed: no way back up the chain from c
+    fwd = {r["node"]: r["dist"]
+           for r in bfs_distances(
+               e, spark.createDataFrame([("c",)], ["node"]),
+               max_hops=4).collect()}
+    assert fwd == {"c": 0, "d": 1, "e": 2}
+
+    # multi-source min; max_hops far beyond the diameter terminates early
+    two = spark.createDataFrame([("a",), ("e",)], ["node"])
+    out = bfs_distances(sym, two, max_hops=50)
+    got2 = {r["node"]: r["dist"] for r in out.collect()}
+    assert got2 == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+    release_caches(out)
+
+    # isolated seed still reported at dist 0
+    lone = spark.createDataFrame([("zz",)], ["node"])
+    assert ({r["node"]: r["dist"]
+             for r in bfs_distances(sym, lone, max_hops=2).collect()}
+            == {"zz": 0})
+    with pytest.raises(ValueError):
+        bfs_distances(sym, seeds, max_hops=-1)
+
+
+def test_triangle_counts_semantics(spark):
+    """Degree-oriented triangle counting: hand-checked shapes plus a
+    brute-force cross-check on a ring-with-chords graph (every triangle
+    counted once per incident node, zeros included, input direction and
+    duplicate edges irrelevant)."""
+    from itertools import combinations
+    from recrun_spark.operators import release_caches, triangle_counts
+
+    tri_plus_pendant = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+         ("b", "a")],  # reversed duplicate must not change anything
+        ["src", "dst"])
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(tri_plus_pendant).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+    k4 = spark.createDataFrame(
+        [(u, v) for u, v in combinations("abcd", 2)], ["src", "dst"])
+    assert ({r["node"]: r["n_triangles"]
+             for r in triangle_counts(k4).collect()}
+            == {c: 3 for c in "abcd"})
+
+    # ring with chords 1..12, deltas {1,2,3} — brute-force parity
+    edges = [(u, u + d) for u in range(1, 13) for d in (1, 2, 3)
+             if u + d <= 12]
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {n: sum(1 for v, w in combinations(sorted(adj[n]), 2)
+                   if w in adj.get(v, ()))
+            for n in adj}
+    out = triangle_counts(
+        spark.createDataFrame(edges, ["src", "dst"]))
+    got = {r["node"]: r["n_triangles"] for r in out.collect()}
+    assert got == want
+    release_caches(out)
+
+
+def test_neighborhood_jaccard_semantics(spark):
+    """Inverted-index neighborhood Jaccard: integer (common, union,
+    scaled quotient) match a brute-force python computation; pairs below
+    min_intersection are absent; node_a < node_b."""
+    from itertools import combinations
+    from recrun_spark.operators import neighborhood_jaccard, release_caches
+    edges = [("d1", "A"), ("d1", "B"), ("d1", "C"),
+             ("d2", "A"), ("d2", "B"),
+             ("d3", "B"), ("d3", "C"),
+             ("d4", "Z")]
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for a, b in combinations(sorted(adj), 2):
+        inter = len(adj[a] & adj[b])
+        if inter >= 1:
+            uni = len(adj[a] | adj[b])
+            want[(a, b)] = (inter, uni, 10 ** 6 * inter // uni)
+    out = neighborhood_jaccard(
+        spark.createDataFrame(edges, ["src", "dst"]), min_intersection=1)
+    got = {(r["node_a"], r["node_b"]):
+           (r["n_common"], r["n_union"], r["jaccard_scaled"])
+           for r in out.collect()}
+    assert got == want
+    release_caches(out)
+
+    strict = neighborhood_jaccard(
+        spark.createDataFrame(edges, ["src", "dst"]), min_intersection=2)
+    got2 = {(r["node_a"], r["node_b"]) for r in strict.collect()}
+    assert got2 == {p for p, (i, _, _) in want.items() if i >= 2}
+    release_caches(strict)
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """Integer-surrogate TF-IDF: scores match a brute-force python
+    computation, ties break (score desc, term asc), whitespace-only docs
+    neither rank nor count toward N, k is validated."""
+    import pytest
+    from recrun_spark.functions.text import tfidf_top_terms
+    corpus = {1: "apple banana apple", 2: "banana cherry",
+              3: "apple cherry date date", 4: "   "}
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    toks = {d: t.split() for d, t in corpus.items() if t.split()}
+    n = len(toks)
+    df_ = {}
+    for t in {w for ws in toks.values() for w in ws}:
+        df_[t] = sum(1 for ws in toks.values() if t in ws)
+    want = {}
+    for d, ws in toks.items():
+        scored = sorted(
+            ((ws.count(t) * ((10 ** 6 * n) // df_[t]), t)
+             for t in set(ws)),
+            key=lambda st: (-st[0], st[1]))[:2]
+        want[d] = [(t, s) for s, t in scored]
+    out = tfidf_top_terms(docs, k=2)
+    got = {}
+    for r in sorted(out.collect(), key=lambda r: (r["doc_id"], r["rank"])):
+        got.setdefault(r["doc_id"], []).append((r["term"], r["score"]))
+        assert r["df"] == df_[r["term"]]
+    assert got == want
+    with pytest.raises(ValueError):
+        tfidf_top_terms(docs, k=0)
