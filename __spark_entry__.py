@@ -427,6 +427,56 @@ def documents_tfidf_topk(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def documents_dup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span profile (functions.dedup.
+    duplicated_spans — Lee et al. ACL'22): per doc, how many of its
+    8-token sliding windows occur verbatim in ≥2 distinct docs.  The
+    cross-doc complement to whole-doc near-dup scoring; the min_docs
+    threshold doubles as the df-cut that keeps the span index tiny."""
+    from recrun_spark.functions.dedup import duplicated_spans
+    return duplicated_spans(_t(spark, sf_dir, "documents"),
+                            n=8, min_docs=2)
+
+
+def documents_ngram_lm(spark, sf_dir):
+    """Pruned corpus trigram count table (functions.text.ngram_counts —
+    the KenLM-style LM-counts product): occurrences WITH multiplicity,
+    min_count=3 prune keeps the Zipf head."""
+    from recrun_spark.functions.text import ngram_counts
+    return ngram_counts(_t(spark, sf_dir, "documents"), n=3, min_count=3)
+
+
+def kg_entity_pmi(spark, sf_dir):
+    """Entity-association strength by integer-surrogate pointwise mutual
+    information over co-mentions: pmi_scaled = (10⁶·n_ab·N) div
+    (n_a·n_b) — monotone in the true PMI argument P(a,b)/(P(a)P(b)), all
+    int64 so the oracle reproduces it bit-for-bit.  N = docs with ≥1
+    mention, riding in as a broadcast 1-row frame.  (At web scale the
+    triple product needs headroom: n_ab·N ≤ ~9·10¹² at scale=10⁶ —
+    drop the scale a decade per decade of corpus growth, same discipline
+    as pagerank's scale parameter.)"""
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    nd = ments.agg(F.countDistinct("doc_id").alias("n_corpus"))
+    per = ments.groupBy("entity").agg(
+        F.countDistinct("doc_id").alias("n_ent"))
+    a = ments.select("doc_id", F.col("entity").alias("entity_a"))
+    b = ments.select("doc_id", F.col("entity").alias("entity_b"))
+    co = (a.join(b, "doc_id")
+          .where(F.col("entity_a") < F.col("entity_b"))
+          .groupBy("entity_a", "entity_b")
+          .agg(F.count(F.lit(1)).alias("n_ab")))
+    na = per.select(F.col("entity").alias("entity_a"),
+                    F.col("n_ent").alias("n_a"))
+    nb = per.select(F.col("entity").alias("entity_b"),
+                    F.col("n_ent").alias("n_b"))
+    return (co.join(na, "entity_a").join(nb, "entity_b")
+            .crossJoin(F.broadcast(nd))
+            .select("entity_a", "entity_b",
+                    F.col("n_ab").cast("long").alias("n_ab"),
+                    F.expr("1000000 * n_ab * n_corpus div (n_a * n_b)")
+                    .cast("long").alias("pmi_scaled")))
+
+
 def dedup_exact(spark, sf_dir):
     from recrun_spark.functions.dedup import exact_duplicates
     return exact_duplicates(_t(spark, sf_dir, "documents"))
@@ -1165,7 +1215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_neighborhood": kg_bfs_neighborhood,
         "kg_triangles": kg_triangles,
         "kg_entity_jaccard": kg_entity_jaccard,
+        "kg_entity_pmi": kg_entity_pmi,
         "documents_tfidf_topk": documents_tfidf_topk,
+        "documents_dup_spans": documents_dup_spans,
+        "documents_ngram_lm": documents_ngram_lm,
         "documents_domain_cap": documents_domain_cap,
         "documents_decontaminate": documents_decontaminate,
         "documents_dedup_stream": documents_dedup_stream,
@@ -1780,6 +1833,63 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i
             JOIN deg da ON da.u = i.node_a
             JOIN deg db ON db.u = i.node_b
+        """,
+        "kg_entity_pmi": f"""
+            WITH {_MENTIONS_CTE},
+            m AS (SELECT DISTINCT doc_id, entity FROM ments),
+            nd AS (SELECT count(DISTINCT doc_id) AS n_corpus FROM m),
+            per AS (SELECT entity, count(DISTINCT doc_id) AS n_ent
+                    FROM m GROUP BY 1),
+            co AS (SELECT a.entity AS entity_a, b.entity AS entity_b,
+                          count(*) AS n_ab
+                   FROM m a JOIN m b ON a.doc_id = b.doc_id
+                                    AND a.entity < b.entity
+                   GROUP BY 1, 2)
+            SELECT co.entity_a, co.entity_b,
+                   co.n_ab::BIGINT AS n_ab,
+                   ((1000000 * co.n_ab * nd.n_corpus)
+                    // (na.n_ent * nb.n_ent))::BIGINT AS pmi_scaled
+            FROM co
+            JOIN per na ON na.entity = co.entity_a
+            JOIN per nb ON nb.entity = co.entity_b, nd
+        """,
+        "documents_dup_spans": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id IS NOT NULL),
+            wins AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                           list_slice(toks, i + 1, i + 8), ' ')) AS span_h
+              FROM base, unnest(range(0, len(toks) - 7)) AS u(i)
+              WHERE len(toks) >= 8),
+            dup AS (SELECT span_h FROM (
+                      SELECT span_h, count(DISTINCT doc_id) AS df
+                      FROM wins GROUP BY 1) WHERE df >= 2),
+            tot AS (SELECT doc_id, count(*) AS n_w FROM wins GROUP BY 1),
+            dupw AS (SELECT doc_id, count(*) AS n_d FROM wins
+                     WHERE span_h IN (SELECT span_h FROM dup)
+                     GROUP BY 1)
+            SELECT b.doc_id,
+                   coalesce(t.n_w, 0)::BIGINT AS n_windows,
+                   coalesce(d.n_d, 0)::BIGINT AS n_dup_windows
+            FROM (SELECT DISTINCT doc_id FROM base) b
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN dupw d USING (doc_id)
+        """,
+        "documents_ngram_lm": """
+            WITH toks AS (
+              SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents
+              WHERE doc_id IS NOT NULL AND trim(text) <> ''),
+            grams AS (
+              SELECT array_to_string(
+                       list_slice(t, i + 1, i + 3), ' ') AS ngram
+              FROM toks, unnest(range(0, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3)
+            SELECT ngram, count(*)::BIGINT AS n_occurrences
+            FROM grams GROUP BY 1 HAVING count(*) >= 3
         """,
         "documents_tfidf_topk": """
             WITH toks AS (

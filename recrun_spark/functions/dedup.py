@@ -456,3 +456,63 @@ def simhash(documents: DataFrame, text_col: str = "text",
              for b in range(SIMHASH_BITS)),
             start=F.lit(0).cast("long")).alias("simhash"))
     return sig
+
+
+def duplicated_spans(documents: DataFrame, n: int = 8, min_docs: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document exact duplicated-span profile — the ExactSubstr
+    complement to MinHash/SimHash (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22 — PAPERS.md): near-dup
+    methods score WHOLE documents, this finds verbatim n-token spans
+    shared ACROSS documents (boilerplate, licenses, templated intros)
+    that whole-doc scores dilute.
+
+    Every stride-1 n-token window (raw whitespace tokens — content
+    verbatim, same convention as chunk_windows) is keyed by a portable
+    16-byte md5 of its text; a span is "duplicated" when it occurs in at
+    least ``min_docs`` DISTINCT documents (within-doc self-repetition is
+    repetition_stats' job).  Output: one row per document — total
+    windows and duplicated windows, i.e. the fraction an
+    exact-substring dedup pass would cut.  Docs shorter than ``n``
+    tokens report 0/0.
+
+    Scale shape: windows explode to ~n_tokens rows/doc; the span
+    aggregate is one md5-keyed shuffle with map-side combine, and the
+    ``min_docs`` threshold IS the df-cut — the duplicated-span index
+    that comes back is the (tiny) head of the span distribution, joined
+    against the window stream on the 16-byte key.  No all-pairs
+    anything.
+
+    Returns (doc_id, n_windows:long, n_dup_windows:long)."""
+    if n < 1 or min_docs < 2:
+        raise ValueError(
+            f"need n >= 1 and min_docs >= 2, got n={n} min_docs={min_docs}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (documents.where(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"), toks.alias("_toks")))
+    wins = (base
+            .where(F.size("_toks") >= n)
+            .select("doc_id",
+                    F.explode(F.transform(
+                        F.sequence(F.lit(0), F.size("_toks") - n),
+                        lambda i: F.md5(F.concat_ws(
+                            " ", F.slice("_toks", i + 1, n)))))
+                    .alias("span_h")))
+    dup = (wins.groupBy("span_h")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .where(F.col("df") >= min_docs)
+           .select("span_h"))
+    per_doc = (wins.join(dup, "span_h", "left_semi")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_dup_windows")))
+    totals = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"))
+    return (base.select("doc_id")
+            .join(totals, "doc_id", "left")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_windows", F.lit(0)).cast("long")
+                    .alias("n_windows"),
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                    .alias("n_dup_windows")))

@@ -277,3 +277,35 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("doc_id", "term", "tf", "df", "score", "rank"))
+
+
+def ngram_counts(documents: DataFrame, n: int = 3, min_count: int = 2,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide word n-gram count table with count-threshold pruning —
+    the KenLM-style LM-counts product (and the count-merge step of BPE-
+    family vocabulary induction).  Tokens are lowercased whitespace
+    words; occurrences count WITH multiplicity (an LM count table, not a
+    document-frequency table — that's shingles+_df_cut's job).
+
+    Scale shape: explode to ~n_tokens rows/doc, ONE n-gram-keyed
+    aggregate with map-side combine, and the ``min_count`` prune keeps
+    only the Zipf head — the classic pruned-counts trick that bounds LM
+    table size at any corpus scale.  Pure expressions, no UDFs.
+
+    Returns (ngram, n_occurrences:long) for counts >= min_count."""
+    if n < 1 or min_count < 1:
+        raise ValueError(
+            f"need n >= 1 and min_count >= 1, got n={n}/{min_count}")
+    toks = tokens_col(F.lower(F.col(text_col)))
+    d = (documents.where(F.col(id_col).isNotNull())
+         .select(toks.alias("_toks"))
+         .where(F.size("_toks") >= n))
+    grams = d.select(
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - n),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n))))
+        .alias("ngram"))
+    return (grams.groupBy("ngram")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+            .where(F.col("n_occurrences") >= min_count))

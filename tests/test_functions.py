@@ -1327,3 +1327,70 @@ def test_tfidf_top_terms_semantics(spark):
     assert got == want
     with pytest.raises(ValueError):
         tfidf_top_terms(docs, k=0)
+
+
+def test_duplicated_spans_semantics(spark):
+    """ExactSubstr profile: shared n-token runs count window-for-window
+    (brute-force parity), within-doc self-repetition alone does NOT mark
+    a span duplicated, short docs report 0/0, NULL ids drop."""
+    import pytest
+    from recrun_spark.functions.dedup import duplicated_spans
+    shared = "w1 w2 w3 w4"
+    corpus = {1: f"a b {shared} c d",
+              2: f"x {shared} y z",
+              3: "p q r s t u v w",           # no overlap
+              4: "rep rep rep rep rep rep",    # self-repetition only
+              5: "too short"}                  # < n tokens
+    docs = spark.createDataFrame(
+        list(corpus.items()) + [(None, shared)], ["doc_id", "text"])
+    n = 4
+    wins = {d: [" ".join(t.split()[i:i + n])
+                for i in range(len(t.split()) - n + 1)]
+            for d, t in corpus.items() if len(t.split()) >= n}
+    span_docs: dict = {}
+    for d, ws in wins.items():
+        for w in ws:
+            span_docs.setdefault(w, set()).add(d)
+    dup = {w for w, ds in span_docs.items() if len(ds) >= 2}
+    want = {d: (len(wins.get(d, [])),
+                sum(1 for w in wins.get(d, []) if w in dup))
+            for d in corpus}
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+           for r in duplicated_spans(docs, n=n, min_docs=2).collect()}
+    assert got == want
+    assert want[1][1] == 1 and want[2][1] == 1   # exactly the shared run
+    assert want[4] == (3, 0)                     # self-repeat not flagged
+    assert want[5] == (0, 0)
+    with pytest.raises(ValueError):
+        duplicated_spans(docs, n=0)
+    with pytest.raises(ValueError):
+        duplicated_spans(docs, min_docs=1)
+
+
+def test_ngram_counts_semantics(spark):
+    """Pruned LM counts: multiplicity-counted n-grams match brute force,
+    min_count prunes, short/whitespace docs contribute nothing."""
+    import pytest
+    from collections import Counter
+    from recrun_spark.functions.text import ngram_counts
+    corpus = ["the cat sat on the mat",
+              "the cat sat quietly",
+              "THE CAT sat on a log",
+              "  ", "one two"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+    n = 2
+    cnt = Counter()
+    for t in corpus:
+        ws = t.lower().split()
+        if len(ws) >= n:
+            cnt.update(" ".join(ws[i:i + n])
+                       for i in range(len(ws) - n + 1))
+    for mc in (1, 2, 3):
+        want = {g: c for g, c in cnt.items() if c >= mc}
+        got = {r["ngram"]: r["n_occurrences"]
+               for r in ngram_counts(docs, n=n, min_count=mc).collect()}
+        assert got == want, mc
+    assert cnt["the cat"] == 3 and cnt["cat sat"] == 3  # fixture sanity
+    with pytest.raises(ValueError):
+        ngram_counts(docs, n=0)
