@@ -502,6 +502,27 @@ def dedup_clusters(spark, sf_dir):
     return _finalize(dc(_t(spark, sf_dir, "documents"), threshold=0.30))
 
 
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection: within each exact-duplicate
+    group (md5 content fingerprint), keep the HIGHEST-quality copy
+    (quality_score desc, doc_id asc tie-break) instead of the arbitrary
+    min-id — the selection policy a production dedup pass actually wants
+    (keep the cleanest copy, not the first-crawled one).  One fp-keyed
+    window (per-group heaps, no global sort) + one equi-join back."""
+    from recrun_spark.functions.text import fingerprint_md5, quality_score
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id",
+                         fingerprint_md5(F.col("text")).alias("fp"),
+                         quality_score(F.col("text")).alias("quality"))
+    w = Window.partitionBy("fp").orderBy(F.col("quality").desc(),
+                                         F.col("doc_id").asc())
+    best = (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("fp", F.col("doc_id").alias("canonical_doc_id")))
+    return (scored.join(best, "fp")
+            .select("doc_id", "quality", "canonical_doc_id"))
+
+
 def text_stats(spark, sf_dir):
     from recrun_spark.functions.text import text_stats as ts
     return ts(_t(spark, sf_dir, "documents"))
@@ -1219,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_tfidf_topk": documents_tfidf_topk,
         "documents_dup_spans": documents_dup_spans,
         "documents_ngram_lm": documents_ngram_lm,
+        "dedup_keep_best": dedup_keep_best,
         "documents_domain_cap": documents_domain_cap,
         "documents_decontaminate": documents_decontaminate,
         "documents_dedup_stream": documents_dedup_stream,
@@ -1924,6 +1946,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, b.canonical_doc_id
             FROM fp a JOIN (SELECT f, min(doc_id) AS canonical_doc_id
                             FROM fp GROUP BY f) b ON a.f = b.f
+        """,
+        "dedup_keep_best": f"""
+            WITH ts AS ({_TEXT_STATS_SQL}),
+            best AS (
+              SELECT fp_md5, doc_id AS canonical_doc_id FROM (
+                SELECT fp_md5, doc_id,
+                       row_number() OVER (
+                         PARTITION BY fp_md5
+                         ORDER BY quality DESC, doc_id ASC) AS rn
+                FROM ts) WHERE rn = 1)
+            SELECT t.doc_id, t.quality, b.canonical_doc_id
+            FROM ts t JOIN best b ON b.fp_md5 = t.fp_md5
         """,
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,  # LSH must not lose pairs here

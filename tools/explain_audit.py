@@ -292,6 +292,67 @@ def main():
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
     ])
 
+    # 10. graph analytics (r5): every corpus-scale join must be an
+    # equi-join — the triangle wedge close, the Jaccard inverted-index
+    # join, and the BFS frontier join all key on node/span ids; the only
+    # tolerated nested loop anywhere in this family is TF-IDF's 1-row
+    # corpus-count broadcast
+    from recrun_spark.operators import neighborhood_jaccard, triangle_counts
+    cust = (spark.read.parquet(f"{SF_DIR}/customer.parquet")
+            .where(F.col("c_custkey") <= 500)
+            .select(F.col("c_custkey").alias("u")))
+    ring = (cust.select(
+        "u", F.explode(F.array(*[F.col("u") + d for d in (1, 2, 3)]))
+        .alias("dst"))
+        .where(F.col("dst") <= 500)
+        .select(F.col("u").alias("src"), "dst"))
+    tri_plan = triangle_counts(ring)
+    audit("kg_triangles", tri_plan, [
+        ("wedge close + counts via equi-joins only (no cartesian)",
+         lambda p: "CartesianProduct" not in p),
+        ("no corpus-scale nested loop",
+         lambda p: "BroadcastNestedLoopJoin" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("hash/merge joins drive orientation + close (≥3)",
+         lambda p: (p.count("BroadcastHashJoin") + p.count("SortMergeJoin")
+                    + p.count("ShuffledHashJoin")) >= 3),
+    ])
+    release_caches(tri_plan)
+    nj_plan = neighborhood_jaccard(ring, min_intersection=2)
+    audit("kg_entity_jaccard", nj_plan, [
+        ("inverted-index join on the shared neighbor (equi, no cartesian)",
+         lambda p: "CartesianProduct" not in p),
+        ("no nested loop", lambda p: "BroadcastNestedLoopJoin" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+    release_caches(nj_plan)
+    audit("documents_tfidf_topk", qs["documents_tfidf_topk"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("map-side partial aggregation for tf",
+         lambda p: "partial" in p.lower()),
+        ("top-k window partitioned by doc (no global sort window)",
+         lambda p: "Window" in p and "Exchange SinglePartition" not in p),
+        ("only nested loop is the 1-row corpus-count broadcast (≤1)",
+         lambda p: _distinct_bnlj(p) <= 1),
+    ])
+    audit("documents_dup_spans", qs["documents_dup_spans"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("span index joined back by equi-(semi-)join, no cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+    audit("documents_ngram_lm", qs["documents_ngram_lm"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("map-side partial aggregation before the one count shuffle",
+         lambda p: "partial" in p.lower()),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
