@@ -1117,6 +1117,54 @@ def events_sessions_stream(spark, sf_dir):
         "n_events", "start_us", "end_us")
 
 
+def events_windowed_stream(spark, sf_dir):
+    """Watermarked tumbling-window streaming aggregation in APPEND mode
+    (streaming/windows.py): events replayed as 3 time-ranged files →
+    hourly counts per event_type land in the sink only once the
+    event-time watermark (10 min delay) passes the window.  The oracle is
+    a plain GROUP BY restricted to FINALIZED windows — window_end <= the
+    ms-floored global max ts minus the delay, the engine rule pinned by
+    test_windowed_counts_finalization_semantics.  Same digest-keyed
+    cached-workdir pattern as the other streaming rows."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import recrun_spark.streaming.windows as swin
+    from recrun_spark.streaming.sessions import prepare_ranged_events
+    _ensure_pkg(spark)
+    src_file = f"{sf_dir}/events.parquet"
+    st = os.stat(src_file)
+    digest = hashlib.sha1(
+        f"{src_file}:{st.st_size}:{st.st_mtime_ns}:3files:1h:10m".encode())
+    digest.update(open(swin.__file__, "rb").read())
+    work = os.path.join(tempfile.gettempdir(),
+                        f"recrun_win_stream_{digest.hexdigest()[:12]}")
+    if not os.path.isdir(work):
+        build = tempfile.mkdtemp(prefix="recrun_win_build_")
+        try:
+            src = prepare_ranged_events(src_file, os.path.join(build, "in"),
+                                        n_files=3)
+            schema = spark.read.parquet(src_file).schema
+            sink = swin.run_windowed_counts_available_now(
+                spark, src, os.path.join(build, "out"), schema,
+                window="1 hour", delay="10 minutes")
+            # the FileStreamSink metadata log records ABSOLUTE paths the
+            # rename below would orphan — the parquet files are
+            # self-contained without it
+            shutil.rmtree(os.path.join(sink, "_spark_metadata"),
+                          ignore_errors=True)
+            try:
+                os.rename(build, work)   # atomic publish; loser keeps build
+            except OSError:
+                pass
+        finally:
+            if os.path.isdir(build) and os.path.isdir(work) and build != work:
+                shutil.rmtree(build, ignore_errors=True)
+    return (spark.read.parquet(os.path.join(work, "out", "windows"))
+            .select("window_start", "window_end", "event_type", "n_events"))
+
+
 def documents_dedup_stream(spark, sf_dir):
     """STREAMING first-seen exact dedup (streaming/dedup.py): documents
     replayed as 3 doc_id-ranged files → 3 micro-batches; each batch
@@ -1244,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_domain_cap": documents_domain_cap,
         "documents_decontaminate": documents_decontaminate,
         "documents_dedup_stream": documents_dedup_stream,
+        "events_windowed_stream": events_windowed_stream,
         "documents_chunks": documents_chunks,
         "q1_pricing": q1_pricing,
         "revenue_by_region": revenue_by_region,
@@ -2469,6 +2518,25 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS doc_id
             FROM documents WHERE doc_id IS NOT NULL
             GROUP BY 1
+        """,
+        # finalized windows only: window_end <= ms-floored max ts minus the
+        # 10-min watermark delay — the engine rule pinned by
+        # test_windowed_counts_finalization_semantics (INCLUSIVE at
+        # equality; time-ranged replay makes the late-row filter a no-op,
+        # so finalized window contents equal the batch GROUP BY)
+        "events_windowed_stream": """
+            WITH wm AS (
+              SELECT (epoch_us(max(ts)) // 1000) * 1000
+                     - 600 * 1000000 AS wm_us
+              FROM events),
+            agg AS (
+              SELECT date_trunc('hour', ts) AS window_start,
+                     date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                     event_type, count(*) AS n_events
+              FROM events GROUP BY 1, 2, 3)
+            SELECT window_start, window_end, event_type, n_events
+            FROM agg, wm
+            WHERE epoch_us(window_end) <= wm.wm_us
         """,
     }
 

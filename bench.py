@@ -243,7 +243,8 @@ def main():
                  "text_stats", "dedup_exact", "dedup_minhash_lsh",
                  "ann_cosine_topk", "ann_ivf_topk", "cc_components",
                  "kg_mentions_flat", "events_hourly", "simhash_sigs",
-                 "kg_entity_pagerank"):
+                 "kg_entity_pagerank", "documents_dup_spans",
+                 "documents_tfidf_topk"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

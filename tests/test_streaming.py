@@ -613,3 +613,69 @@ def test_streaming_dedup_first_seen_and_incremental(spark, tmpdir_path):
     got2 = {r["fp"]: r["doc_id"]
             for r in spark.read.parquet(sink).collect()}
     assert got2 == {**got, fps["delta"]: 42}
+
+
+def test_windowed_counts_finalization_semantics(spark, tmpdir_path):
+    """PIN the append-mode window-finalization rule the oracle encodes
+    (same discipline as the sessionizer timeout pin): after an
+    availableNow drain the watermark is the ms-floored GLOBAL max event
+    time minus the delay, and a window is emitted iff window_end <= wm
+    (INCLUSIVE at equality).  Crafted boundary: 10s windows, 5s delay,
+    max ts 25s + 700us -> wm floors to exactly 20.000s, so window
+    [10,20) sits EXACTLY on the watermark and distinguishes <= from <;
+    [20,30) must be withheld.  A Spark upgrade that shifts any of this
+    fails here first."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from recrun_spark.streaming.windows import (
+        run_windowed_counts_available_now)
+
+    def ts(sec, us=0):
+        return datetime.datetime(2024, 1, 1, 0, 0, 0) + \
+            datetime.timedelta(seconds=sec, microseconds=us)
+
+    in_dir = os.path.join(tmpdir_path, "in")
+    out_dir = os.path.join(tmpdir_path, "out")
+    os.makedirs(in_dir)
+    rows = {
+        "b1.parquet": [(ts(1), "a"), (ts(2), "a"), (ts(3), "b")],
+        "b2.parquet": [(ts(11), "a"), (ts(12), "b")],
+        "b3.parquet": [(ts(25, 700), "a")],
+    }
+    schema = pa.schema([pa.field("ts", pa.timestamp("us")),
+                        pa.field("event_type", pa.string())])
+    base = None
+    for i, (name, rs) in enumerate(rows.items()):
+        p = os.path.join(in_dir, name)
+        pq.write_table(pa.table(
+            {"ts": [r[0] for r in rs],
+             "event_type": [r[1] for r in rs]}, schema=schema), p)
+        if base is None:
+            base = os.stat(p).st_mtime
+        os.utime(p, (base + i, base + i))
+    sink = run_windowed_counts_available_now(
+        spark, in_dir, out_dir,
+        spark.read.parquet(os.path.join(in_dir, "b1.parquet")).schema,
+        window="10 seconds", delay="5 seconds")
+    got = sorted((r["window_start"].second, r["event_type"], r["n_events"])
+                 for r in spark.read.parquet(sink).collect())
+    # [0,10): a=2, b=1 (end 10 < wm 20).  [10,20): a=1, b=1 — end EQUALS
+    # the 20.000s watermark and must be emitted (inclusive rule).
+    # [20,30): holds the 25s event, end 30 > wm -> withheld.
+    assert got == [(0, "a", 2), (0, "b", 1), (10, "a", 1), (10, "b", 1)]
+
+    # a fourth file advances the watermark past [20,30) -> incremental
+    # finalization emits it without reprocessing history
+    p4 = os.path.join(in_dir, "b4.parquet")
+    pq.write_table(pa.table(
+        {"ts": [ts(40)], "event_type": ["b"]}, schema=schema), p4)
+    os.utime(p4, (base + 3, base + 3))
+    run_windowed_counts_available_now(
+        spark, in_dir, out_dir,
+        spark.read.parquet(p4).schema,
+        window="10 seconds", delay="5 seconds")
+    got2 = sorted((r["window_start"].second, r["event_type"], r["n_events"])
+                  for r in spark.read.parquet(sink).collect())
+    assert got2 == got + [(20, "a", 1)]
