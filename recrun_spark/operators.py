@@ -352,7 +352,8 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct().persist())
-    frontier = (seeds.select(F.col(seed_col).alias("node")).distinct()
+    frontier = (seeds.select(F.col(seed_col).alias("node"))
+                .where(F.col("node").isNotNull()).distinct()
                 .localCheckpoint(eager=True))
     settled = frontier.select("node", F.lit(0).cast("int").alias("dist"))
     settled = settled.localCheckpoint(eager=True)
