@@ -418,6 +418,83 @@ def kg_entity_jaccard(spark, sf_dir):
     return _finalize(neighborhood_jaccard(de, min_intersection=2))
 
 
+def kg_kcore(spark, sf_dir):
+    """Dense-core extraction (operators.kcore — iterative peeling to the
+    maximal min-degree-≥k subgraph) over a derived clique graph:
+    size-10 cliques (custkey 1-100, in-clique degree 8-9), size-≤5
+    cliques (custkey 101-200, degree ≤4), one bridge each between them.
+    At k=8 every small-clique node peels in round 1 and the big cliques
+    survive on their in-clique degree alone — including the size-9
+    boundary clique at EXACTLY degree 8, pinning the inclusive ≥ —
+    so the fixpoint lands in 2 rounds and the oracle's 4 unrolled
+    peel rounds (extra rounds are no-ops at the fixpoint) reproduce it
+    row-for-row.  The clique floor makes the construction cascade-free:
+    unbounded peel cascades (chains) can't be unrolled in SQL."""
+    from recrun_spark.operators import kcore
+    cust = (_t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("u")))
+    big = cust.where(F.col("u").between(1, 100))
+    small = cust.where(F.col("u").between(101, 200))
+
+    def clique(nodes, width):
+        a = nodes.select(F.col("u").alias("src"),
+                         F.expr(f"u div {width}").alias("_g"))
+        b = nodes.select(F.col("u").alias("dst"),
+                         F.expr(f"u div {width}").alias("_g"))
+        return (a.join(b, "_g")
+                .where(F.col("src") < F.col("dst"))
+                .select("src", "dst"))
+
+    bridges = big.select(F.col("u").alias("src"),
+                         (F.col("u") + 100).alias("dst"))
+    edges = clique(big, 10).union(clique(small, 5)).union(bridges)
+    return _finalize(kcore(edges, k=8))
+
+
+def _kcore_sql(k: int = 8, rounds: int = 4) -> str:
+    """The k-core oracle: the same peel recurrence unrolled (round i =
+    degrees over round i-1's surviving edges, keep nodes ≥ k, restrict
+    both endpoints) — valid because the driver graph converges within
+    ``rounds`` and extra rounds are no-ops at the fixpoint."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""d{i} AS (SELECT u, count(*) AS c FROM r{i - 1}
+                          GROUP BY 1),
+            k{i} AS (SELECT u FROM d{i} WHERE c >= {k}),
+            r{i} AS (SELECT r.u, r.v FROM r{i - 1} r
+                     JOIN k{i} a ON a.u = r.u
+                     JOIN k{i} b ON b.u = r.v)""")
+    return f"""
+        WITH cust AS (SELECT c_custkey AS u FROM customer),
+        big AS (SELECT u FROM cust WHERE u BETWEEN 1 AND 100),
+        small AS (SELECT u FROM cust WHERE u BETWEEN 101 AND 200),
+        raw(src, dst) AS (
+          SELECT a.u, b.u FROM big a JOIN big b
+            ON a.u // 10 = b.u // 10 AND a.u < b.u
+          UNION ALL
+          SELECT a.u, b.u FROM small a JOIN small b
+            ON a.u // 5 = b.u // 5 AND a.u < b.u
+          UNION ALL
+          SELECT u, u + 100 FROM big),
+        r0 AS (SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+               UNION SELECT dst, src FROM raw WHERE src <> dst),
+        {','.join(parts)}
+        SELECT u AS node, count(*)::BIGINT AS core_deg
+        FROM r{rounds} GROUP BY 1
+    """
+
+
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard pairs by PREFIX FILTERING (functions.dedup.
+    jaccard_pairs_prefix — AllPairs/PPJoin family): the guaranteed-
+    complete candidate generator (rarest-first global shingle order,
+    index only each doc's prefix) — no df-cut approximation anywhere.
+    Oracle: the full no-cut inverted-index Jaccard in SQL."""
+    from recrun_spark.functions.dedup import jaccard_pairs_prefix
+    return _finalize(jaccard_pairs_prefix(_t(spark, sf_dir, "documents"),
+                                          threshold=0.30))
+
+
 def documents_tfidf_topk(spark, sf_dir):
     """Top-3 characteristic terms per document by integer-surrogate
     TF-IDF (functions.text.tfidf_top_terms): score = tf·((10⁶·N) div df),
@@ -1285,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": kg_triangles,
         "kg_entity_jaccard": kg_entity_jaccard,
         "kg_entity_pmi": kg_entity_pmi,
+        "kg_kcore": kg_kcore,
+        "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "documents_tfidf_topk": documents_tfidf_topk,
         "documents_dup_spans": documents_dup_spans,
         "documents_ngram_lm": documents_ngram_lm,
@@ -1904,6 +1983,38 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i
             JOIN deg da ON da.u = i.node_a
             JOIN deg db ON db.u = i.node_b
+        """,
+        "kg_kcore": _kcore_sql(),
+        "dedup_jaccard_prefix": f"""
+            WITH norm AS (
+              SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                unnest(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' '
+                              || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END) AS shingle
+              FROM norm
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                 AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)
+                     AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.30
         """,
         "kg_entity_pmi": f"""
             WITH {_MENTIONS_CTE},

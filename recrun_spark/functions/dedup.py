@@ -516,3 +516,54 @@ def duplicated_spans(documents: DataFrame, n: int = 8, min_docs: int = 2,
                     .alias("n_windows"),
                     F.coalesce("n_dup_windows", F.lit(0)).cast("long")
                     .alias("n_dup_windows")))
+
+
+def jaccard_pairs_prefix(documents: DataFrame, threshold: float = 0.6,
+                         n: int = 3, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard pairs by PREFIX FILTERING (AllPairs — Bayardo
+    et al. WWW'07; PPJoin — Xiao et al. WWW'08; PAPERS.md): the
+    guaranteed-complete alternative to ``jaccard_pairs``'s df-cut when NO
+    qualifying pair may be missed at scale.
+
+    Shingles get a global order (df asc, shingle asc — rarest first);
+    doc x INDEXES only its first ``|x| - ceil(t·|x|) + 1`` shingles.
+    Any pair with J ≥ t shares ≥ ceil(t·|x|) shingles (the union contains
+    x), so at least one shared shingle falls inside x's prefix — and that
+    shingle is in y's FULL set, so the prefix(x) ⋈ full(y) join generates
+    every qualifying pair.  Candidate volume is Σ_s prefdf(s)·df(s)
+    instead of the full inverted index's Σ_s df(s)², and the rarest-first
+    order makes prefixes the LOW-df shingles — boilerplate never enters
+    the index.  ``ceil(t·|x|)`` is computed in INTEGER arithmetic (4-
+    decimal threshold) — a float ceil landing one ulp above an integer
+    would silently shorten a prefix and break the completeness proof.
+
+    Verification reuses the shared exact-Jaccard stage over FULL shingle
+    sets.  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b — equal to
+    ``jaccard_pairs`` with the df-cut disabled, by construction."""
+    from pyspark.sql import Window
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    tp = round(threshold * 10000)
+    sh = shingles(documents, n, text_col, id_col).persist()  # full, no cut
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_sh"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(),
+                                             F.col("shingle").asc())
+    prefix = (sh.join(freq, "shingle")
+              .withColumn("_pos", F.row_number().over(w))
+              .join(sizes, "doc_id")
+              .where(F.col("_pos")
+                     <= F.col("_n_sh")
+                     - F.expr(f"cast(({tp} * _n_sh + 9999) div 10000 "
+                              "as int)") + 1))
+    cand = (prefix.select(F.col("doc_id").alias("_p"), "shingle")
+            .join(sh.select(F.col("doc_id").alias("_f"), "shingle"),
+                  "shingle")
+            .where(F.col("_p") != F.col("_f"))
+            .select(F.least("_p", "_f").alias("doc_a"),
+                    F.greatest("_p", "_f").alias("doc_b"))
+            .distinct())
+    out = _jaccard_of_pairs(cand, sh, threshold)
+    out._recrun_caches = [sh] + list(getattr(out, "_jp_caches", []))
+    return out

@@ -469,3 +469,53 @@ def neighborhood_jaccard(edges: DataFrame, min_intersection: int = 1,
                        .cast("long")))
     out._recrun_caches = [adj]
     return out
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int = 100,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """K-core decomposition by iterative peeling (Seidman 1983; the
+    MapReduce formulation follows the same peel-until-fixpoint shape as
+    large-star/small-star CC): repeatedly delete every node whose degree
+    in the SURVIVING subgraph is < ``k``; what remains is the maximal
+    subgraph with minimum degree ≥ k — the dense KG core (head entities
+    and their tightly inter-linked neighborhood), the standard seed set
+    for curriculum/subgraph extraction.
+
+    Each round is one degree aggregate + two semi-joins (edge endpoints
+    restricted to survivors), O(E) per round; the surviving edge list is
+    localCheckpoint-ed per round (constant-depth plans — the CC/pagerank
+    lineage discipline) and the convergence test is the round's edge
+    count: peeling only ever deletes, so an unchanged count IS the
+    fixpoint.  Cascades bound the round count by the graph's degeneracy
+    ordering depth; ``max_iter`` is a backstop.
+
+    Pure set/count arithmetic → bit-exact anywhere, so a fixed-round
+    unrolled SQL oracle that over-runs convergence (extra rounds are
+    no-ops at the fixpoint) reproduces it row-for-row.
+
+    Returns (node, core_deg:long) for the k-core members (empty if the
+    graph has no k-core)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    e = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    prev = e.count()
+    for _ in range(max_iter):
+        if prev == 0:
+            break
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        e2 = (e.join(keep, "u", "left_semi")
+              .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+              .localCheckpoint(eager=True))
+        cnt = e2.count()
+        e = e2
+        if cnt == prev:
+            break
+        prev = cnt
+    return (e.groupBy("u").agg(F.count(F.lit(1)).cast("long")
+                               .alias("core_deg"))
+            .select(F.col("u").alias("node"), "core_deg"))

@@ -1394,3 +1394,102 @@ def test_ngram_counts_semantics(spark):
     assert cnt["the cat"] == 3 and cnt["cat sat"] == 3  # fixture sanity
     with pytest.raises(ValueError):
         ngram_counts(docs, n=0)
+
+
+def test_kcore_semantics(spark):
+    """Iterative peeling: a K5 with a pendant chain keeps exactly the
+    clique at k=4 with core degrees 4; a deep cascade (path graph at
+    k=2) peels from both ends to emptiness over many rounds; results
+    match a brute-force python peeler on a mixed graph; k validation."""
+    from itertools import combinations
+    import pytest
+    from recrun_spark.operators import kcore
+
+    k5 = [(f"c{i}", f"c{j}") for i, j in combinations(range(5), 2)]
+    chain = [("c0", "p1"), ("p1", "p2"), ("p2", "p3")]
+    got = {r["node"]: r["core_deg"]
+           for r in kcore(spark.createDataFrame(k5 + chain,
+                                                ["src", "dst"]),
+                          k=4).collect()}
+    assert got == {f"c{i}": 4 for i in range(5)}
+
+    # path: every node has deg <= 2; k=2 interior survives round 1 but
+    # the cascade unzips from both ends — empty fixpoint, many rounds
+    path = [(i, i + 1) for i in range(20)]
+    assert kcore(spark.createDataFrame(path, ["src", "dst"]),
+                 k=2).count() == 0
+    # ...while a cycle IS its own 2-core
+    cycle = path + [(20, 0)]
+    got = {r["node"]: r["core_deg"]
+           for r in kcore(spark.createDataFrame(cycle,
+                                                ["src", "dst"]),
+                          k=2).collect()}
+    assert got == {i: 2 for i in range(21)}
+
+    def brute(edges, k):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        while True:
+            drop = {n for n, ns in adj.items() if len(ns) < k}
+            if not drop:
+                return {n: len(ns) for n, ns in adj.items()}
+            adj = {n: ns - drop for n, ns in adj.items() if n not in drop}
+
+    mixed = (k5 + chain + [("p3", "c1"), ("x", "y"), ("y", "z"),
+                           ("z", "x"), ("z", "c0")])
+    for k in (2, 3, 4, 5):
+        got = {r["node"]: r["core_deg"]
+               for r in kcore(spark.createDataFrame(
+                   mixed, ["src", "dst"]), k=k).collect()}
+        assert got == brute(mixed, k), k
+    with pytest.raises(ValueError):
+        kcore(spark.createDataFrame(k5, ["src", "dst"]), k=0)
+
+
+def test_jaccard_pairs_prefix_complete_and_equal(spark):
+    """Prefix filtering loses NOTHING: pairs equal both a brute-force
+    python Jaccard over the shingle sets and jaccard_pairs with the
+    df-cut disabled, across thresholds (including ones where t·|x| lands
+    exactly on an integer — the float-ceil trap the integer prefix
+    arithmetic exists for)."""
+    from itertools import combinations
+    from recrun_spark.functions.dedup import (jaccard_pairs,
+                                              jaccard_pairs_prefix)
+    from recrun_spark.operators import release_caches
+    base = "the quick brown fox jumps over the lazy dog near the red barn"
+    corpus = {
+        1: base,
+        2: base + " tonight",                        # near-dup of 1
+        3: "the quick brown fox sleeps under the old oak tree all day",
+        4: "completely different text about spark shuffles and joins ok",
+        5: base,                                      # exact dup of 1
+        6: "one two",                                 # < n tokens
+        7: "one two",                                 # whole-doc shingle dup
+    }
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+
+    def sh_set(t):
+        ws = t.lower().split()
+        return (set(" ".join(ws[i:i + 3]) for i in range(len(ws) - 2))
+                if len(ws) >= 3 else {" ".join(ws)})
+
+    for t in (0.25, 0.30, 0.5, 1.0):
+        want = {}
+        for a, b in combinations(sorted(corpus), 2):
+            sa, sb = sh_set(corpus[a]), sh_set(corpus[b])
+            j = len(sa & sb) / len(sa | sb)
+            if round(j, 6) >= t:
+                want[(a, b)] = round(j, 6)
+        out = jaccard_pairs_prefix(docs, threshold=t)
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in out.collect()}
+        release_caches(out)
+        assert got == want, t
+        ref = jaccard_pairs(docs, threshold=t,
+                            max_shingle_freq=10 ** 9)
+        got_ref = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                   for r in ref.collect()}
+        release_caches(ref)
+        assert got == got_ref, t
