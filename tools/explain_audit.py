@@ -353,6 +353,41 @@ def main():
          lambda p: "Exchange SinglePartition" not in p),
     ])
 
+    from recrun_spark.functions.dedup import jaccard_pairs_prefix
+    docs_sf = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    jp_plan = jaccard_pairs_prefix(docs_sf, threshold=0.30)
+    audit("dedup_jaccard_prefix", jp_plan, [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("prefix position window partitioned by doc (no global sort)",
+         lambda p: "Window" in p and "Exchange SinglePartition" not in p),
+        ("candidate generation is equi-join only (no cartesian/BNLJ)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ])
+    release_caches(jp_plan)
+
+    # kcore peels eagerly (localCheckpoint per round); audit ONE round's
+    # peel frame — the shape every iteration repeats at scale.
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    e = (ev.select(F.col("user_id").alias("u"),
+                   (F.col("event_id") % 500 + 10_000_000).alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+         .where(F.col("u") != F.col("v")).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    keep = deg.where(F.col("d") >= 3).select("u")
+    peel = (e.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi"))
+    audit("kg_kcore_peel_round", peel, [
+        ("degree aggregate has map-side partial combine",
+         lambda p: "partial" in p.lower()),
+        ("survivor restriction is semi-join (no cartesian/BNLJ)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
