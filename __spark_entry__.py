@@ -1242,6 +1242,72 @@ def events_windowed_stream(spark, sf_dir):
             .select("window_start", "window_end", "event_type", "n_events"))
 
 
+def events_attribution_stream(spark, sf_dir):
+    """STREAM-STREAM watermarked interval join (streaming/join.py — the
+    symmetric-hash-join state surface): purchases and clicks replayed as
+    two independent 3-file ascending streams; each purchase matched to
+    the SAME user's clicks within the preceding hour (inclusive both
+    ends).  Under ascending ranged replay the inner join is COMPLETE —
+    the sink equals the batch join with no finalization predicate
+    (eviction argument in the module docstring, pinned by
+    test_interval_join_stream_equals_batch) — so the oracle is the plain
+    batch self-join in SQL.  lag_us is the exact µs difference (whole-
+    second lag functions diverge across engines on sub-second parts).
+    Same digest-keyed cached-workdir pattern as the other streaming
+    rows."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import recrun_spark.streaming.join as sjoin
+    from recrun_spark.streaming.sessions import prepare_ranged_events
+    _ensure_pkg(spark)
+    src_file = f"{sf_dir}/events.parquet"
+    st = os.stat(src_file)
+    digest = hashlib.sha1(
+        f"{src_file}:{st.st_size}:{st.st_mtime_ns}:3files:1h:10m:attr"
+        .encode())
+    digest.update(open(sjoin.__file__, "rb").read())
+    work = os.path.join(tempfile.gettempdir(),
+                        f"recrun_attr_stream_{digest.hexdigest()[:12]}")
+    if not os.path.isdir(work):
+        import pyarrow.parquet as pq
+        build = tempfile.mkdtemp(prefix="recrun_attr_build_")
+        try:
+            tbl = pq.read_table(src_file)
+            sides = {}
+            for side, etype in (("purchases", "purchase"),
+                                ("clicks", "click")):
+                import pyarrow.compute as pc
+                part = tbl.filter(pc.equal(tbl["event_type"], etype))
+                fp = os.path.join(build, f"{side}.parquet")
+                pq.write_table(part, fp)
+                sides[side] = prepare_ranged_events(
+                    fp, os.path.join(build, f"in_{side}"), n_files=3)
+            schema = spark.read.parquet(
+                os.path.join(build, "purchases.parquet")).schema
+            sink = sjoin.run_interval_join_available_now(
+                spark, sides["purchases"], sides["clicks"],
+                os.path.join(build, "out"), schema, key_col="user_id",
+                ts_col="ts", max_lag="1 hour", delay="10 minutes")
+            shutil.rmtree(os.path.join(sink, "_spark_metadata"),
+                          ignore_errors=True)
+            try:
+                os.rename(build, work)   # atomic publish; loser keeps build
+            except OSError:
+                pass
+        finally:
+            if os.path.isdir(build) and os.path.isdir(work) and build != work:
+                shutil.rmtree(build, ignore_errors=True)
+    return (spark.read.parquet(os.path.join(work, "out", "joined"))
+            .select("user_id",
+                    F.col("l_event_id").alias("purchase_id"),
+                    F.col("r_event_id").alias("click_id"),
+                    F.col("l_ts").alias("purchase_ts"),
+                    F.col("r_ts").alias("click_ts"),
+                    "lag_us"))
+
+
 def documents_dedup_stream(spark, sf_dir):
     """STREAMING first-seen exact dedup (streaming/dedup.py): documents
     replayed as 3 doc_id-ranged files → 3 micro-batches; each batch
@@ -1372,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_decontaminate": documents_decontaminate,
         "documents_dedup_stream": documents_dedup_stream,
         "events_windowed_stream": events_windowed_stream,
+        "events_attribution_stream": events_attribution_stream,
         "documents_chunks": documents_chunks,
         "q1_pricing": q1_pricing,
         "revenue_by_region": revenue_by_region,
@@ -2648,6 +2715,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, window_end, event_type, n_events
             FROM agg, wm
             WHERE epoch_us(window_end) <= wm.wm_us
+        """,
+        # stream-stream inner interval join is COMPLETE under ascending
+        # ranged replay (streaming/join.py eviction argument, pinned by
+        # test_interval_join_stream_equals_batch), so the oracle is the
+        # plain batch self-join; lag in exact µs (whole-second lag
+        # functions diverge across engines on sub-second parts)
+        "events_attribution_stream": """
+            SELECT p.user_id,
+                   p.event_id AS purchase_id,
+                   c.event_id AS click_id,
+                   p.ts AS purchase_ts,
+                   c.ts AS click_ts,
+                   CAST(date_diff('microsecond', c.ts, p.ts)
+                        AS BIGINT) AS lag_us
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         """,
     }
 

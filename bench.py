@@ -244,7 +244,8 @@ def main():
                  "ann_cosine_topk", "ann_ivf_topk", "cc_components",
                  "kg_mentions_flat", "events_hourly", "simhash_sigs",
                  "kg_entity_pagerank", "documents_dup_spans",
-                 "documents_tfidf_topk"):
+                 "documents_tfidf_topk", "kg_kcore",
+                 "dedup_jaccard_prefix"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -679,3 +679,86 @@ def test_windowed_counts_finalization_semantics(spark, tmpdir_path):
     got2 = sorted((r["window_start"].second, r["event_type"], r["n_events"])
                   for r in spark.read.parquet(sink).collect())
     assert got2 == got + [(20, "a", 1)]
+
+
+def test_interval_join_stream_equals_batch(spark, tmpdir_path):
+    """PIN the stream-stream interval join contract (streaming/join.py):
+    under ascending time-ranged replay the availableNow sink equals the
+    BATCH interval join exactly — inner-join completeness with NO
+    finalization predicate.  Crafted cases: within-batch match,
+    cross-batch match (right row buffered in state across micro-batches),
+    INCLUSIVE boundaries at lag == max_lag and lag == 0 (lag_us exact µs), beyond-lag
+    non-match, wrong-order non-match, key non-match.  A second run with a
+    new left file must emit ONLY the new match (checkpoint resume against
+    retained right-side state)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from recrun_spark.streaming.join import (interval_join,
+                                             run_interval_join_available_now)
+
+    def ts(sec):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec)
+
+    schema = pa.schema([pa.field("ts", pa.timestamp("us")),
+                        pa.field("user_id", pa.int64()),
+                        pa.field("event_id", pa.int64())])
+    # (ts, user, id): clicks = right side, purchases = left side
+    clicks = [(1, 1, 101), (2, 2, 102), (5, 3, 103), (40, 4, 104),
+              (1, 5, 105), (55, 6, 106), (30, 7, 107)]
+    purchases = [(10, 1, 201), (30, 2, 202), (35, 3, 203), (40, 4, 204),
+                 (45, 5, 205), (50, 6, 206), (31, 8, 208)]
+
+    def write_side(rows, d, n_files=3):
+        os.makedirs(d, exist_ok=True)
+        rows = sorted(rows)
+        cuts = [0, len(rows) // 3, (2 * len(rows)) // 3, len(rows)]
+        base = None
+        for i in range(n_files):
+            part = rows[cuts[i]:cuts[i + 1]]
+            p = os.path.join(d, f"part-{i:03d}.parquet")
+            pq.write_table(pa.table(
+                {"ts": [ts(r[0]) for r in part],
+                 "user_id": [r[1] for r in part],
+                 "event_id": [r[2] for r in part]}, schema=schema), p)
+            base = base or os.stat(p).st_mtime
+            os.utime(p, (base + i, base + i))
+        return d
+
+    ldir = write_side(purchases, os.path.join(tmpdir_path, "purchases"))
+    rdir = write_side(clicks, os.path.join(tmpdir_path, "clicks"))
+    out = os.path.join(tmpdir_path, "out")
+    sschema = spark.read.parquet(ldir).schema
+    sink = run_interval_join_available_now(
+        spark, ldir, rdir, out, sschema, key_col="user_id", ts_col="ts",
+        max_lag="30 seconds", delay="5 seconds")
+    got = sorted((r["user_id"], r["l_event_id"], r["r_event_id"], r["lag_us"])
+                 for r in spark.read.parquet(sink).collect())
+    # u1: lag 9 in-batch; u2: lag 28 cross-batch; u3: lag EXACTLY 30
+    # (inclusive upper); u4: lag 0 (inclusive lower); u5 lag 44 > 30,
+    # u6 wrong order, u7/u8 key-unmatched -> all absent
+    assert got == [(1, 201, 101, 9_000_000), (2, 202, 102, 28_000_000),
+                   (3, 203, 103, 30_000_000), (4, 204, 104, 0)]
+
+    # batch parity: the same function over batch reads is the oracle shape
+    batch = sorted((r["user_id"], r["l_event_id"], r["r_event_id"],
+                    r["lag_us"])
+                   for r in interval_join(
+                       spark.read.parquet(ldir), spark.read.parquet(rdir),
+                       key_col="user_id", ts_col="ts",
+                       max_lag="30 seconds", delay="5 seconds").collect())
+    assert batch == got
+
+    # incremental: one NEW purchase file -> only the new match appends
+    # (u4's click t=40 must still be buffered: wm=45 < 40+30)
+    p = os.path.join(ldir, "part-zzz.parquet")
+    pq.write_table(pa.table({"ts": [ts(58)], "user_id": [4],
+                             "event_id": [209]}, schema=schema), p)
+    run_interval_join_available_now(
+        spark, ldir, rdir, out, sschema, key_col="user_id", ts_col="ts",
+        max_lag="30 seconds", delay="5 seconds")
+    got2 = sorted((r["user_id"], r["l_event_id"], r["r_event_id"],
+                   r["lag_us"])
+                  for r in spark.read.parquet(sink).collect())
+    assert got2 == got + [(4, 209, 104, 18_000_000)]
