@@ -523,6 +523,15 @@ def documents_ngram_lm(spark, sf_dir):
     return ngram_counts(_t(spark, sf_dir, "documents"), n=3, min_count=3)
 
 
+def documents_lm_coverage(spark, sf_dir):
+    """Per-doc LM-head coverage (functions.text.lm_coverage — the
+    CCNet-style perplexity-filter stand-in): the share of each doc's
+    trigram occurrences found in the min_count=3 pruned corpus table,
+    in integer basis points (exact in any engine)."""
+    from recrun_spark.functions.text import lm_coverage
+    return lm_coverage(_t(spark, sf_dir, "documents"), n=3, min_count=3)
+
+
 def kg_entity_pmi(spark, sf_dir):
     """Entity-association strength by integer-surrogate pointwise mutual
     information over co-mentions: pmi_scaled = (10⁶·n_ab·N) div
@@ -1433,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_tfidf_topk": documents_tfidf_topk,
         "documents_dup_spans": documents_dup_spans,
         "documents_ngram_lm": documents_ngram_lm,
+        "documents_lm_coverage": documents_lm_coverage,
         "dedup_keep_best": dedup_keep_best,
         "documents_domain_cap": documents_domain_cap,
         "documents_decontaminate": documents_decontaminate,
@@ -2139,6 +2149,37 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(t) >= 3)
             SELECT ngram, count(*)::BIGINT AS n_occurrences
             FROM grams GROUP BY 1 HAVING count(*) >= 3
+        """,
+        # integer basis points ((10000*hits) // grams — both sides floor
+        # division on non-negative longs); docs with < 3 tokens get 0/0
+        # with NULL coverage
+        "documents_lm_coverage": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents
+              WHERE doc_id IS NOT NULL AND trim(text) <> ''),
+            grams AS (
+              SELECT doc_id, array_to_string(
+                       list_slice(t, i + 1, i + 3), ' ') AS ngram
+              FROM toks, unnest(range(0, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3),
+            head AS (
+              SELECT ngram FROM grams GROUP BY 1 HAVING count(*) >= 3),
+            per AS (
+              SELECT g.doc_id, count(*)::BIGINT AS n_ngrams,
+                     count(h.ngram)::BIGINT AS n_in_head
+              FROM grams g LEFT JOIN head h USING (ngram)
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(p.n_ngrams, 0)::BIGINT AS n_ngrams,
+                   coalesce(p.n_in_head, 0)::BIGINT AS n_in_head,
+                   (CASE WHEN p.n_ngrams > 0
+                         THEN (10000 * p.n_in_head) // p.n_ngrams
+                    END)::BIGINT AS coverage_bp
+            FROM (SELECT doc_id FROM documents
+                  WHERE doc_id IS NOT NULL) d
+            LEFT JOIN per p USING (doc_id)
         """,
         "documents_tfidf_topk": """
             WITH toks AS (

@@ -309,3 +309,50 @@ def ngram_counts(documents: DataFrame, n: int = 3, min_count: int = 2,
     return (grams.groupBy("ngram")
             .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
             .where(F.col("n_occurrences") >= min_count))
+
+
+def lm_coverage(documents: DataFrame, n: int = 3, min_count: int = 2,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document LM-head coverage — the cheap stand-in for KenLM
+    perplexity filtering (CCNet-style: documents whose n-grams the
+    corpus LM has never seen are noise candidates): of the doc's n-gram
+    OCCURRENCES (with multiplicity), the share that appears in the
+    PRUNED corpus count table (``ngram_counts`` — counts >= min_count,
+    the Zipf head; a doc's own repeats count toward the threshold,
+    exactly as they would in a corpus-trained pruned LM).
+
+    Scale shape: the head table is the bounded Zipf head, so the
+    gram↔head equi-join broadcasts when small and shuffles on the ngram
+    key otherwise (AQE's call); the per-doc aggregate is map-side
+    combinable; integer basis points, no floats anywhere.
+
+    Returns (doc_id, n_ngrams:long, n_in_head:long, coverage_bp:long)
+    for every non-NULL doc_id; docs with fewer than ``n`` tokens get
+    0/0 with NULL coverage_bp."""
+    head = ngram_counts(documents, n, min_count, text_col, id_col) \
+        .select("ngram", F.lit(1).alias("_hit"))
+    toks = tokens_col(F.lower(F.col(text_col)))
+    d = (documents.where(F.col(id_col).isNotNull())
+         .select(F.col(id_col).alias("doc_id"), toks.alias("_toks")))
+    grams = (d.where(F.size("_toks") >= n)
+             .select("doc_id",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(0), F.size("_toks") - n),
+                         lambda i: F.concat_ws(
+                             " ", F.slice("_toks", i + 1, n))))
+                     .alias("ngram")))
+    per = (grams.join(head, "ngram", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("long").alias("n_in_head")))
+    return (d.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_ngrams", F.lit(0)).cast("long")
+                    .alias("n_ngrams"),
+                    F.coalesce("n_in_head", F.lit(0)).cast("long")
+                    .alias("n_in_head"),
+                    F.when(F.col("n_ngrams") > 0,
+                           F.expr("(10000 * n_in_head) div n_ngrams"))
+                    .cast("long").alias("coverage_bp")))

@@ -1493,3 +1493,41 @@ def test_jaccard_pairs_prefix_complete_and_equal(spark):
                    for r in ref.collect()}
         release_caches(ref)
         assert got == got_ref, t
+
+
+def test_lm_coverage_semantics(spark):
+    """lm_coverage == a brute-force python pruned-head coverage: head =
+    corpus trigrams with total multiplicity >= min_count (a doc's own
+    repeats count toward the threshold, as in a corpus-trained pruned
+    LM); coverage in floor basis points; short/empty docs 0/0/NULL;
+    NULL doc_id excluded."""
+    from recrun_spark.functions.text import lm_coverage
+
+    rows = [(1, "a b c a b c a b c"),
+            (2, "a b c x y z"),
+            (3, "q"),
+            (4, "   "),
+            (None, "a b c a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def grams(text, n=3):
+        t = text.lower().split()
+        return [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+
+    for mc in (2, 3, 5):
+        from collections import Counter
+        corpus = Counter(g for d, tx in rows if d is not None
+                         for g in grams(tx))
+        head = {g for g, c in corpus.items() if c >= mc}
+        want = {}
+        for d, tx in rows:
+            if d is None:
+                continue
+            gs = grams(tx)
+            hits = sum(1 for g in gs if g in head)
+            want[d] = (len(gs), hits,
+                       (10000 * hits) // len(gs) if gs else None)
+        got = {r["doc_id"]: (r["n_ngrams"], r["n_in_head"],
+                             r["coverage_bp"])
+               for r in lm_coverage(df, n=3, min_count=mc).collect()}
+        assert got == want, (mc, got, want)
