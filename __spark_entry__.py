@@ -532,6 +532,36 @@ def documents_lm_coverage(spark, sf_dir):
     return lm_coverage(_t(spark, sf_dir, "documents"), n=3, min_count=3)
 
 
+def customer_dim_scd2(spark, sf_dir):
+    """SCD TYPE-2 dimension merge (operators.scd2_merge): a baseline
+    customer dimension (priority 'NONE' since 1990) merged with one
+    batch of updates — each customer's priority from their LATEST order
+    (max o_orderdate, o_orderkey tie-break), effective that date.
+    Customers with orders close the baseline version and open a new one;
+    customers without orders pass through.  One full-outer shuffle join
+    + one explode projection; the oracle is the same branch table as
+    UNION ALL."""
+    from pyspark.sql import Window
+
+    from recrun_spark.operators import scd2_merge
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("NONE").alias("priority"),
+        F.expr("TIMESTAMP_NTZ '1990-01-01 00:00:00'").alias("valid_from"),
+        F.expr("CAST(NULL AS TIMESTAMP_NTZ)").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    upd = (_t(spark, sf_dir, "orders")
+           .withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1)
+           .select(F.col("o_custkey").alias("custkey"),
+                   F.col("o_orderpriority").alias("priority"),
+                   F.col("o_orderdate").alias("as_of")))
+    return scd2_merge(dim, upd, "custkey", ["priority"], "as_of")
+
+
 def kg_entity_pmi(spark, sf_dir):
     """Entity-association strength by integer-surrogate pointwise mutual
     information over co-mentions: pmi_scaled = (10⁶·n_ab·N) div
@@ -1443,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_dup_spans": documents_dup_spans,
         "documents_ngram_lm": documents_ngram_lm,
         "documents_lm_coverage": documents_lm_coverage,
+        "customer_dim_scd2": customer_dim_scd2,
         "dedup_keep_best": dedup_keep_best,
         "documents_domain_cap": documents_domain_cap,
         "documents_decontaminate": documents_decontaminate,
@@ -2180,6 +2211,43 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents
                   WHERE doc_id IS NOT NULL) d
             LEFT JOIN per p USING (doc_id)
+        """,
+        # scd2_merge branch table as UNION ALL: closed + reopened for
+        # changed attrs (null-safe DISTINCT FROM), pass-through for
+        # identical-or-absent updates; every o_custkey references
+        # customer, so the new-key branch is empty here
+        "customer_dim_scd2": """
+            WITH latest AS (
+              SELECT o_custkey AS custkey,
+                     o_orderpriority AS priority,
+                     o_orderdate AS as_of,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders),
+            upd AS (SELECT custkey, priority, as_of
+                    FROM latest WHERE rn = 1),
+            base AS (
+              SELECT c_custkey AS custkey, 'NONE' AS priority,
+                     TIMESTAMP '1990-01-01' AS valid_from,
+                     CAST(NULL AS TIMESTAMP) AS valid_to,
+                     TRUE AS is_current
+              FROM customer)
+            SELECT b.custkey, b.priority, b.valid_from,
+                   u.as_of AS valid_to, FALSE AS is_current
+            FROM base b JOIN upd u USING (custkey)
+            WHERE u.priority IS DISTINCT FROM b.priority
+            UNION ALL
+            SELECT b.custkey, u.priority, u.as_of,
+                   CAST(NULL AS TIMESTAMP), TRUE
+            FROM base b JOIN upd u USING (custkey)
+            WHERE u.priority IS DISTINCT FROM b.priority
+            UNION ALL
+            SELECT b.custkey, b.priority, b.valid_from,
+                   b.valid_to, b.is_current
+            FROM base b LEFT JOIN upd u USING (custkey)
+            WHERE u.custkey IS NULL
+               OR u.priority IS NOT DISTINCT FROM b.priority
         """,
         "documents_tfidf_topk": """
             WITH toks AS (

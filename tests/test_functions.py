@@ -1531,3 +1531,44 @@ def test_lm_coverage_semantics(spark):
                              r["coverage_bp"])
                for r in lm_coverage(df, n=3, min_count=mc).collect()}
         assert got == want, (mc, got, want)
+
+
+def test_scd2_merge_semantics(spark):
+    """scd2_merge branch table: changed attrs -> close + reopen; identical
+    attrs (incl. NULL == NULL, null-safe) -> pass through unversioned;
+    unseen key -> new open version; no update -> pass through; history
+    rows untouched; attr_cols validation."""
+    import datetime
+
+    import pytest
+    from recrun_spark.operators import scd2_merge
+
+    def ts(d):
+        return datetime.datetime(2024, 1, d)
+
+    dim = spark.createDataFrame(
+        [(1, "a0", ts(1), ts(5), False),      # history: untouched
+         (1, "a", ts(5), None, True),         # open, update changes it
+         (2, "b", ts(1), None, True),         # open, identical update
+         (3, None, ts(1), None, True),        # open NULL attr, NULL update
+         (4, "d", ts(1), None, True)],        # open, no update
+        "key int, attr string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean")
+    upd = spark.createDataFrame(
+        [(1, "a2", ts(9)), (2, "b", ts(9)), (3, None, ts(9)),
+         (5, "e", ts(9))],
+        "key int, attr string, as_of timestamp")
+    got = sorted((r["key"], r["attr"], r["valid_from"], r["valid_to"],
+                  r["is_current"])
+                 for r in scd2_merge(dim, upd, "key", ["attr"]).collect())
+    assert got == sorted([
+        (1, "a0", ts(1), ts(5), False),
+        (1, "a", ts(5), ts(9), False),        # closed at as_of
+        (1, "a2", ts(9), None, True),         # reopened
+        (2, "b", ts(1), None, True),          # no spurious version
+        (3, None, ts(1), None, True),         # NULL == NULL passes through
+        (4, "d", ts(1), None, True),
+        (5, "e", ts(9), None, True)])         # new key
+
+    with pytest.raises(ValueError):
+        scd2_merge(dim, upd, "key", [])
