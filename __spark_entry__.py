@@ -934,6 +934,20 @@ def documents_stratified_sample(spark, sf_dir):
                                   default=0.2)
 
 
+def documents_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture rebalancing at alpha = 1/2
+    (functions/sampling.py::temperature_rebalance — mT5/XLM-R
+    alpha-sampling): each language's share of a 200-doc budget is
+    proportional to isqrt(count), so the dominant language is
+    downsampled and the tail keeps everything.  ALL-INTEGER derivation
+    (exact isqrt + rational keep rule on 30-bit hash buckets), so the
+    oracle recomputes the same targets and sample with no
+    driver-computed constants."""
+    from recrun_spark.functions.sampling import temperature_rebalance
+    return temperature_rebalance(_t(spark, sf_dir, "documents"), 200,
+                                 group_col="lang", key_col="doc_id")
+
+
 def documents_domain_cap(spark, sf_dir):
     """Per-domain document caps (functions/sampling.py::cap_per_group —
     the defense against one crawler-friendly site dominating a corpus):
@@ -1522,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pii_scrub": documents_pii_scrub,
         "documents_repetition_stats": documents_repetition_stats,
         "documents_stratified_sample": documents_stratified_sample,
+        "documents_temperature_mix": documents_temperature_mix,
         "documents_corpus_filter": documents_corpus_filter,
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
@@ -2514,6 +2529,39 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'de' THEN {_strat["de"]}
                             WHEN 'en' THEN {_strat["en"]}
                             ELSE {_strat["*"]} END
+        """,
+        # alpha=1/2 temperature mix: self-contained integer derivation —
+        # exact isqrt (floor(sqrt) + one correction step each way), sum
+        # over groups, rational keep rule on 30-bit hash buckets; no
+        # driver-computed constants anywhere
+        "documents_temperature_mix": f"""
+            WITH d AS (
+              SELECT doc_id, lang FROM documents
+              WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+            g AS (SELECT lang, count(*)::BIGINT AS n_group
+                  FROM d GROUP BY 1),
+            s0 AS (SELECT lang, n_group,
+                          CAST(floor(sqrt(n_group::DOUBLE)) AS BIGINT)
+                            AS s
+                   FROM g),
+            s1 AS (SELECT lang, n_group,
+                          s - (CASE WHEN s * s > n_group
+                               THEN 1 ELSE 0 END) AS s
+                   FROM s0),
+            s2 AS (SELECT lang, n_group,
+                          s + (CASE WHEN (s + 1) * (s + 1) <= n_group
+                               THEN 1 ELSE 0 END) AS s
+                   FROM s1),
+            tgt AS (SELECT lang, n_group,
+                           least(n_group,
+                                 ((200 * s) //
+                                  (SELECT sum(s)::BIGINT FROM s2))
+                                 ::BIGINT) AS n_target
+                    FROM s2)
+            SELECT d.doc_id, d.lang, t.n_group, t.n_target
+            FROM d JOIN tgt t USING (lang)
+            WHERE (({_ddb_hash60('d.doc_id::VARCHAR')}) // 1073741824)
+                  * t.n_group < t.n_target * 1073741824
         """,
         # the identical deterministic (md5, id) row_number window — the
         # cap keeps the 10 hash-smallest docs per source

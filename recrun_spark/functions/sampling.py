@@ -159,3 +159,73 @@ def hash_sample_stratified(df: DataFrame, fractions: dict,
     dflt = F.lit(stratum_threshold(default))
     thresh = dflt if thresh is None else thresh.otherwise(dflt)
     return df.where(h < thresh)
+
+
+def _isqrt_col(col: str) -> Column:
+    """Exact integer sqrt of a non-negative bigint column: float sqrt is
+    correctly rounded (IEEE 754) so floor() is within ±1 of the true
+    isqrt; one integer correction step each way makes it EXACT in any
+    engine — the SQL mirrors apply the identical correction."""
+    c = F.col(col)
+    s = F.floor(F.sqrt(c.cast("double"))).cast("long")
+    s = F.when(s * s > c, s - 1).otherwise(s)
+    return F.when((s + 1) * (s + 1) <= c, s + 1).otherwise(s)
+
+
+def temperature_rebalance(df: DataFrame, target_total: int,
+                          group_col: str = "lang",
+                          key_col: str = "doc_id") -> DataFrame:
+    """Temperature-based corpus mixture rebalancing at alpha = 1/2 — the
+    multinomial alpha-sampling of mT5 / XLM-R (PAPERS.md): group g gets a
+    share of the ``target_total`` budget proportional to c_g^alpha, so
+    head domains are downsampled and tail domains keep (up to) all their
+    rows; alpha=1/2 is the integer-exact point of the family (isqrt),
+    whereas fractional powers would need float pow and break cross-engine
+    value parity.
+
+    All-integer derivation, so a self-contained SQL oracle reproduces
+    the SAME sample row-for-row with no driver-computed constants:
+    targets n_g = min(c_g, (target_total * isqrt(c_g)) div S) with
+    S = sum of isqrt over groups, and a row is kept iff its 30-bit hash
+    bucket hb satisfies  hb * c_g < n_g * 2^30  — an exact rational
+    comparison (no division rounding; products stay under 2^63 for any
+    c_g < 2^33).  Like all hash sampling here the realized size is
+    binomially close to n_g, deterministic, and stable under
+    repartitioning; rows with NULL key or group are excluded.
+
+    Scale shape: one small group-count aggregate (map-side combinable),
+    the budget S as a broadcast 1-row frame (no driver collect), a
+    broadcast join of per-group targets (group cardinality is domain
+    vocabulary, metadata-scale), then a pure filter over one scan.
+
+    Returns (key_col, group_col, n_group:long, n_target:long) for the
+    kept rows."""
+    if target_total < 0:
+        raise ValueError(f"target_total must be >= 0, got {target_total}")
+    d = df.where(F.col(key_col).isNotNull()
+                 & F.col(group_col).isNotNull()) \
+          .select(key_col, group_col)
+    stats = (d.groupBy(group_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_group"))
+             .withColumn("_s", _isqrt_col("n_group")))
+    # the budget S rides in via a GLOBAL window over the stats frame —
+    # group cardinality is domain-vocabulary scale, so the single
+    # partition holds dozens-to-thousands of rows, never corpus rows
+    # (a crossJoin with a 1-row agg of the same lineage trips Spark 4's
+    # hidden-output ambiguity check; and the name must differ from _s by
+    # more than case — the analyzer is case-insensitive by default)
+    from pyspark.sql import Window
+    tgt = (stats.withColumn("_ssum",
+                            F.sum("_s").over(Window.partitionBy())
+                            .cast("long"))
+           .withColumn("n_target",
+                       F.least(F.col("n_group"),
+                               F.expr(f"({target_total} * _s) div _ssum")
+                               .cast("long")))
+           .select(group_col, "n_group", "n_target"))
+    hb = F.expr(f"_h div {1 << 30}")
+    return (d.withColumn("_h", _hash60(F.col(key_col).cast("string")))
+            .join(F.broadcast(tgt), group_col)
+            .where(hb * F.col("n_group")
+                   < F.col("n_target") * F.lit(1 << 30))
+            .select(key_col, group_col, "n_group", "n_target"))

@@ -1572,3 +1572,41 @@ def test_scd2_merge_semantics(spark):
 
     with pytest.raises(ValueError):
         scd2_merge(dim, upd, "key", [])
+
+
+def test_temperature_rebalance_semantics(spark):
+    """temperature_rebalance == a brute-force python mirror (math.isqrt,
+    md5 hash, exact rational keep rule) on a skewed corpus; the tail
+    group keeps everything, the head is downsampled toward its sqrt
+    share; NULL key/group rows excluded; isqrt correction is exact on
+    perfect squares and their neighbors."""
+    import hashlib
+    import math
+
+    from recrun_spark.functions.sampling import temperature_rebalance
+
+    rows = ([(i, "en") for i in range(1000)]
+            + [(1000 + i, "fr") for i in range(100)]
+            + [(1100 + i, "is") for i in range(4)]
+            + [(2000, None), (None, "en")])
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    T = 300
+    counts = {"en": 1000, "fr": 100, "is": 4}
+    s = {g: math.isqrt(c) for g, c in counts.items()}
+    S = sum(s.values())
+    tgt = {g: min(counts[g], (T * s[g]) // S) for g in counts}
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    want = sorted(
+        (i, g, counts[g], tgt[g]) for i, g in rows
+        if i is not None and g is not None
+        and (h60(i) >> 30) * counts[g] < tgt[g] * (1 << 30))
+    got = sorted(tuple(r) for r in
+                 temperature_rebalance(df, T, group_col="lang",
+                                       key_col="doc_id").collect())
+    assert got == want
+    kept = {g: sum(1 for r in got if r[1] == g) for g in counts}
+    assert kept["is"] == 4              # tail keeps everything
+    assert kept["en"] < 300             # head well under its raw count
