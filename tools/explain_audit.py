@@ -388,6 +388,67 @@ def main():
          lambda p: "Exchange SinglePartition" not in p),
     ])
 
+    audit("customer_dim_scd2", qs["customer_dim_scd2"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("merge is ONE keyed equi full-outer join (no cartesian/BNLJ)",
+         lambda p: "FullOuter" in p and "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("latest-per-key window partitioned by key (no global sort)",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("version fan-out is a generate (single-pass explode, "
+         "no second join)",
+         lambda p: "Generate" in p),
+    ])
+
+    audit("documents_lm_coverage",
+          qs["documents_lm_coverage"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("per-doc aggregate has map-side partial combine",
+         lambda p: "partial" in p.lower()),
+        ("gram/head join is equi-join (no cartesian/BNLJ)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
+    # temperature mix: the ONLY single-partition exchange allowed is the
+    # global window over the per-GROUP stats frame (domain-vocabulary
+    # scale); corpus rows meet it through a broadcast join + pure filter
+    audit("documents_temperature_mix",
+          qs["documents_temperature_mix"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("per-group targets broadcast to the corpus scan",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian/BNLJ",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("exactly one single-partition exchange (the stats-frame "
+         "window), none on the corpus path",
+         lambda p: p.count("Exchange SinglePartition") <= 1),
+    ])
+
+    # batch shape of the stream-stream interval join (the same function
+    # serves batch callers; watermarks are no-ops there): equality key
+    # must reach the join, range condition rides as a join filter
+    from recrun_spark.streaming.join import interval_join
+    ev_ij = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ij = interval_join(
+        ev_ij.where(F.col("event_type") == "purchase"),
+        ev_ij.where(F.col("event_type") == "click"),
+        key_col="user_id", ts_col="ts", max_lag="1 hour")
+    audit("interval_join_batch_shape", ij, [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("keyed equi-join with the time range as join filter "
+         "(no cartesian/BNLJ)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("event_type filter pushed to the parquet scan",
+         lambda p: "PushedFilters" in p and "event_type" in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
