@@ -245,7 +245,8 @@ def main():
                  "kg_mentions_flat", "events_hourly", "simhash_sigs",
                  "kg_entity_pagerank", "documents_dup_spans",
                  "documents_tfidf_topk", "kg_kcore",
-                 "dedup_jaccard_prefix"):
+                 "dedup_jaccard_prefix", "documents_lm_coverage",
+                 "customer_dim_scd2"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------
