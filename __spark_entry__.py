@@ -1119,6 +1119,40 @@ def events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: a user reaches a stage only
+    via an event STRICTLY AFTER a qualifying event of the previous stage
+    (ts order, event_id tiebreak).  One Exchange + one Sort for the whole
+    cascade — every stage is a window over the same per-user sort."""
+    from recrun_spark.functions.events import funnel_stages
+    return funnel_stages(_t(spark, sf_dir, "events"),
+                         ["view", "click", "purchase"])
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: cohort = day of first event per user;
+    n_users active at each day offset.  Events reduce to distinct
+    (user, day) BEFORE any per-user work, so the wide raw-event shuffle
+    never happens and the final count is a plain count(*)."""
+    from recrun_spark.functions.events import retention_cohorts
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+def events_type_pivot(spark, sf_dir):
+    """PIVOT surface: per-user event-type counts as columns.  The value
+    list is explicit, so Spark plans ONE pass (no distinct-values pre-job)
+    and the aggregate is map-side combinable."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (ev.groupBy("user_id")
+           .pivot("event_type", types)
+           .agg(F.count(F.lit(1))))
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in types])
+
+
 def simhash_sigs(spark, sf_dir):
     """SimHash signatures — portable md5-derived token hash (dedup._hash60),
     so the DuckDB oracle reproduces the 60-bit signature exactly."""
@@ -1541,6 +1575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": salted_join_revenue,
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
+        "events_funnel": events_funnel,
+        "events_retention_cohorts": events_retention_cohorts,
+        "events_type_pivot": events_type_pivot,
         "simhash_sigs": simhash_sigs,
         "minhash_sigs": minhash_sigs,
         "media_features": media_features,
@@ -2817,6 +2854,72 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # funnel qualification cascades over the SAME per-user sort Spark
+        # uses (ts ASC, event_id tiebreak); strictly-preceding via
+        # ROWS ... 1 PRECEDING, exactly the window recrun_spark.functions
+        # .events.funnel_stages plans
+        "events_funnel": """
+            WITH s0 AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q0
+              FROM events
+            ),
+            s1 AS (
+              SELECT *, CASE WHEN event_type = 'click'
+                          AND coalesce(max(q0) OVER w_prev, 0) = 1
+                        THEN 1 ELSE 0 END AS q1
+              FROM s0
+              WINDOW w_prev AS (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            s2 AS (
+              SELECT *, CASE WHEN event_type = 'purchase'
+                          AND coalesce(max(q1) OVER w_prev, 0) = 1
+                        THEN 1 ELSE 0 END AS q2
+              FROM s1
+              WINDOW w_prev AS (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            per_user AS (
+              SELECT user_id, max(q0) AS r0, max(q1) AS r1, max(q2) AS r2
+              FROM s2 GROUP BY 1
+            ),
+            tot AS (SELECT sum(r0) AS n0, sum(r1) AS n1, sum(r2) AS n2
+                    FROM per_user)
+            SELECT 0 AS stage_idx, 'view' AS stage, n0::BIGINT AS n_users
+            FROM tot
+            UNION ALL
+            SELECT 1, 'click', n1::BIGINT FROM tot
+            UNION ALL
+            SELECT 2, 'purchase', n2::BIGINT FROM tot
+        """,
+        # distinct (user, day) first, window-min cohort, plain count(*)
+        # — mirrors retention_cohorts' reduce-before-fan-out shape
+        "events_retention_cohorts": """
+            WITH days AS (
+              SELECT DISTINCT user_id, ts::DATE AS day FROM events
+            ),
+            coh AS (
+              SELECT user_id, day,
+                     min(day) OVER (PARTITION BY user_id) AS cohort_day
+              FROM days
+            )
+            SELECT cohort_day,
+                   date_diff('day', cohort_day, day)::BIGINT AS day_offset,
+                   count(*) AS n_users
+            FROM coh GROUP BY 1, 2
+        """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view')     AS n_view
+            FROM events GROUP BY 1
         """,
         # portable md5-derived hashes make the signature queries
         # value-checkable; the two golden parquets are produced by

@@ -1,0 +1,97 @@
+"""Event-stream analytics operators: ordered funnels and retention cohorts.
+
+Beyond-reference analytics ops over the `events` table (the reference,
+dstein64/recrun, has no event analytics — these extend the engine the way
+the training-data ops do).  Both are pure DataFrame expressions — no UDFs,
+no driver-side loops — and both are written so the expensive reduction
+happens BEFORE the wide keys fan out:
+
+* ``funnel_stages`` sorts each user's events once (one hash partition by
+  user + one sort) and runs every stage qualification as a window over that
+  SAME sort, so Catalyst plans a single Exchange + a single Sort for the
+  whole cascade regardless of the number of steps.
+* ``retention_cohorts`` reduces events -> distinct (user, day) FIRST (at
+  web scale events >> user-days by orders of magnitude), computes each
+  user's cohort day with a window-min over the already-small frame, and
+  counts plain rows — (user, day) is unique after the distinct and the day
+  offset is a function of it, so no countDistinct shuffle is needed.
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def funnel_stages(df, steps, user_col="user_id", type_col="event_type",
+                  ts_col="ts", tiebreak_col="event_id"):
+    """Ordered-funnel conversion counts.
+
+    A user reaches stage k iff an event of type ``steps[k]`` occurs
+    STRICTLY AFTER (in ``(ts, tiebreak)`` row order) some event chain
+    matching ``steps[:k]`` — i.e. qualification cascades: a stage-k event
+    qualifies only if a qualifying stage-(k-1) event precedes it.  Ties on
+    ``ts`` are broken by ``tiebreak_col`` so the ordering (and the oracle)
+    is deterministic.
+
+    Returns one row per stage: (stage_idx int, stage string, n_users long).
+
+    Scale shape: every stage is a window over the SAME
+    (partitionBy user, orderBy ts, tiebreak) sort, so the plan carries ONE
+    Exchange and ONE Sort for any number of steps; the per-user reduction
+    and the final 1-row global aggregate are map-side-combinable.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    w_ord = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+
+    out = df
+    prev_q = None
+    quals = []
+    for k, step in enumerate(steps):
+        q = f"_q{k}"
+        is_step = F.when(F.col(type_col) == F.lit(step), 1).otherwise(0)
+        if prev_q is None:
+            out = out.withColumn(q, is_step)
+        else:
+            seen_prev = F.coalesce(F.max(prev_q).over(w_prev), F.lit(0))
+            out = out.withColumn(
+                q, F.when((F.col(type_col) == F.lit(step))
+                          & (seen_prev == 1), 1).otherwise(0))
+        quals.append(q)
+        prev_q = F.col(q)
+
+    per_user = out.groupBy(user_col).agg(
+        *[F.max(q).alias(q) for q in quals])
+    totals = per_user.agg(
+        *[F.sum(q).cast("long").alias(f"_n{k}")
+          for k, q in enumerate(quals)])
+    stack_args = ", ".join(
+        f"{k}, '{s}', _n{k}" for k, s in enumerate(steps))
+    return totals.select(F.expr(
+        f"stack({len(steps)}, {stack_args}) AS (stage_idx, stage, n_users)"))
+
+
+def retention_cohorts(df, user_col="user_id", ts_col="ts"):
+    """Cohort retention triangle.
+
+    Cohort = the calendar day of a user's first event; a user is retained
+    at offset d iff they have any event on cohort_day + d.  Returns
+    (cohort_day date, day_offset long, n_users long).
+
+    Scale shape: events are reduced to distinct (user, day) BEFORE any
+    per-user work — the wide raw-event shuffle never happens.  After that
+    distinct the (user, day) pair is unique and the offset is a pure
+    function of it, so the final count is a plain count(*) — no
+    countDistinct expansion.  Day arithmetic is calendar-exact on the NTZ
+    timestamps (to_date / datediff), never an instant cast.
+    """
+    day = F.to_date(F.col(ts_col)).alias("_day")
+    days = df.select(F.col(user_col).alias("_user"), day).distinct()
+    w_user = Window.partitionBy("_user")
+    coh = days.withColumn("cohort_day", F.min("_day").over(w_user))
+    return (coh.groupBy(
+                "cohort_day",
+                F.datediff(F.col("_day"), F.col("cohort_day"))
+                 .cast("long").alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))

@@ -1610,3 +1610,58 @@ def test_temperature_rebalance_semantics(spark):
     kept = {g: sum(1 for r in got if r[1] == g) for g in counts}
     assert kept["is"] == 4              # tail keeps everything
     assert kept["en"] < 300             # head well under its raw count
+
+
+def test_funnel_strict_order_semantics(spark):
+    """Funnel qualification is row-strict: a stage-k event counts only if a
+    QUALIFYING stage-(k-1) event precedes it in (ts, event_id) order.
+    Pins the three edge cases a naive min-ts-per-stage gets wrong:
+    out-of-order chains, same-ts tiebreaks, and purchase-before-click."""
+    from recrun_spark.functions.events import funnel_stages
+
+    rows = [
+        # u1: clean view -> click -> purchase
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        # u2: purchase BEFORE click -> reaches click only
+        (2, 1, "view"), (2, 2, "purchase"), (2, 3, "click"),
+        # u3: click before any view -> reaches view only
+        (3, 1, "click"), (3, 2, "view"),
+        # u4: same ts, event_id tiebreak makes view precede click
+        (4, 1, "view"), (4, 1, "click"),  # event_id 8 < 9 below
+        # u5: never views
+        (5, 1, "signup"),
+    ]
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    data = [(uid, base + datetime.timedelta(minutes=t), eid, et)
+            for eid, (uid, t, et) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, ["user_id", "ts", "event_id", "event_type"])
+    out = {(r.stage_idx, r.stage): r.n_users
+           for r in funnel_stages(df, ["view", "click", "purchase"])
+           .collect()}
+    # view: u1 u2 u3 u4; click-after-view: u1 u2 u4; purchase-after: u1
+    assert out == {(0, "view"): 4, (1, "click"): 3, (2, "purchase"): 1}
+
+
+def test_retention_cohorts_semantics(spark):
+    """Cohort day = day of first event; offsets are calendar-day diffs;
+    multiple events on one day count the user once."""
+    from recrun_spark.functions.events import retention_cohorts
+    import datetime
+
+    def ts(d, h=0):
+        return datetime.datetime(2024, 1, d, h)
+
+    data = [
+        (1, ts(1)), (1, ts(1, 23)), (1, ts(3)),      # cohort 1/1: off 0,2
+        (2, ts(1, 5)), (2, ts(2)),                   # cohort 1/1: off 0,1
+        (3, ts(2)),                                  # cohort 1/2: off 0
+    ]
+    df = spark.createDataFrame(data, ["user_id", "ts"])
+    got = {(str(r.cohort_day), r.day_offset): r.n_users
+           for r in retention_cohorts(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
