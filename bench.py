@@ -246,7 +246,8 @@ def main():
                  "kg_entity_pagerank", "documents_dup_spans",
                  "documents_tfidf_topk", "kg_kcore",
                  "dedup_jaccard_prefix", "documents_lm_coverage",
-                 "customer_dim_scd2"):
+                 "customer_dim_scd2", "events_funnel",
+                 "events_retention_cohorts", "events_type_pivot"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -101,7 +101,7 @@ def _kept_shingles(documents: DataFrame, n: int, text_col: str,
 
 
 def _jaccard_of_pairs(pairs: DataFrame, sh_kept: DataFrame,
-                      threshold: float) -> DataFrame:
+                      threshold: float, restrict: bool = True) -> DataFrame:
     """Exact Jaccard for the given (doc_a, doc_b) candidate pairs over the
     kept-shingle sets; pairs=None means all co-occurring pairs.
 
@@ -117,10 +117,16 @@ def _jaccard_of_pairs(pairs: DataFrame, sh_kept: DataFrame,
     inner join back to ``pairs`` after the per-pair aggregate (after, not
     before: the groupBy combiner shrinks the shuffle first).
 
+    ``restrict=False`` skips the candidate-doc semi-join and reads
+    ``sh_kept`` directly — for callers whose candidate set already spans
+    most of the corpus (the exact prefix-filter path: nearly every doc has
+    SOME candidate, so the restriction buys nothing and costs two jobs +
+    a duplicate cache of the shingle frame).
+
     Sets ``out._jp_caches`` to the persisted handles this stage created so
     callers can fold them into ``_recrun_caches``."""
     caches: list = []
-    if pairs is None:
+    if pairs is None or not restrict:
         sh_c = sh_kept
     else:
         docs = (pairs.select(
@@ -540,30 +546,50 @@ def jaccard_pairs_prefix(documents: DataFrame, threshold: float = 0.6,
 
     Verification reuses the shared exact-Jaccard stage over FULL shingle
     sets.  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b — equal to
-    ``jaccard_pairs`` with the df-cut disabled, by construction."""
+    ``jaccard_pairs`` with the df-cut disabled, by construction.
+
+    Job shape (the r5 restructure — same class of fix as the LSH fixed-term
+    shrink, VERDICT r04 #2): df, set size, and prefix position are all
+    computed as WINDOW passes over the one persisted shingle frame — an
+    Exchange by shingle, then an Exchange by doc_id whose sort serves both
+    per-doc windows — instead of the old two groupBy aggregates + two
+    joins back (five exchanges and two extra eager jobs for the same
+    numbers).  The candidate join carries both docs' set sizes, so the
+    AllPairs LENGTH filter (J ≥ t ⇒ min·10⁴ ≥ tp·max, integer form) prunes
+    size-incompatible pairs BEFORE the distinct shuffle; the verify stage
+    reads the same persisted frame directly (restrict=False — the exact
+    path's candidate set spans nearly every doc, so the LSH-style
+    candidate-doc semi-join would cost two jobs and buy nothing)."""
     from pyspark.sql import Window
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0,1], got {threshold}")
     tp = round(threshold * 10000)
-    sh = shingles(documents, n, text_col, id_col).persist()  # full, no cut
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_sh"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(),
-                                             F.col("shingle").asc())
-    prefix = (sh.join(freq, "shingle")
-              .withColumn("_pos", F.row_number().over(w))
-              .join(sizes, "doc_id")
-              .where(F.col("_pos")
-                     <= F.col("_n_sh")
-                     - F.expr(f"cast(({tp} * _n_sh + 9999) div 10000 "
-                              "as int)") + 1))
-    cand = (prefix.select(F.col("doc_id").alias("_p"), "shingle")
-            .join(sh.select(F.col("doc_id").alias("_f"), "shingle"),
+    w_sh = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy("doc_id")
+    w_ord = w_doc.orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    # shingles are distinct per doc, so (_df, shingle) is a strict total
+    # order within a doc and row_number is deterministic
+    pos = (shingles(documents, n, text_col, id_col)
+           .withColumn("_df", F.count(F.lit(1)).over(w_sh))
+           .withColumn("_n_sh", F.count(F.lit(1)).over(w_doc))
+           .withColumn("_pos", F.row_number().over(w_ord))
+           .persist())
+    prefix = pos.where(F.col("_pos")
+                       <= F.col("_n_sh")
+                       - F.expr(f"cast(({tp} * _n_sh + 9999) div 10000 "
+                                "as int)") + 1)
+    cand = (prefix.select(F.col("doc_id").alias("_p"), "shingle",
+                          F.col("_n_sh").alias("_np"))
+            .join(pos.select(F.col("doc_id").alias("_f"), "shingle",
+                             F.col("_n_sh").alias("_nf")),
                   "shingle")
-            .where(F.col("_p") != F.col("_f"))
+            .where((F.col("_p") != F.col("_f"))
+                   & (F.least("_np", "_nf") * 10000
+                      >= tp * F.greatest("_np", "_nf")))
             .select(F.least("_p", "_f").alias("doc_a"),
                     F.greatest("_p", "_f").alias("doc_b"))
             .distinct())
-    out = _jaccard_of_pairs(cand, sh, threshold)
-    out._recrun_caches = [sh] + list(getattr(out, "_jp_caches", []))
+    sh = pos.select("doc_id", "shingle")
+    out = _jaccard_of_pairs(cand, sh, threshold, restrict=False)
+    out._recrun_caches = [pos] + list(getattr(out, "_jp_caches", []))
     return out

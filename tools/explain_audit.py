@@ -449,6 +449,49 @@ def main():
          lambda p: "Exchange SinglePartition" not in p),
     ])
 
+    # funnel cascade (r5): every stage windows over the SAME per-user sort
+    # — the plan must carry exactly ONE Sort node however many steps the
+    # funnel has; the only single-partition exchange allowed is the final
+    # global totals aggregate (per-user partials, tiny by construction)
+    import re as _re
+
+    def _n_sorts(p):
+        return len(_re.findall(r"\(\d+\) Sort\b", p))
+
+    audit("events_funnel", qs["events_funnel"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("ONE shared sort for the whole stage cascade",
+         lambda p: _n_sorts(p) == 1),
+        ("only the global totals aggregate is single-partition",
+         lambda p: p.count("Exchange SinglePartition") <= 1),
+        ("per-user reduction has map-side partial combine",
+         lambda p: "partial" in p.lower()),
+    ])
+
+    # retention cohorts (r5): the raw-event frame must reduce to distinct
+    # (user, day) BEFORE the per-user window — and the final count is a
+    # plain hash aggregate, never a countDistinct expansion or global sort
+    audit("events_retention_cohorts",
+          qs["events_retention_cohorts"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("distinct + counts have map-side partial combine",
+         lambda p: "partial" in p.lower()),
+        ("no countDistinct expansion (single Expand-free count)",
+         lambda p: "Expand" not in p),
+        ("no single-reducer exchange anywhere",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
+    # pivot (r5): the explicit value list must plan as ONE pass — a single
+    # shuffle by user, no distinct-values pre-scan, no second aggregate
+    audit("events_type_pivot", qs["events_type_pivot"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("single-pass pivot aggregate (map-side partial combine)",
+         lambda p: "partial" in p.lower()),
+        ("one exchange (by user), no single-reducer",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
