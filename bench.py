@@ -219,6 +219,11 @@ def main():
             n_jobs = None
         timings[name] = round(statistics.median(durations), 3)
         sections[name]["runs"] = [round(d, 3) for d in durations]
+        # trailing canary: the pre-section gate can pass and a neighbor
+        # burst still land MID-section (r5 A/A control: identical code,
+        # quiet 0.3-load starts, 48.3 s vs 187.7 s — BASELINE.md).  A hot
+        # canary_after flags exactly those entries for adjudication.
+        sections[name]["canary_after_ms"] = section_canary_ms()
         if n_jobs is not None:
             sections[name]["jobs_total"] = n_jobs
             sections[name]["jobs_per_run"] = round(n_jobs / repeats, 1)
