@@ -1065,6 +1065,33 @@ def events_user_bloom(spark, sf_dir):
     return bloom_bits(_t(spark, sf_dir, "events"), "user_id")
 
 
+def events_value_hdr(spark, sf_dir):
+    """HDR-style MERGEABLE QUANTILE HISTOGRAM of events.value per
+    event_type (functions/sketch.py::hdr_histogram) — the fourth classic
+    sketch next to CMS/HLL/Bloom: bounded state for quantiles, where the
+    exact path (events_quantiles) sort-shuffles every row.  Bucketing is
+    msb + top-5 mantissa bits in PURE INTEGER arithmetic (the HLL
+    base-2-string-length idiom; no float log like DDSketch's log-gamma),
+    so the oracle rebuilds the identical cell table and the driver checks
+    it cell-for-cell.  Relative error <= 2^-5; merge = cell-wise cnt sum."""
+    from recrun_spark.functions.sketch import hdr_histogram
+    return hdr_histogram(_t(spark, sf_dir, "events"), "value",
+                         group_cols=["event_type"])
+
+
+def events_hdr_quantiles(spark, sf_dir):
+    """p50/p90/p99 of events.value per event_type READ OFF the HDR
+    histogram (functions/sketch.py::hdr_quantiles): integer rank rule
+    (min bucket with 100*cum >= p*total), bounds derived from the bucket
+    index arithmetically — no join back, one window over the bounded
+    histogram.  The exact value provably lies in [q_lo, q_hi]
+    (property-tested vs exact sort in tests/test_functions.py)."""
+    from recrun_spark.functions.sketch import hdr_histogram, hdr_quantiles
+    hist = hdr_histogram(_t(spark, sf_dir, "events"), "value",
+                         group_cols=["event_type"])
+    return hdr_quantiles(hist, [50, 90, 99], group_cols=["event_type"])
+
+
 def salted_join_revenue(spark, sf_dir):
     """Pins the SALTED repartition-join path (operators.salted_join) under
     the value oracle, the way cc_components pins distributed CC: orders ⋈
@@ -1565,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_cms": events_user_cms,
         "events_user_hll": events_user_hll,
         "events_user_bloom": events_user_bloom,
+        "events_value_hdr": events_value_hdr,
+        "events_hdr_quantiles": events_hdr_quantiles,
         "documents_hash_split": documents_hash_split,
         "documents_pack_blocks": documents_pack_blocks,
         "documents_pii_scrub": documents_pii_scrub,
@@ -2795,6 +2824,83 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT reg, max(rho)::INT AS max_rho FROM r GROUP BY reg
+        """,
+        # rebuild the IDENTICAL HDR quantile histogram in SQL: integer
+        # basis floor(value*100) (IEEE double product is bit-identical
+        # across engines), msb via base-2 string length (bin()), bucket
+        # and bounds all integer shifts — no float anywhere
+        "events_value_hdr": """
+            WITH base AS (
+              SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL
+                AND floor(value * 100) >= 0
+            ),
+            idx AS (
+              SELECT event_type,
+                     CASE WHEN length(bin(v)) <= 5 THEN v
+                          ELSE (length(bin(v)) - 5) * 32
+                               + (v >> (length(bin(v)) - 6)) - 32
+                     END AS bucket
+              FROM base
+            ),
+            hist AS (
+              SELECT event_type, bucket, count(*) AS cnt
+              FROM idx GROUP BY 1, 2
+            )
+            SELECT event_type, bucket,
+                   CASE WHEN bucket < 32 THEN bucket
+                        ELSE (32 + (bucket % 32)) << (bucket // 32 - 1)
+                   END AS lo,
+                   CASE WHEN bucket < 32 THEN bucket
+                        ELSE ((32 + (bucket % 32) + 1)
+                              << (bucket // 32 - 1)) - 1
+                   END AS hi,
+                   cnt
+            FROM hist
+        """,
+        # quantiles read off the histogram: integer rank rule (min bucket
+        # with 100*cum >= p*total), bounds derived from the index
+        "events_hdr_quantiles": """
+            WITH base AS (
+              SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL
+                AND floor(value * 100) >= 0
+            ),
+            idx AS (
+              SELECT event_type,
+                     CASE WHEN length(bin(v)) <= 5 THEN v
+                          ELSE (length(bin(v)) - 5) * 32
+                               + (v >> (length(bin(v)) - 6)) - 32
+                     END AS bucket
+              FROM base
+            ),
+            hist AS (
+              SELECT event_type, bucket, count(*) AS cnt
+              FROM idx GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT event_type, bucket,
+                     sum(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY bucket) AS c,
+                     sum(cnt) OVER (PARTITION BY event_type) AS total
+              FROM hist
+            ),
+            qb AS (
+              SELECT event_type, p.p AS p,
+                     min(CASE WHEN c * 100 >= total * p.p
+                              THEN bucket END) AS bucket
+              FROM cum CROSS JOIN (VALUES (50), (90), (99)) AS p(p)
+              GROUP BY 1, 2
+            )
+            SELECT event_type, p::INT AS p,
+                   CASE WHEN bucket < 32 THEN bucket
+                        ELSE (32 + (bucket % 32)) << (bucket // 32 - 1)
+                   END AS q_lo,
+                   CASE WHEN bucket < 32 THEN bucket
+                        ELSE ((32 + (bucket % 32) + 1)
+                              << (bucket // 32 - 1)) - 1
+                   END AS q_hi
+            FROM qb
         """,
         "events_after_orders_range": """
             SELECT o.o_orderkey AS order_key,

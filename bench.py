@@ -252,7 +252,8 @@ def main():
                  "documents_tfidf_topk", "kg_kcore",
                  "dedup_jaccard_prefix", "documents_lm_coverage",
                  "customer_dim_scd2", "events_funnel",
-                 "events_retention_cohorts", "events_type_pivot"):
+                 "events_retention_cohorts", "events_type_pivot",
+                 "events_value_hdr", "events_hdr_quantiles"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -173,3 +173,138 @@ def cms_estimate(cells, keys, depth: int = CMS_DEPTH,
 
     return {k: min(table.get((i, h(i, k)), 0) for i in range(depth))
             for k in keys}
+
+
+# ---------------------------------------------------------------------------
+# HDR-style mergeable quantile histogram
+# ---------------------------------------------------------------------------
+#
+# The fourth classic sketch next to CMS/HLL/Bloom: quantiles with BOUNDED
+# state.  Exact distributed quantiles (events_quantiles) sort-shuffle every
+# row per group — at 100 TB that is the scale killer; the standard answer
+# is a mergeable quantile sketch (t-digest / DDSketch / HdrHistogram).
+# Float-centric sketches (t-digest centroids, DDSketch's log-gamma index)
+# are NOT engine-portable: a ulp of difference in log() moves a value
+# across a bucket boundary and the oracle diverges.  This is the
+# integer-exact variant (HdrHistogram's exponent+mantissa bucketing;
+# DDSketch, Masson et al. VLDB'19 — PAPERS.md): values map to a bucket
+# via msb position + the top ``sub_bits`` mantissa bits, ALL in integer
+# arithmetic (the same base-2 string-length idiom as the HLL rank), so
+# ANY SQL engine rebuilds the identical cell table.
+#
+#   v < 2^k   ->  bucket = v                                (exact region)
+#   v >= 2^k  ->  s = bits(v)-1-k,  sub = v >> s  (in [2^k, 2^(k+1)))
+#                 bucket = (bits(v)-k)*2^k + sub - 2^k
+#
+# Buckets are contiguous integers, monotone in v; the bucket containing v
+# spans [sub<<s, ((sub+1)<<s)-1], width 2^s <= v * 2^-k, so any quantile
+# read off the histogram carries relative error <= 2^-k.  Merge =
+# cell-wise cnt sum (the CMS property); state is O(sub_bits * 64) cells
+# per group regardless of row count.
+
+HDR_SUB_BITS = 5           # relative error <= 2^-5 ~ 3.1%
+HDR_SCALE = 100            # double -> integer basis: floor(value * scale)
+
+
+def hdr_histogram(df: DataFrame, value_col: str,
+                  group_cols: list[str] | None = None,
+                  scale: int = HDR_SCALE,
+                  sub_bits: int = HDR_SUB_BITS) -> DataFrame:
+    """(group..., bucket, lo, hi, cnt) — HDR quantile histogram of
+    ``value_col`` per group.
+
+    ``v = floor(value * scale)`` is the integer basis: floor of an IEEE
+    double product is bit-identical across engines (the repo-wide float
+    discipline — CLAUDE.md), unlike round().  NULL and negative values
+    are excluded (a quantile of "no value" is meaningless; negatives
+    would need a mirrored bucket space — not needed by any current
+    caller and cheaper to forbid than to silently misplace).  ``lo``/
+    ``hi`` are the bucket's value bounds in the SCALED integer basis.
+
+    One shuffle: groupBy(group, bucket) with map-side partial combine;
+    output is bounded at ~(64-k)*2^k buckets per group at any row count.
+    """
+    k = sub_bits
+    if not (1 <= k <= 16):
+        raise ValueError(f"sub_bits must be in [1,16], got {k}")
+    gcols = list(group_cols or [])
+    rows = (df.where(F.col(value_col).isNotNull())
+            .select(*gcols,
+                    F.floor(F.col(value_col) * scale)
+                    .cast("long").alias("_v"))
+            .where(F.col("_v") >= 0)
+            .withColumn("_bits", F.length(F.conv(F.col("_v"), 10, 2)))
+            .withColumn(
+                "bucket",
+                F.when(F.col("_bits") <= k, F.col("_v")).otherwise(
+                    (F.col("_bits") - k) * (1 << k)
+                    + F.expr(f"shiftright(_v, cast(_bits - 1 - {k} as int))")
+                    - (1 << k))))
+    hist = (rows.groupBy(*gcols, "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    lo, hi = hdr_bucket_bounds("bucket", k)
+    return hist.select(*gcols, "bucket", lo.alias("lo"), hi.alias("hi"),
+                       "cnt")
+
+
+def hdr_bucket_bounds(bucket_col: str = "bucket",
+                      sub_bits: int = HDR_SUB_BITS):
+    """(lo, hi) value bounds of the bucket-index column named
+    ``bucket_col``, in the scaled integer basis — a pure integer function
+    of the index, so both the histogram and any SQL mirror derive bounds
+    without a lookup join.  Takes a NAME (not a Column): the shift amount
+    is itself a column, which the Python shiftleft API can't express, so
+    the bound is built as a SQL expression referencing the column."""
+    k = sub_bits
+    two_k = 1 << k
+    b = F.col(bucket_col)
+    lo = F.when(b < two_k, b).otherwise(
+        F.expr(f"shiftleft(cast({two_k} + pmod({bucket_col}, {two_k}) "
+               f"as bigint), cast({bucket_col} div {two_k} - 1 as int))"))
+    hi = F.when(b < two_k, b).otherwise(
+        F.expr(f"shiftleft(cast({two_k} + pmod({bucket_col}, {two_k}) + 1 "
+               f"as bigint), cast({bucket_col} div {two_k} - 1 as int)) - 1"))
+    return lo, hi
+
+
+def hdr_quantiles(hist: DataFrame, percents: list[int],
+                  group_cols: list[str] | None = None,
+                  sub_bits: int = HDR_SUB_BITS) -> DataFrame:
+    """(group..., p, q_lo, q_hi) — per-group quantile bounds read off an
+    ``hdr_histogram`` frame, one row per requested integer percent.
+
+    Rank rule, all-integer: the p-th percentile is the r-th smallest
+    value with r = ceil(p * total / 100); its bucket is the first whose
+    cumulative count reaches r, i.e. the min bucket with
+    ``100 * cum >= p * total`` (equivalent by integer division, no
+    float).  The true r-th value lies in [q_lo, q_hi] by bucketing
+    monotonicity, so q_lo underestimates by at most a 2^-sub_bits
+    relative factor (property-tested vs exact sort).
+
+    Plan: ONE window over the (tiny, bounded) histogram — partitioned by
+    group, so no single-reducer exchange — then a per-group aggregate;
+    no join back (bounds derive from the index arithmetically)."""
+    from pyspark.sql import Window
+    for p in percents:
+        if not (isinstance(p, int) and 1 <= p <= 100):
+            raise ValueError(f"percents must be integers in [1,100]: {p}")
+    gcols = list(group_cols or [])
+    w = (Window.partitionBy(*gcols) if gcols
+         else Window.partitionBy(F.lit(0)))
+    cum = (hist
+           .withColumn("_cum", F.sum("cnt").over(
+               w.orderBy("bucket")
+               .rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("_total", F.sum("cnt").over(w)))
+    agg = cum.groupBy(*gcols).agg(*[
+        F.min(F.when(F.col("_cum") * 100 >= F.col("_total") * p,
+                     F.col("bucket"))).alias(f"_b{p}")
+        for p in percents])
+    pieces = F.array(*[
+        F.struct(F.lit(p).alias("p"), F.col(f"_b{p}").alias("_b"))
+        for p in percents])
+    out = (agg.select(*gcols, F.explode(pieces).alias("_q"))
+           .select(*gcols, F.col("_q.p").alias("p"),
+                   F.col("_q._b").alias("bucket")))
+    lo, hi = hdr_bucket_bounds("bucket", sub_bits)
+    return out.select(*gcols, "p", lo.alias("q_lo"), hi.alias("q_hi"))

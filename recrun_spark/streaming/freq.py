@@ -88,3 +88,47 @@ def read_hll(spark: SparkSession, registers_root: str) -> DataFrame:
     return (spark.read.parquet(os.path.join(registers_root, "batch=*"))
             .groupBy("reg")
             .agg(F.max("max_rho").alias("max_rho")))
+
+
+def run_hdr_available_now(spark: SparkSession, input_dir: str, out_dir: str,
+                          value_col: str, schema,
+                          group_cols: list[str] | None = None,
+                          max_files_per_trigger: int = 1) -> str:
+    """Drain available input files, writing each micro-batch's HDR
+    quantile histogram to ``hist/batch=<id>/`` (idempotent per batchId);
+    returns the hist root.  Streaming quantiles with bounded state: the
+    per-batch cell table is O(64 * 2^sub_bits) rows per group however
+    many rows the batch carried, and the cnt-sum merge property makes
+    the cross-batch reader exactly the batch histogram of everything
+    ingested — where Spark's own approx_percentile cannot run as a
+    streaming aggregate at all without a state store."""
+    from ..functions.sketch import hdr_histogram
+    root = os.path.join(out_dir, "hist")
+    gcols = list(group_cols or [])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (hdr_histogram(batch_df, value_col, group_cols=gcols)
+         .write.mode("overwrite")
+         .parquet(os.path.join(root, f"batch={batch_id}")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return root
+
+
+def read_hdr(spark: SparkSession, hist_root: str,
+             group_cols: list[str] | None = None) -> DataFrame:
+    """Merge all per-batch histograms into the histogram of everything
+    ingested (cell-wise cnt sum; lo/hi are functions of the bucket index,
+    so min() just collapses the duplicates)."""
+    gcols = list(group_cols or [])
+    return (spark.read.parquet(os.path.join(hist_root, "batch=*"))
+            .groupBy(*gcols, "bucket")
+            .agg(F.min("lo").alias("lo"), F.min("hi").alias("hi"),
+                 F.sum("cnt").alias("cnt")))

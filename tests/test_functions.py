@@ -1665,3 +1665,72 @@ def test_retention_cohorts_semantics(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_hdr_histogram_properties(spark):
+    """HDR quantile sketch invariants: cell-exact merge (hist(A) ⊎
+    hist(B) == hist(A∪B)), count conservation, exact small-value region
+    (lo == hi == v below 2^k), the <= 2^-k relative bucket width, the
+    quantile bracket guarantee (q_lo <= exact r-th value <= q_hi for
+    every group and percent), and NULL/negative exclusion."""
+    import math
+    from recrun_spark.functions.sketch import (HDR_SUB_BITS, hdr_histogram,
+                                               hdr_quantiles)
+    import random
+    rng = random.Random(20260817)
+    rows = [("g1", rng.lognormvariate(3, 1.5)) for _ in range(4000)] \
+        + [("g2", rng.uniform(0.0, 0.2)) for _ in range(500)] \
+        + [("g2", None), ("g2", -5.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    hist = hdr_histogram(df, "value", group_cols=["grp"]).collect()
+    k = HDR_SUB_BITS
+
+    # conservation: every non-null, non-negative row lands in one bucket
+    assert sum(r["cnt"] for r in hist) == 4000 + 500
+
+    # bucket geometry: exact region + bounded relative width
+    for r in hist:
+        if r["bucket"] < (1 << k):
+            assert r["lo"] == r["hi"] == r["bucket"]
+        else:
+            assert r["hi"] - r["lo"] <= r["lo"] / (1 << k)
+            assert r["lo"] <= r["hi"]
+
+    # merge: per-partition sketches sum cell-for-cell to the full sketch
+    a = df.limit(2000)
+    b = df.subtract(a)
+    merged = (hdr_histogram(a, "value", group_cols=["grp"])
+              .unionByName(hdr_histogram(b, "value", group_cols=["grp"]))
+              .groupBy("grp", "bucket")
+              .agg(F.min("lo").alias("lo"), F.min("hi").alias("hi"),
+                   F.sum("cnt").alias("cnt")))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, hist))
+
+    # quantile bracket: the exact r-th smallest scaled value lies in
+    # [q_lo, q_hi] for every group and percent
+    hist_df = hdr_histogram(df, "value", group_cols=["grp"])
+    q = hdr_quantiles(hist_df, [10, 50, 90, 99], group_cols=["grp"])
+    by_grp = {}
+    for grp, v in rows:
+        if v is not None and math.floor(v * 100) >= 0:
+            by_grp.setdefault(grp, []).append(math.floor(v * 100))
+    for g in by_grp:
+        by_grp[g].sort()
+    for r in q.collect():
+        vals = by_grp[r["grp"]]
+        rank = -(-r["p"] * len(vals) // 100)          # ceil
+        exact = vals[rank - 1]
+        assert r["q_lo"] <= exact <= r["q_hi"], \
+            (r["grp"], r["p"], r["q_lo"], exact, r["q_hi"])
+
+
+def test_hdr_histogram_validation(spark):
+    from recrun_spark.functions.sketch import hdr_histogram, hdr_quantiles
+    import pytest
+    df = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(ValueError):
+        hdr_histogram(df, "value", sub_bits=0)
+    with pytest.raises(ValueError):
+        hdr_quantiles(hdr_histogram(df, "value"), [0])
+    with pytest.raises(ValueError):
+        hdr_quantiles(hdr_histogram(df, "value"), [50.5])  # non-integer

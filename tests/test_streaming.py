@@ -762,3 +762,51 @@ def test_interval_join_stream_equals_batch(spark, tmpdir_path):
                    r["lag_us"])
                   for r in spark.read.parquet(sink).collect())
     assert got2 == got + [(4, 209, 104, 18_000_000)]
+
+
+def test_incremental_hdr_stream_equals_batch(spark, tmpdir_path):
+    """Streaming HDR quantile histogram: 3 micro-batches' cell tables
+    merge (cnt sum) into EXACTLY the batch histogram of all events; a
+    late 4th file is sketched alone and the merge still equals the batch
+    computation — streaming quantiles with bounded state and no state
+    store (the cnt-sum merge property, same recipe as the CMS/HLL
+    streams)."""
+    import shutil
+
+    from recrun_spark.functions.sketch import hdr_histogram
+    from recrun_spark.streaming.freq import (read_hdr,
+                                             run_hdr_available_now)
+    from recrun_spark.streaming.sessions import prepare_ranged_events
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    staging = prepare_ranged_events(events,
+                                    os.path.join(tmpdir_path, "staging"), 4)
+    files = sorted(os.listdir(staging))
+    src = os.path.join(tmpdir_path, "in")
+    os.makedirs(src)
+    for f in files[:3]:
+        shutil.copy2(os.path.join(staging, f), os.path.join(src, f))
+    schema = spark.read.parquet(events).schema
+    out_dir = os.path.join(tmpdir_path, "hdr")
+
+    def cells_of(df):
+        return sorted(map(tuple, df.collect()))
+
+    root = run_hdr_available_now(spark, src, out_dir, "value", schema,
+                                 group_cols=["event_type"])
+    assert len([d for d in os.listdir(root)
+                if d.startswith("batch=")]) == 3
+    got3 = cells_of(read_hdr(spark, root, group_cols=["event_type"]))
+    assert got3 == cells_of(hdr_histogram(spark.read.parquet(src), "value",
+                                          group_cols=["event_type"]))
+
+    shutil.copy2(os.path.join(staging, files[3]),
+                 os.path.join(src, files[3]))
+    run_hdr_available_now(spark, src, out_dir, "value", schema,
+                          group_cols=["event_type"])
+    assert len([d for d in os.listdir(root)
+                if d.startswith("batch=")]) == 4   # only the new file
+    got4 = cells_of(read_hdr(spark, root, group_cols=["event_type"]))
+    assert got4 == cells_of(hdr_histogram(spark.read.parquet(events),
+                                          "value",
+                                          group_cols=["event_type"]))

@@ -492,6 +492,27 @@ def main():
          lambda p: "Exchange SinglePartition" not in p),
     ])
 
+    # HDR quantile sketch (r5): ONE shuffle (group, bucket) with map-side
+    # partial combine builds the bounded histogram; the quantile read is a
+    # window over that bounded frame partitioned by group — integer
+    # expressions only, no Python, no single-reducer exchange
+    audit("events_value_hdr", qs["events_value_hdr"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("map-side partial combine into bounded cells",
+         lambda p: "partial" in p.lower()),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+    audit("events_hdr_quantiles", qs["events_hdr_quantiles"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("histogram reduction has map-side partial combine",
+         lambda p: "partial" in p.lower()),
+        ("window partitioned by group — no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("no join back for bucket bounds (derived arithmetically)",
+         lambda p: "Join" not in p),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
