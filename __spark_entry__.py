@@ -1092,6 +1092,31 @@ def events_hdr_quantiles(spark, sf_dir):
     return hdr_quantiles(hist, [50, 90, 99], group_cols=["event_type"])
 
 
+def events_zorder_key(spark, sf_dir):
+    """Z-ORDER (Morton) layout keys over (user_id, day) — the lakehouse
+    multidimensional-clustering technique (Delta/Iceberg OPTIMIZE ZORDER):
+    interleave the bits of several columns so ONE range-sort gives tight
+    per-file min/max boxes on EVERY clustered column
+    (functions/layout.py::zorder_key).  Pure integer expressions (one
+    aggregate over a bit-index sequence per column, no UDF) so the oracle
+    rebuilds keys bit-for-bit; the decoded round-trip columns (ru, rd)
+    witness bijectivity inside the value check itself.  Day = floor of
+    epoch-microseconds (NTZ-safe: timestampdiff vs a calendar datediff,
+    which counts boundary crossings and diverges across engines)."""
+    from recrun_spark.functions.layout import zorder_decode, zorder_key
+    mask = (1 << 21) - 1
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(f"cast(user_id as bigint) & {mask}").alias("zu"),
+        F.expr("cast(timestampdiff(MICROSECOND, "
+               "timestamp'1970-01-01 00:00:00', ts) div 86400000000 "
+               f"as bigint) & {mask}").alias("zd"))
+    keyed = ev.withColumn("zkey", zorder_key(["zu", "zd"]))
+    ru, rd = zorder_decode("zkey", 2)
+    return keyed.select("event_id", "zu", "zd", "zkey",
+                        ru.alias("ru"), rd.alias("rd"))
+
+
 def salted_join_revenue(spark, sf_dir):
     """Pins the SALTED repartition-join path (operators.salted_join) under
     the value oracle, the way cc_components pins distributed CC: orders ⋈
@@ -1594,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_bloom": events_user_bloom,
         "events_value_hdr": events_value_hdr,
         "events_hdr_quantiles": events_hdr_quantiles,
+        "events_zorder_key": events_zorder_key,
         "documents_hash_split": documents_hash_split,
         "documents_pack_blocks": documents_pack_blocks,
         "documents_pii_scrub": documents_pii_scrub,
@@ -2901,6 +2927,32 @@ def oracle_sql() -> dict[str, str]:
                               << (bucket // 32 - 1)) - 1
                    END AS q_hi
             FROM qb
+        """,
+        # rebuild the Morton keys bit-for-bit in SQL (list_transform over
+        # the same bit-index range) and re-decode them — round-trip inside
+        # the value oracle
+        "events_zorder_key": """
+            WITH base AS (
+              SELECT event_id,
+                     (user_id & 2097151) AS zu,
+                     ((epoch_us(ts) // 86400000000) & 2097151) AS zd
+              FROM events
+            ),
+            keyed AS (
+              SELECT event_id, zu, zd,
+                     CAST(list_sum(list_transform(range(0, 21),
+                          i -> (((zu >> i) & 1) << (2*i))
+                             + (((zd >> i) & 1) << (2*i + 1))))
+                          AS BIGINT) AS zkey
+              FROM base
+            )
+            SELECT event_id, zu, zd, zkey,
+                   CAST(list_sum(list_transform(range(0, 21),
+                        i -> ((zkey >> (2*i)) & 1) << i)) AS BIGINT) AS ru,
+                   CAST(list_sum(list_transform(range(0, 21),
+                        i -> ((zkey >> (2*i + 1)) & 1) << i)) AS BIGINT)
+                     AS rd
+            FROM keyed
         """,
         "events_after_orders_range": """
             SELECT o.o_orderkey AS order_key,

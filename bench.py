@@ -253,7 +253,8 @@ def main():
                  "dedup_jaccard_prefix", "documents_lm_coverage",
                  "customer_dim_scd2", "events_funnel",
                  "events_retention_cohorts", "events_type_pivot",
-                 "events_value_hdr", "events_hdr_quantiles"):
+                 "events_value_hdr", "events_hdr_quantiles",
+                 "events_zorder_key"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -1734,3 +1734,51 @@ def test_hdr_histogram_validation(spark):
         hdr_quantiles(hdr_histogram(df, "value"), [0])
     with pytest.raises(ValueError):
         hdr_quantiles(hdr_histogram(df, "value"), [50.5])  # non-integer
+
+
+def test_zorder_key_properties(spark):
+    """Morton-key invariants: exact bijectivity on random in-range pairs
+    (decode(key) == inputs), monotonicity in each coordinate with the
+    other fixed, interleave positions (bit i of col j at i*N+j), and the
+    validation guards."""
+    import random
+    import pytest
+    from recrun_spark.functions.layout import (zorder_decode, zorder_key,
+                                               zorder_layout)
+    rng = random.Random(7)
+    mask = (1 << 21) - 1
+    pairs = [(rng.randrange(0, mask + 1), rng.randrange(0, mask + 1))
+             for _ in range(500)] + [(0, 0), (mask, mask), (0, mask)]
+    df = spark.createDataFrame(pairs, "x bigint, y bigint")
+    keyed = df.withColumn("zkey", zorder_key(["x", "y"]))
+    rx, ry = zorder_decode("zkey", 2)
+    out = keyed.select("x", "y", "zkey", rx.alias("rx"), ry.alias("ry")) \
+        .collect()
+    for r in out:
+        assert (r["rx"], r["ry"]) == (r["x"], r["y"])
+        # reference interleave in python
+        ref = sum((((r["x"] >> i) & 1) << (2 * i))
+                  + (((r["y"] >> i) & 1) << (2 * i + 1)) for i in range(21))
+        assert r["zkey"] == ref
+
+    # monotone in each coordinate (other fixed)
+    fixed = [(x, 12345) for x in range(0, 2000, 7)]
+    ks = [r["zkey"] for r in
+          spark.createDataFrame(fixed, "x bigint, y bigint")
+          .withColumn("zkey", zorder_key(["x", "y"]))
+          .orderBy("x").collect()]
+    assert ks == sorted(ks) and len(set(ks)) == len(ks)
+
+    with pytest.raises(ValueError):
+        zorder_key([])
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"], bits=16)   # 64 bits > 63
+
+    # layout: range-partitioned on the key -> partitions carry DISJOINT
+    # z-ranges (the property min/max pruning relies on)
+    laid = zorder_layout(df, ["x", "y"], num_partitions=8)
+    spans = (laid.groupBy(F.spark_partition_id().alias("pid"))
+             .agg(F.min("_zkey").alias("lo"), F.max("_zkey").alias("hi"))
+             .orderBy("lo").collect())
+    for a, b in zip(spans, spans[1:]):
+        assert a["hi"] <= b["lo"]

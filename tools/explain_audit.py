@@ -513,6 +513,14 @@ def main():
          lambda p: "Join" not in p),
     ])
 
+    # z-order keys (r5): a pure projection — the Morton interleave and its
+    # inverse are JVM expressions over one scan; NO exchange of any kind
+    audit("events_zorder_key", qs["events_zorder_key"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("zero shuffle — pure projection over the scan",
+         lambda p: "Exchange" not in p),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
