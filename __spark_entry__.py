@@ -286,6 +286,59 @@ def kg_entity_pagerank(spark, sf_dir):
     return _finalize(pagerank(edges, iterations=10))
 
 
+def kg_label_prop(spark, sf_dir):
+    """Community detection over the doc↔entity mention graph
+    (operators.label_propagation — synchronous deterministic LPA,
+    Raghavan et al. 2007): 5 rounds of most-frequent-neighbor-label with
+    a smallest-label tie-break, all (int64 count, string label)
+    comparisons — no floats, no randomized visit order — so the oracle
+    unrolls the identical recurrence as chained CTEs and the label
+    trajectories are EQUAL, not approximately equal.  Same bipartite
+    edge derivation as kg_entity_pagerank."""
+    from recrun_spark.operators import label_propagation
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    de = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"))
+    edges = de.union(de.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    return _finalize(label_propagation(edges, iterations=5))
+
+
+def _label_prop_sql(iters: int = 5) -> str:
+    """The LPA oracle: each synchronous round = one neighbor-label count
+    + one per-node argmax (count desc, label asc) + keep-own-label for
+    in-degree-0 nodes, unrolled as chained CTEs exactly like the
+    pagerank oracle."""
+    rounds = ["l0 AS (SELECT node, node AS label FROM nodes)"]
+    for i in range(1, iters + 1):
+        rounds.append(f"""c{i} AS (
+              SELECT e.dst AS node, p.label, count(*) AS c
+              FROM l{i - 1} p JOIN edges e ON e.src = p.node
+              GROUP BY 1, 2),
+        b{i} AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM c{i}) WHERE rn = 1),
+        l{i} AS (
+              SELECT p.node, coalesce(b.label, p.label) AS label
+              FROM l{i - 1} p LEFT JOIN b{i} b ON b.node = p.node)""")
+    return f"""
+        WITH {_MENTIONS_CTE},
+        m AS (SELECT DISTINCT doc_id, entity FROM ments),
+        de AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                      entity AS dst FROM m),
+        edges AS (SELECT src, dst FROM de
+                  UNION SELECT dst AS src, src AS dst FROM de),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        {','.join(rounds)}
+        SELECT node, label FROM l{iters}
+    """
+
+
 def _pagerank_sql(iters: int = 10, damping_pct: int = 85,
                   scale: int = 10 ** 12) -> str:
     """The pagerank oracle: the same integer recurrence unrolled as
@@ -502,6 +555,37 @@ def documents_tfidf_topk(spark, sf_dir):
     every score bit-for-bit (float log-idf can't be value-hashed)."""
     from recrun_spark.functions.text import tfidf_top_terms
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def documents_bm25_topk(spark, sf_dir):
+    """Top-10 documents for a 3-term query by integer-surrogate BM25
+    (functions.text.bm25_topk — Robertson k1=1.2/b=0.75 as exact
+    rationals, idf = the scaled (N-df+.5)/(df+.5) ratio): the retrieval
+    step of a RAG / quality-mining pipeline, float-free so DuckDB
+    reproduces every score bit-for-bit.  Global top-k is sort+limit
+    (TakeOrdered), never a corpus-wide single-partition window."""
+    from recrun_spark.functions.text import bm25_topk
+    return bm25_topk(_t(spark, sf_dir, "documents"),
+                     ["spark", "vector", "stream"], k=10)
+
+
+def orders_skyline(spark, sf_dir):
+    """Pareto frontier of orders on (order day asc, total price asc) —
+    the 2-D skyline / dominance query (operators.skyline2d, Börzsönyi
+    ICDE'01) via the two-phase distributed prefix-min: per-day minima,
+    bucketed exclusive prefix-min through a bounded driver exchange,
+    interior running min parallel per bucket — no O(n²) NOT-EXISTS, no
+    global-ORDER-BY window.  Day = floor of epoch-microseconds
+    (NTZ-safe, the events_zorder_key convention); price is compared,
+    never computed on, so doubles value-hash exactly."""
+    from recrun_spark.operators import skyline2d
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(timestampdiff(MICROSECOND, "
+               "timestamp'1970-01-01 00:00:00', o_orderdate) "
+               "div 86400000000 as bigint)").alias("day"),
+        "o_totalprice")
+    return _finalize(skyline2d(o, "day", "o_totalprice", bucket_width=256))
 
 
 def documents_dup_spans(spark, sf_dir):
@@ -1563,6 +1647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # artifact even if a per-round budget trims the tail of the dict
         "kg_triples_stream": kg_triples_stream,
         "kg_entity_pagerank": kg_entity_pagerank,
+        "kg_label_prop": kg_label_prop,
+        "documents_bm25_topk": documents_bm25_topk,
+        "orders_skyline": orders_skyline,
         "kg_bfs_neighborhood": kg_bfs_neighborhood,
         "kg_triangles": kg_triangles,
         "kg_entity_jaccard": kg_entity_jaccard,
@@ -2143,6 +2230,57 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kg_entity_pagerank": _pagerank_sql(),
+        "kg_label_prop": _label_prop_sql(),
+        "documents_bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM documents
+              WHERE doc_id IS NOT NULL AND trim(text) <> ''),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+                   FROM toks GROUP BY 1),
+            tot AS (SELECT sum(dl)::BIGINT AS a_total,
+                           count(*)::BIGINT AS n_docs FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks WHERE term IN ('spark', 'stream', 'vector')
+                   GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(((1000000 * (2 * (t.n_docs - df.df) + 1))
+                            // (2 * df.df + 1))
+                         * ((1000000 * 44 * tf.tf * t.a_total)
+                            // (20 * tf.tf * t.a_total + 6 * t.a_total
+                                + 18 * dl.dl * t.n_docs)))::BIGINT AS score,
+                     count(*)::BIGINT AS n_hit
+              FROM tf JOIN df ON df.term = tf.term
+                      JOIN dl ON dl.doc_id = tf.doc_id, tot t
+              GROUP BY 1)
+            SELECT doc_id, score, n_hit, rank FROM (
+              SELECT doc_id, score, n_hit,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rank
+              FROM scored) WHERE rank <= 10
+        """,
+        "orders_skyline": """
+            WITH r AS (
+              SELECT o_orderkey,
+                     (epoch_us(o_orderdate) // 86400000000)::BIGINT AS day,
+                     o_totalprice
+              FROM orders
+              WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+            g AS (SELECT day, min(o_totalprice) AS gy FROM r GROUP BY 1),
+            p AS (SELECT day, gy,
+                         min(gy) OVER (ORDER BY day
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prior
+                  FROM g)
+            SELECT r.o_orderkey, r.day, r.o_totalprice
+            FROM r JOIN p USING (day)
+            WHERE r.o_totalprice = p.gy
+              AND (p.prior IS NULL OR p.prior > r.o_totalprice)
+        """,
         "kg_bfs_neighborhood": _bfs_sql(),
         "kg_triangles": """
             WITH base AS (SELECT c_custkey AS u FROM customer

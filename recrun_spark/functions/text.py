@@ -279,6 +279,75 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5,
             .select("doc_id", "term", "tf", "df", "score", "rank"))
 
 
+def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 10,
+              iscale: int = 10 ** 6, pscale: int = 10 ** 6,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query by INTEGER-surrogate
+    BM25 (Robertson/Spärck Jones; k1=6/5, b=3/4 — the standard 1.2/0.75
+    as exact rationals).  Per (term, doc):
+
+        tf_part = (pscale · (k1+1) · tf · A) div (tf·A + k1·((1-b)·A + b·dl·N))
+                = (pscale · 44·tf·A) div (20·tf·A + 6·A + 18·dl·N)
+        idf     = (iscale · (2·(N-df)+1)) div (2·df+1)      # (N-df+.5)/(df+.5)
+        score   = Σ_terms idf · tf_part
+
+    with N = docs with ≥1 token, A = total corpus tokens (avgdl = A/N
+    multiplied through), dl = doc length, df = docs containing the term.
+    The idf surrogate is the exact Robertson ratio scaled to int64 (the
+    log is monotone, so top-k ranking is preserved for single-term
+    contributions and the float-free scores value-hash cross-engine);
+    int64 headroom: the binding term is the tf_part numerator
+    pscale·44·tf·A < 9.2·10¹⁸, i.e. tf·A ≲ 2·10¹¹ at pscale=10⁶ — drop
+    ``pscale`` a decade per 10× corpus tokens beyond (ANSI mode makes an
+    overflow loud, not silent).
+
+    Scale shape: one (doc,term) count shuffle restricted to the query
+    terms (the filter pushes below the explode-aggregate), doc lengths
+    as a doc-keyed aggregate, the query-term dfs and the (N, A) totals
+    ride in as broadcast tiny frames, and the global top-k is
+    sort+limit — TakeOrdered, no single-partition window over the
+    corpus.  Ties break deterministically (score desc, doc_id asc).
+
+    Returns (doc_id, score:long, n_hit:long, rank:int)."""
+    from pyspark.sql import Window
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = (documents
+            .where(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_col(F.lower(F.col(text_col))))
+                    .alias("term")))
+    dl = (toks.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("dl")))
+    tot = dl.agg(F.sum("dl").cast("long").alias("a_total"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tf = (toks.where(F.col("term").isin(terms))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df_ = (tf.groupBy("term")
+           .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    scored = (tf.join(F.broadcast(df_), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(tot))
+              .withColumn(
+                  "contrib",
+                  F.expr(f"(({iscale} * (2 * (n_docs - df) + 1))"
+                         f" div (2 * df + 1))")
+                  * F.expr(f"({pscale} * 44 * tf * a_total) div "
+                           "(20 * tf * a_total + 6 * a_total"
+                           " + 18 * dl * n_docs)"))
+              .groupBy("doc_id")
+              .agg(F.sum("contrib").cast("long").alias("score"),
+                   F.count(F.lit(1)).cast("long").alias("n_hit")))
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()) \
+                .limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def ngram_counts(documents: DataFrame, n: int = 3, min_count: int = 2,
                  text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:

@@ -174,6 +174,142 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     return r
 
 
+def label_propagation(edges: DataFrame, iterations: int = 5,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007)
+    — community detection over a KG entity graph (group co-mentioned
+    entities into topics; the cheap precursor to Louvain that needs no
+    modularity float).
+
+    Every node starts labeled with itself; each of the ``iterations``
+    synchronous rounds re-labels a node with the most frequent label
+    among its in-neighbors, ties broken by the SMALLEST label string, and
+    nodes with no in-edges keep their previous label.  All comparisons
+    are (count:int64, label:string) — no floats, no randomized order —
+    so the trajectory is bit-exact in any engine (classic LPA randomizes
+    node visit order; synchronous + deterministic tie-break is the
+    variant that value-oracles).  Fixed iteration count rather than a
+    convergence test: synchronous LPA can 2-cycle on bipartite
+    structures, so "until stable" may never hold — a fixed horizon is
+    both deterministic and the standard practice (GraphX runs LPA the
+    same way).
+
+    Scale shape: per round, ONE ranks×edges equi-join on src, ONE
+    (dst,label)-keyed count with map-side combine, then a dst-keyed
+    min(struct(-count,label)) argmax — O(E) a round, no windows, no
+    driver transfer; the label frame is localCheckpoint-ed per round
+    (same lineage discipline as pagerank, which measured 110 jobs → ~30
+    when the nested lazy plan was truncated).
+
+    Returns (node, label:string)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (edges.select(F.col(src).alias("src").cast("string"),
+                      F.col(dst).alias("dst").cast("string"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct()
+         .persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .persist())
+    lab = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        lab = _lpa_round(e, lab).localCheckpoint(eager=True)
+    lab._recrun_caches = [e, nodes]
+    return lab
+
+
+def _lpa_round(e: DataFrame, lab: DataFrame) -> DataFrame:
+    """One synchronous LPA round (factored so the plan audit can inspect
+    the pre-checkpoint shape): edges×labels equi-join, (node,label)
+    count, node-keyed min(struct(-count,label)) argmax, keep-own-label
+    for in-degree-0 nodes."""
+    counts = (e.join(lab.withColumnRenamed("node", "src"), "src")
+              .groupBy(F.col("dst").alias("node"), "label")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    best = (counts
+            .groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("label").alias("label")))
+                 .alias("m"))
+            .select("node", F.col("m.label").alias("new_label")))
+    return (lab.join(best, "node", "left")
+            .select("node",
+                    F.coalesce("new_label", "label").alias("label")))
+
+
+def skyline2d(df: DataFrame, x_col: str, y_col: str,
+              bucket_width: int = 256) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimize both axes): keep row q iff
+    no row p has ``p.x <= q.x AND p.y <= q.y`` with at least one strict
+    — the classic dominance query (Börzsönyi et al., ICDE 2001).
+    Exact-duplicate points do not dominate each other, so frontier ties
+    all survive.
+
+    Scale design — the textbook formulations are an O(n²) NOT-EXISTS
+    self-join or a single global-ORDER-BY running-min window (one
+    partition swallows the corpus).  For sorted-x data the skyline
+    membership test factors into two bounded pieces, so this runs the
+    same two-phase distributed prefix pattern as ``pack_blocks``:
+
+    1. collapse to one row per distinct x: ``gy(x) = min(y)`` (keyed
+       aggregate, map-side combine);
+    2. bucket by ``x div bucket_width`` (order-preserving for int64,
+       negatives included); per-bucket minima come to the driver —
+       bounded by the number of buckets, not rows — and each bucket gets
+       the EXCLUSIVE prefix-min of all earlier buckets back as a
+       broadcast;
+    3. each bucket computes its interior strict-prior running min in
+       parallel (window PARTITIONED by bucket over per-x rows).
+
+    A row is on the frontier iff ``y == gy(x)`` (nothing at the same x
+    strictly below it) AND the strict-prior min over all x' < x is
+    absent-or-greater (nothing up-left dominates).  Comparisons only —
+    no float arithmetic — so doubles oracle exactly.
+
+    Returns the qualifying input rows (original columns).  ``x_col``
+    must be integral; NULL x or y rows are excluded (dominance is
+    undefined on NULL)."""
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    rows = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .persist())
+    g = (rows.groupBy(F.col(x_col).alias("_x"))
+         .agg(F.min(y_col).alias("_gy"))
+         .withColumn("_b", F.expr(f"_x div {bucket_width}")))
+    g = g.persist()
+    # phase 2: exclusive prefix-min across buckets via a bounded collect
+    btot = {r["_b"]: r["m"] for r in
+            g.groupBy("_b").agg(F.min("_gy").alias("m")).collect()}
+    pre, run = [], None
+    for b in sorted(btot):
+        pre.append((b, run))
+        run = btot[b] if run is None else min(run, btot[b])
+    if not pre:
+        rows.unpersist()
+        g.unpersist()
+        return df.where(F.lit(False))
+    ytype = g.schema["_gy"].dataType.simpleString()
+    pre_df = df.sparkSession.createDataFrame(
+        pre, f"_b long, _pre {ytype}")
+    # phase 3: interior strict-prior running min, parallel per bucket
+    from pyspark.sql import Window
+    w = (Window.partitionBy("_b").orderBy("_x")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    gp = (g.join(F.broadcast(pre_df), "_b")
+          .withColumn("_in", F.min("_gy").over(w))
+          # least() skips NULLs in both Spark and DuckDB
+          .withColumn("_prior", F.least("_pre", "_in"))
+          .select("_x", "_gy", "_prior"))
+    out = (rows.join(gp, rows[x_col] == gp["_x"])
+           .where((F.col(y_col) == F.col("_gy"))
+                  & (F.col("_prior").isNull()
+                     | (F.col("_prior") > F.col(y_col))))
+           .select(*df.columns))
+    out._recrun_caches = [rows, g]
+    return out
+
+
 def release_caches(df: DataFrame) -> None:
     """Unpersist the cached intermediates an operator attached to its
     result (the ``_recrun_caches`` list, plus legacy ``_recrun_*``

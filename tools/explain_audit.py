@@ -521,6 +521,68 @@ def main():
          lambda p: "Exchange" not in p),
     ])
 
+    # label propagation (r5): audit ONE synchronous round (the full run is
+    # checkpoint-truncated per round, so the plan of round k IS this shape):
+    # edges×labels equi-join, (node,label) count with map-side combine,
+    # node-keyed struct-min argmax — no window, no single-reducer
+    from recrun_spark.operators import _lpa_round, release_caches
+    lp_edges = (qs["kg_comentions_flat"](spark, SF_DIR)
+                .select(F.col("entity_a").alias("src"),
+                        F.col("entity_b").alias("dst")))
+    lp_e = lp_edges.union(lp_edges.select(F.col("dst").alias("src"),
+                                          F.col("src").alias("dst")))
+    lp = _lpa_round(lp_e, lp_e.select(F.col("src").alias("node"),
+                                      F.col("src").alias("label"))
+                    .distinct())
+    audit("label_propagation_round", lp, [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("argmax via keyed aggregate, not a window",
+         lambda p: "Window" not in p),
+        ("map-side partial combine on the label counts",
+         lambda p: "partial" in p.lower()),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
+    # BM25 (r5): the global top-k must be TakeOrdered (sort+limit), never
+    # a corpus-wide single-partition sort; scoring is pure expressions
+    audit("documents_bm25_topk", qs["documents_bm25_topk"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("global top-k is TakeOrderedAndProject",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("tiny df/totals frames broadcast",
+         lambda p: "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p),
+    ])
+
+    # skyline (r5): the strict-prior running min must be PARTITIONED by
+    # bucket (the two-phase prefix pattern) — a global ORDER BY window
+    # would print 'Window' with an Exchange SinglePartition under it
+    sky = qs["orders_skyline"](spark, SF_DIR)
+    audit("orders_skyline", sky, [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("no O(n²) join — cartesian absent",
+         lambda p: "CartesianProduct" not in p),
+    ])
+    # the _finalize localCheckpoint truncates the interesting plan; audit
+    # the un-finalized operator shape directly
+    from recrun_spark.operators import skyline2d
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_orderkey",
+        F.expr("cast(timestampdiff(MICROSECOND, "
+               "timestamp'1970-01-01 00:00:00', o_orderdate) "
+               "div 86400000000 as bigint)").alias("day"),
+        "o_totalprice")
+    sk_raw = skyline2d(o, "day", "o_totalprice", bucket_width=256)
+    audit("skyline2d_operator", sk_raw, [
+        ("running min window partitioned by bucket — no single-reducer",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("bucket prefix-min offsets broadcast back",
+         lambda p: "BroadcastHashJoin" in p),
+        ("per-x minima via keyed aggregate with map-side combine",
+         lambda p: "partial" in p.lower()),
+    ])
+    release_caches(sk_raw)
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
