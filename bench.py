@@ -254,7 +254,8 @@ def main():
                  "customer_dim_scd2", "events_funnel",
                  "events_retention_cohorts", "events_type_pivot",
                  "events_value_hdr", "events_hdr_quantiles",
-                 "events_zorder_key"):
+                 "events_zorder_key", "kg_label_prop",
+                 "documents_bm25_topk", "orders_skyline"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

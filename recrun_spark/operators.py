@@ -222,20 +222,25 @@ def label_propagation(edges: DataFrame, iterations: int = 5,
 def _lpa_round(e: DataFrame, lab: DataFrame) -> DataFrame:
     """One synchronous LPA round (factored so the plan audit can inspect
     the pre-checkpoint shape): edges×labels equi-join, (node,label)
-    count, node-keyed min(struct(-count,label)) argmax, keep-own-label
-    for in-degree-0 nodes."""
-    counts = (e.join(lab.withColumnRenamed("node", "src"), "src")
-              .groupBy(F.col("dst").alias("node"), "label")
-              .agg(F.count(F.lit(1)).cast("long").alias("c")))
-    best = (counts
+    count, node-keyed min(struct(-count,label)) argmax.  Keep-own-label
+    for in-degree-0 nodes rides INSIDE the argmax as a zero-count
+    own-label candidate — count 0 loses to any real neighbor label
+    (c ≥ 1 ⇒ -c < 0) and wins exactly when there are none, so the
+    semantics equal the textbook coalesce-to-previous left join at one
+    shuffle less per round."""
+    votes = (e.join(lab.withColumnRenamed("node", "src"), "src")
+             .select(F.col("dst").alias("node"), "label",
+                     F.lit(1).cast("long").alias("w"))
+             .unionByName(lab.select("node", "label",
+                                     F.lit(0).cast("long").alias("w"))))
+    counts = (votes.groupBy("node", "label")
+              .agg(F.sum("w").alias("c")))
+    return (counts
             .groupBy("node")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"),
                                 F.col("label").alias("label")))
                  .alias("m"))
-            .select("node", F.col("m.label").alias("new_label")))
-    return (lab.join(best, "node", "left")
-            .select("node",
-                    F.coalesce("new_label", "label").alias("label")))
+            .select("node", F.col("m.label").alias("label")))
 
 
 def skyline2d(df: DataFrame, x_col: str, y_col: str,
