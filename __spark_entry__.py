@@ -588,6 +588,77 @@ def orders_skyline(spark, sf_dir):
     return _finalize(skyline2d(o, "day", "o_totalprice", bucket_width=256))
 
 
+def documents_fuzzy_aliases(spark, sf_dir):
+    """Edit-distance-≤1 alias hits over distinct corpus tokens
+    (functions.text.fuzzy_token_match — SymSpell deletion-neighborhood
+    blocking): candidate generation is an EQUI-join on single-deletion
+    variants (linear explode volume), exactness restored by a
+    levenshtein verify on candidates only — never the tokens×aliases
+    BroadcastNestedLoop the naive predicate join plans.  Both engines
+    implement classic unit-cost Levenshtein, so distances value-hash."""
+    from recrun_spark.functions.text import fuzzy_token_match
+    aliases = spark.createDataFrame(FLAT_ALIASES, ["alias", "entity"])
+    return fuzzy_token_match(_t(spark, sf_dir, "documents"), aliases)
+
+
+def orders_sssp(spark, sf_dir):
+    """Weighted shortest paths over the customer↔order-hub bipartite
+    graph (operators.sssp — Bellman-Ford rounds, int64 add/min, bit-
+    exact): 4 relaxation rounds from customer 1; parallel edges reduce
+    to min weight up front.  Oracle: the identical rounds unrolled as
+    chained CTEs (the bfs/pagerank discipline)."""
+    from recrun_spark.operators import sssp
+    o = _t(spark, sf_dir, "orders")
+    half = o.select(F.col("o_custkey").alias("src"),
+                    ((F.col("o_orderkey") % 211) + 1000000).alias("dst"),
+                    ((F.col("o_orderkey") % 9) + 1).alias("w"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                    "w"))
+    return _finalize(sssp(edges, [1], rounds=4))
+
+
+def _sssp_sql(rounds: int = 4) -> str:
+    """The SSSP oracle: each relaxation round = carried distances UNION
+    (distances + edge weight over the src join), node-keyed min —
+    unrolled as chained CTEs."""
+    steps = ["d0 AS (SELECT CAST(1 AS BIGINT) AS node, "
+             "CAST(0 AS BIGINT) AS dist)"]
+    for i in range(1, rounds + 1):
+        steps.append(f"""d{i} AS (
+              SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT p.node, p.dist FROM d{i - 1} p
+                UNION ALL
+                SELECT e.dst AS node, p.dist + e.w AS dist
+                FROM d{i - 1} p JOIN edges e ON e.src = p.node)
+              GROUP BY 1)""")
+    return f"""
+        WITH half AS (
+          SELECT o_custkey AS src,
+                 (o_orderkey % 211) + 1000000 AS dst,
+                 (o_orderkey % 9) + 1 AS w
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL),
+        sym AS (SELECT src, dst, w FROM half
+                UNION ALL SELECT dst, src, w FROM half),
+        edges AS (SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+                  FROM sym GROUP BY 1, 2),
+        {','.join(steps)}
+        SELECT node, dist FROM d{rounds}
+    """
+
+
+def events_resample_1h(spark, sf_dir):
+    """Hourly per-user time-grid resampling with forward fill
+    (functions.events.resample_ffill — time_bucket_gapfill + locf as a
+    batch operator): per-(user, hour) last-event reduce FIRST, grid
+    exploded off each user's [min, max] hour span, last-non-null window
+    per user.  Buckets are pure integer epoch-µs arithmetic (NTZ-safe);
+    values pass through untouched, so doubles value-hash."""
+    from recrun_spark.functions.events import resample_ffill
+    return resample_ffill(_t(spark, sf_dir, "events"))
+
+
 def documents_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span profile (functions.dedup.
     duplicated_spans — Lee et al. ACL'22): per doc, how many of its
@@ -1650,6 +1721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_label_prop": kg_label_prop,
         "documents_bm25_topk": documents_bm25_topk,
         "orders_skyline": orders_skyline,
+        "documents_fuzzy_aliases": documents_fuzzy_aliases,
+        "orders_sssp": orders_sssp,
+        "events_resample_1h": events_resample_1h,
         "kg_bfs_neighborhood": kg_bfs_neighborhood,
         "kg_triangles": kg_triangles,
         "kg_entity_jaccard": kg_entity_jaccard,
@@ -2231,6 +2305,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_entity_pagerank": _pagerank_sql(),
         "kg_label_prop": _label_prop_sql(),
+        "orders_sssp": _sssp_sql(),
+        "documents_fuzzy_aliases": """
+            WITH toks AS (
+              SELECT DISTINCT
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS token
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+            t2 AS (SELECT token FROM toks
+                   WHERE len(token) BETWEEN 2 AND 20),
+            dict(alias) AS (VALUES ('spark'), ('hash'), ('join'),
+                                   ('window'), ('stream'))
+            SELECT token, alias, levenshtein(token, alias)::INT AS dist
+            FROM t2, dict
+            WHERE levenshtein(token, alias) <= 1
+        """,
+        "events_resample_1h": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS t, event_id, value
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL),
+            pb AS (
+              SELECT user_id, t - (t % 3600000000) AS b0, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, t - (t % 3600000000)
+                       ORDER BY t DESC, event_id DESC) AS rn
+              FROM ev),
+            obs AS (SELECT user_id, b0, value AS _obs FROM pb WHERE rn = 1),
+            span AS (SELECT user_id, min(b0) AS lo, max(b0) AS hi
+                     FROM obs GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(lo, hi, 3600000000))
+                              AS bucket_start_us
+                     FROM span),
+            j AS (SELECT g.user_id, g.bucket_start_us, o._obs
+                  FROM grid g LEFT JOIN obs o
+                    ON o.user_id = g.user_id
+                   AND o.b0 = g.bucket_start_us)
+            SELECT user_id, bucket_start_us,
+                   last_value(_obs IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY bucket_start_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS value,
+                   _obs IS NULL AS filled
+            FROM j
+        """,
         "documents_bm25_topk": """
             WITH toks AS (
               SELECT doc_id,

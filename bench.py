@@ -255,7 +255,9 @@ def main():
                  "events_retention_cohorts", "events_type_pivot",
                  "events_value_hdr", "events_hdr_quantiles",
                  "events_zorder_key", "kg_label_prop",
-                 "documents_bm25_topk", "orders_skyline"):
+                 "documents_bm25_topk", "orders_skyline",
+                 "documents_fuzzy_aliases", "orders_sssp",
+                 "events_resample_1h"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

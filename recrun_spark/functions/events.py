@@ -95,3 +95,72 @@ def retention_cohorts(df, user_col="user_id", ts_col="ts"):
                 F.datediff(F.col("_day"), F.col("cohort_day"))
                  .cast("long").alias("day_offset"))
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def resample_ffill(df, user_col="user_id", ts_col="ts", val_col="value",
+                   tiebreak_col="event_id", step_us=3_600_000_000,
+                   max_steps=100_000):
+    """Per-key time-grid resampling with forward fill: for every key,
+    emit one row per ``step_us`` bucket from its first to its last event
+    and carry the last observed value forward across empty buckets —
+    the gap-filling step of a metrics/feature pipeline (TimescaleDB's
+    time_bucket_gapfill + locf, as a batch operator).
+
+    Semantics (all exact): bucket = epoch-microseconds div step_us (pure
+    integer NTZ arithmetic — the sessionizer discipline, never a
+    tz-dependent cast); the value recorded for a non-empty bucket is the
+    LAST event's in ``(ts, tiebreak)`` order (deterministic under ties);
+    ``filled`` marks carried rows.  Values pass through untouched, so
+    doubles value-hash cross-engine.
+
+    Scale shape: events reduce per (key, bucket) FIRST via one
+    max(struct(ts_us, tiebreak, value)) keyed aggregate (at web scale
+    events ≫ buckets); the grid explodes off the per-key [min, max]
+    bucket span (``sequence`` — fan-out bounded by ``max_steps``, loud
+    ANSI error beyond, never silent truncation); the forward fill is a
+    last-non-null window PARTITIONED by key over the already-small grid
+    frame.  No UDFs, no single-reducer exchange.
+
+    Returns (user_col, bucket_start_us:long, value, filled:boolean)."""
+    if step_us <= 0:
+        raise ValueError(f"step_us must be positive, got {step_us}")
+    ts_us = F.expr(
+        f"timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00', "
+        f"{ts_col})")
+    per_bucket = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+                 & F.col(val_col).isNotNull())
+        .select(F.col(user_col),
+                (ts_us - (ts_us % step_us)).alias("_b0"),
+                F.struct(ts_us.alias("_t"),
+                         F.col(tiebreak_col).alias("_k"),
+                         F.col(val_col).alias("v")).alias("_s"))
+        .groupBy(user_col, "_b0")
+        .agg(F.max("_s").alias("_s"))
+        .select(user_col, "_b0", F.col("_s.v").alias("_obs")))
+    span = (per_bucket.groupBy(user_col)
+            .agg(F.min("_b0").alias("_lo"), F.max("_b0").alias("_hi")))
+    # ANSI: sequence() raises if the span exceeds its element cap; gate
+    # explicitly so the error names the knob
+    # the guard column FEEDS the sequence start (multiply by 1) so
+    # Catalyst cannot prune the raise_error away as unused
+    chk = (F.when(F.expr(f"(_hi - _lo) div {step_us}") + 1 <= max_steps,
+                  F.lit(1).cast("long"))
+           .otherwise(F.raise_error(F.format_string(
+               "resample_ffill: key span exceeds max_steps=%s",
+               F.lit(str(max_steps))))))
+    grid = (span
+            .select(user_col,
+                    F.explode(F.sequence(
+                        F.col("_lo") * chk, F.col("_hi"),
+                        F.lit(step_us).cast("long")))
+                    .alias("bucket_start_us")))
+    w = (Window.partitionBy(user_col).orderBy("bucket_start_us")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    joined = grid.join(
+        per_bucket.withColumnRenamed("_b0", "bucket_start_us"),
+        [user_col, "bucket_start_us"], "left")
+    return (joined
+            .withColumn("value", F.last("_obs", ignorenulls=True).over(w))
+            .withColumn("filled", F.col("_obs").isNull())
+            .select(user_col, "bucket_start_us", "value", "filled"))

@@ -348,6 +348,64 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 10,
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def _deletion_variants(col: Column) -> Column:
+    """The string plus every single-character deletion of it — the
+    SymSpell deletion neighborhood D1 (Garbe 2012).  Pure expressions:
+    one array build per string, |s|+1 variants."""
+    return F.array_union(
+        F.array(col),
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.concat(col.substr(F.lit(1), i - 1),
+                               col.substr(i + 1, F.length(col)))))
+
+
+def fuzzy_token_match(documents: DataFrame, aliases: DataFrame,
+                      max_len: int = 20, text_col: str = "text",
+                      alias_col: str = "alias") -> DataFrame:
+    """Edit-distance-≤1 matches between distinct corpus tokens and an
+    alias dictionary — misspelled-mention detection for entity linking
+    (the fuzzy complement of the exact mention automaton).
+
+    Scale design — the naive form is a tokens×aliases cross join with a
+    levenshtein predicate (O(n·m) distances; Catalyst runs it as a
+    BroadcastNestedLoop).  This uses the SymSpell deletion-neighborhood
+    trick instead: lev(a,b) ≤ 1 ⟹ D1(a) ∩ D1(b) ≠ ∅ where D1(s) is s
+    plus its single-char deletions, so exploding BOTH sides to their
+    variants turns candidate generation into an EQUI-join on the variant
+    string (the intersection test), followed by a levenshtein ≤ 1 verify
+    on the distinct candidate pairs only (the implication is one-way:
+    e.g. 'ab'/'ba' share deletions at distance 2 — verification is what
+    makes it exact).  Explode volume is Σ(|token|+1) ≤ (max_len+1)·n —
+    linear in the corpus; the alias side is vocabulary-scale and
+    broadcasts.  ``max_len`` bounds the per-token fan-out (a token
+    longer than every alias by ≥2 can't match at distance 1 anyway).
+
+    Both Spark and DuckDB implement classic Levenshtein (unit-cost
+    insert/delete/substitute), so distances value-hash cross-engine.
+
+    Returns (token, alias, dist:int) for lev ≤ 1, distance-0 self-hits
+    included."""
+    toks = (documents
+            .select(F.explode(tokens_col(F.lower(F.col(text_col))))
+                    .alias("token"))
+            .where((F.length("token") >= 2)
+                   & (F.length("token") <= max_len))
+            .distinct())
+    tvar = toks.select(
+        "token", F.explode(_deletion_variants(F.col("token"))).alias("_v"))
+    avar = (aliases
+            .select(F.lower(F.col(alias_col)).alias("alias")).distinct()
+            .select("alias",
+                    F.explode(_deletion_variants(F.col("alias")))
+                    .alias("_v")))
+    cands = (tvar.join(F.broadcast(avar), "_v")
+             .select("token", "alias").distinct())
+    return (cands
+            .withColumn("dist", F.levenshtein("token", "alias"))
+            .where(F.col("dist") <= 1))
+
+
 def ngram_counts(documents: DataFrame, n: int = 3, min_count: int = 2,
                  text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:

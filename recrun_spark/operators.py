@@ -243,6 +243,53 @@ def _lpa_round(e: DataFrame, lab: DataFrame) -> DataFrame:
             .select("node", F.col("m.label").alias("label")))
 
 
+def sssp(edges: DataFrame, sources: list, rounds: int = 4,
+         src: str = "src", dst: str = "dst",
+         weight: str = "w") -> DataFrame:
+    """Weighted single-source(s) shortest paths, Bellman-Ford style:
+    ``rounds`` synchronous relaxation rounds over an integer-weighted
+    directed edge list — after round k, ``dist(v)`` is the exact minimum
+    cost over paths of ≤ k edges from any source (the weighted
+    generalization of bfs_distances; unreached nodes are absent, not
+    NULL).  All arithmetic is int64 add/min, so distances are bit-exact
+    in any engine and independent of partitioning — the property float
+    edge weights lack.  A fixed round horizon (not run-to-fixpoint)
+    keeps the trajectory deterministic and oracle-unrollable; rounds =
+    graph diameter gives the classic full SSSP on nonnegative weights.
+
+    Scale shape: parallel edges reduce to their min weight ONCE up
+    front; each round is one dists×edges equi-join on src + one
+    node-keyed min over (carried ∪ relaxed) — O(E) a round with
+    map-side combine, no windows, no driver transfer; the dist frame is
+    localCheckpoint-ed per round (the pagerank lineage discipline).
+
+    Returns (node, dist:long)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      F.col(weight).cast("long").alias("w"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & F.col("w").isNotNull())
+         .groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .persist())
+    node_type = e.schema["src"].dataType
+    d = edges.sparkSession.createDataFrame(
+        [(s,) for s in sorted(set(sources))], ["node"]) \
+        .select(F.col("node").cast(node_type),
+                F.lit(0).cast("long").alias("dist"))
+    for _ in range(rounds):
+        relaxed = (e.join(d.withColumnRenamed("node", "src"), "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        d = (d.unionByName(relaxed)
+             .groupBy("node").agg(F.min("dist").alias("dist"))
+             .localCheckpoint(eager=True))
+    d._recrun_caches = [e]
+    return d
+
+
 def skyline2d(df: DataFrame, x_col: str, y_col: str,
               bucket_width: int = 256) -> DataFrame:
     """2-D skyline (Pareto frontier, minimize both axes): keep row q iff

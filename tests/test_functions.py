@@ -1899,3 +1899,116 @@ def test_bm25_topk_semantics(spark):
         bm25_topk(docs, [], k=10)
     with pytest.raises(ValueError):
         bm25_topk(docs, ["spark"], k=0)
+
+
+def test_fuzzy_token_match_vs_bruteforce(spark):
+    """SymSpell deletion-join == brute-force levenshtein<=1, including the
+    distance-2 shared-deletion false candidate ('ab'/'ba') the verify
+    must reject, plus substitution/insert/delete hits and length gates."""
+    from recrun_spark.functions.text import fuzzy_token_match
+    docs = spark.createDataFrame(
+        [(1, "spark sprak spak sparkk stream steam dream ab "
+             "x abcdefghijklmnopqrstuvwxyz hash cash hashh")],
+        ["doc_id", "text"])
+    aliases = spark.createDataFrame(
+        [("spark", "E"), ("stream", "E2"), ("hash", "E3"), ("ba", "E4")],
+        ["alias", "entity"])
+    got = {(r["token"], r["alias"]): r["dist"]
+           for r in fuzzy_token_match(docs, aliases).collect()}
+
+    def lev(a, b):
+        import functools
+        @functools.lru_cache(None)
+        def d(i, j):
+            if not i or not j:
+                return i or j
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return d(len(a), len(b))
+
+    toks = [t for t in ("spark sprak spak sparkk stream steam dream ab x "
+                        "abcdefghijklmnopqrstuvwxyz hash cash hashh"
+                        ).split() if 2 <= len(t) <= 20]
+    expect = {(t, a): lev(t, a)
+              for t in set(toks) for a in ("spark", "stream", "hash", "ba")
+              if lev(t, a) <= 1}
+    assert got == expect
+    assert ("ab", "ba") not in got       # dist-2 false candidate rejected
+    assert ("sprak", "spark") not in got  # transposition = unit-cost 2
+    assert got[("spak", "spark")] == 1    # deletion
+    assert got[("sparkk", "spark")] == 1  # insertion
+    assert got[("cash", "hash")] == 1     # substitution
+    assert got[("spark", "spark")] == 0   # exact hit carried
+    assert ("x", "spark") not in got      # below min length
+
+
+def test_sssp_semantics(spark):
+    """Bellman-Ford rounds: exact min path costs on a weighted diamond,
+    parallel edges reduce to min, round-k horizon = <=k-edge paths,
+    repartition bit-equality, guards."""
+    from recrun_spark.operators import release_caches, sssp
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 10), ("b", "c", 1),
+         ("c", "d", 1), ("a", "b", 5),          # parallel a->b keeps 1
+         ("e", "a", 2)],                        # e unreachable FROM a
+        ["src", "dst", "w"])
+    got = {r["node"]: r["dist"] for r in sssp(edges, ["a"], rounds=4).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    # horizon: after 1 round only <=1-edge paths exist
+    one = {r["node"]: r["dist"] for r in sssp(edges, ["a"], rounds=1).collect()}
+    assert one == {"a": 0, "b": 1, "c": 10}
+
+    # multi-source: min over sources
+    multi = {r["node"]: r["dist"]
+             for r in sssp(edges, ["a", "e"], rounds=4).collect()}
+    assert multi["a"] == 0 and multi["e"] == 0 and multi["b"] == 1
+
+    out = sssp(edges.repartition(7), ["a"], rounds=4)
+    assert {r["node"]: r["dist"] for r in out.collect()} == got
+    release_caches(out)
+
+    with pytest.raises(ValueError):
+        sssp(edges, ["a"], rounds=0)
+    with pytest.raises(ValueError):
+        sssp(edges, [], rounds=2)
+
+
+def test_resample_ffill_semantics(spark):
+    """Grid completeness over gaps, forward fill carries the LAST event
+    of a bucket ((ts, event_id) order), filled flags, span guard."""
+    import datetime as dt
+
+    from recrun_spark.functions.events import resample_ffill
+    H = 3_600_000_000
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    ev = spark.createDataFrame(
+        [(1, ts(0, 10), 7, 1.5), (2, ts(0, 50), 7, 2.5),   # same bucket:
+         (3, ts(0, 50), 7, 3.5),                            # ties on ts ->
+                                                            # event_id 3 wins
+         (4, ts(3, 0), 7, 9.0),                             # gap hours 1-2
+         (5, ts(1, 0), 8, 4.0)],                            # second user
+        ["event_id", "ts", "user_id", "value"])
+    base = 1704067200 * 1_000_000
+    rows = {(r["user_id"], r["bucket_start_us"]):
+            (r["value"], r["filled"])
+            for r in resample_ffill(ev).collect()}
+    assert rows[(7, base + 0 * H)] == (3.5, False)   # last event in bucket
+    assert rows[(7, base + 1 * H)] == (3.5, True)    # carried
+    assert rows[(7, base + 2 * H)] == (3.5, True)
+    assert rows[(7, base + 3 * H)] == (9.0, False)
+    assert rows[(8, base + 1 * H)] == (4.0, False)
+    assert len(rows) == 5
+
+    # span guard raises loudly instead of exploding a huge grid
+    wide = spark.createDataFrame(
+        [(1, ts(0), 9, 1.0), (2, ts(10), 9, 2.0)],
+        ["event_id", "ts", "user_id", "value"])
+    with pytest.raises(Exception, match="max_steps"):
+        resample_ffill(wide, max_steps=5).collect()
+    with pytest.raises(ValueError):
+        resample_ffill(ev, step_us=0)

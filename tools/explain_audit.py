@@ -583,6 +583,59 @@ def main():
     ])
     release_caches(sk_raw)
 
+    # fuzzy alias match (r5): the whole point is that candidate generation
+    # is an EQUI-join on the deletion variant — the naive levenshtein
+    # predicate join would plan a BroadcastNestedLoop over tokens×aliases
+    audit("documents_fuzzy_aliases",
+          qs["documents_fuzzy_aliases"](spark, SF_DIR), [
+              ("no python UDF", lambda p: "BatchEvalPython" not in p),
+              ("candidate generation is a broadcast EQUI-join on the "
+               "deletion variant",
+               lambda p: "BroadcastHashJoin" in p),
+              ("no nested-loop levenshtein join",
+               lambda p: "BroadcastNestedLoop" not in p
+               and "CartesianProduct" not in p),
+          ])
+
+    # SSSP (r5): audit ONE relaxation round pre-checkpoint (the full run
+    # is checkpoint-truncated per round, like pagerank/LPA)
+    ordersdf = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    half = ordersdf.select(F.col("o_custkey").alias("src"),
+                           ((F.col("o_orderkey") % 211) + 1000000)
+                           .alias("dst"),
+                           ((F.col("o_orderkey") % 9) + 1).alias("w"))
+    sssp_e = (half.unionByName(half.select(F.col("dst").alias("src"),
+                                           F.col("src").alias("dst"), "w"))
+              .groupBy("src", "dst").agg(F.min("w").alias("w")))
+    d0 = spark.range(1).select(F.lit(1).cast("long").alias("node"),
+                               F.lit(0).cast("long").alias("dist"))
+    relax = (d0.unionByName(
+        sssp_e.join(d0.withColumnRenamed("node", "src"), "src")
+        .select(F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist")))
+        .groupBy("node").agg(F.min("dist").alias("dist")))
+    audit("sssp_relax_round", relax, [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("relaxation is join + keyed min — no window",
+         lambda p: "Window" not in p),
+        ("map-side partial min", lambda p: "partial" in p.lower()),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
+    # resample+ffill (r5): the forward-fill window must be PARTITIONED by
+    # user (keyed), never a global sort; the per-bucket reduce is a keyed
+    # aggregate with map-side combine
+    audit("events_resample_1h", qs["events_resample_1h"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("grid explode via sequence (Generate), bounded per key",
+         lambda p: "Generate" in p),
+        ("no single-reducer exchange (windows keyed by user)",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("per-bucket last-event reduce has map-side partial combine",
+         lambda p: "partial" in p.lower()),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
