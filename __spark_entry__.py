@@ -659,6 +659,40 @@ def events_resample_1h(spark, sf_dir):
     return resample_ffill(_t(spark, sf_dir, "events"))
 
 
+def documents_shuffle_order(spark, sf_dir):
+    """Deterministic global training-shuffle order (operators.
+    global_rank): every document's exact 0-based position in
+    md5(doc_id) order — the epoch-shuffle layout step of a pretraining
+    loader — computed by the two-phase prefix-count pattern (per-bucket
+    COUNTS through a bounded driver exchange, interior ranks parallel
+    per bucket), never the single-partition window a global row_number
+    plans.  md5 hex is identical in both engines, so positions are
+    row-exact."""
+    from recrun_spark.operators import global_rank
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id").isNotNull())
+         .select("doc_id",
+                 F.md5(F.col("doc_id").cast("string")).alias("_k")))
+    return _finalize(global_rank(d, "_k")
+                     .select("doc_id",
+                             F.col("rank").alias("shuffle_pos")))
+
+
+def customer_hierarchy(spark, sf_dir):
+    """Ancestor closure with exact depths over the synthetic decimal
+    customer hierarchy (parent = custkey div 10; operators.
+    ancestor_closure — POINTER DOUBLING, ⌈log₂ h⌉ composition joins
+    instead of the h sequential self-joins a recursive CTE walks).
+    Oracle: DuckDB's actual recursive CTE — the two strategies must
+    enumerate the identical (node, ancestor, dist) set."""
+    from recrun_spark.operators import ancestor_closure
+    c = (_t(spark, sf_dir, "customer")
+         .where(F.col("c_custkey").isNotNull() & (F.col("c_custkey") >= 1))
+         .select(F.col("c_custkey").alias("child"),
+                 F.expr("c_custkey div 10").alias("parent")))
+    return _finalize(ancestor_closure(c))
+
+
 def documents_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span profile (functions.dedup.
     duplicated_spans — Lee et al. ACL'22): per doc, how many of its
@@ -1724,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_fuzzy_aliases": documents_fuzzy_aliases,
         "orders_sssp": orders_sssp,
         "events_resample_1h": events_resample_1h,
+        "documents_shuffle_order": documents_shuffle_order,
+        "customer_hierarchy": customer_hierarchy,
         "kg_bfs_neighborhood": kg_bfs_neighborhood,
         "kg_triangles": kg_triangles,
         "kg_entity_jaccard": kg_entity_jaccard,
@@ -2306,6 +2342,27 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": _pagerank_sql(),
         "kg_label_prop": _label_prop_sql(),
         "orders_sssp": _sssp_sql(),
+        "documents_shuffle_order": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                      ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1)::BIGINT
+                     AS shuffle_pos
+            FROM documents WHERE doc_id IS NOT NULL
+        """,
+        "customer_hierarchy": """
+            WITH RECURSIVE edges AS (
+              SELECT c_custkey AS child, c_custkey // 10 AS parent
+              FROM customer
+              WHERE c_custkey IS NOT NULL AND c_custkey >= 1),
+            anc AS (
+              SELECT child AS node, parent AS anc,
+                     CAST(1 AS BIGINT) AS dist
+              FROM edges
+              UNION ALL
+              SELECT a.node, e.parent, a.dist + 1
+              FROM anc a JOIN edges e ON e.child = a.anc)
+            SELECT node, anc, dist FROM anc
+        """,
         "documents_fuzzy_aliases": """
             WITH toks AS (
               SELECT DISTINCT

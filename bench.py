@@ -257,7 +257,8 @@ def main():
                  "events_zorder_key", "kg_label_prop",
                  "documents_bm25_topk", "orders_skyline",
                  "documents_fuzzy_aliases", "orders_sssp",
-                 "events_resample_1h"):
+                 "events_resample_1h", "documents_shuffle_order",
+                 "customer_hierarchy"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

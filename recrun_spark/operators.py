@@ -6,7 +6,7 @@ Both are plain PySpark compositions (no custom Catalyst rules — SURVEY.md §4)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -288,6 +288,95 @@ def sssp(edges: DataFrame, sources: list, rounds: int = 4,
              .localCheckpoint(eager=True))
     d._recrun_caches = [e]
     return d
+
+
+def global_rank(df: DataFrame, key_col: str,
+                bucket_prefix_len: int = 2) -> DataFrame:
+    """Exact 0-based global rank of every row in ``key_col`` order — the
+    distributed ORDER-BY-position primitive (training-shuffle order,
+    stable pagination) WITHOUT the single-partition window a naive
+    ``row_number() OVER (ORDER BY key)`` plans.
+
+    Same two-phase prefix pattern as pack_blocks/skyline2d: rows bucket
+    by an order-preserving string prefix of the key; per-bucket COUNTS
+    (not rows) come to the driver — bounded by distinct prefixes — and
+    exclusive prefix offsets go back as a broadcast; each bucket ranks
+    its interior in parallel (window PARTITIONED by bucket).  The key
+    must be a STRING with unique values per row (duplicate keys would
+    tie nondeterministically — callers append a unique suffix).
+
+    Returns the input columns plus ``rank:long``."""
+    if bucket_prefix_len < 1:
+        raise ValueError(
+            f"bucket_prefix_len must be >= 1, got {bucket_prefix_len}")
+    d = (df.where(F.col(key_col).isNotNull())
+         .withColumn("_b", F.substring(F.col(key_col), 1,
+                                       bucket_prefix_len))
+         .persist())
+    counts = {r["_b"]: r["n"] for r in
+              d.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    off, acc = [], 0
+    for b in sorted(counts):
+        off.append((b, acc))
+        acc += counts[b]
+    if not off:
+        d.unpersist()
+        return df.where(F.lit(False)).withColumn(
+            "rank", F.lit(None).cast("long"))
+    off_df = df.sparkSession.createDataFrame(off, "_b string, _off long")
+    w = Window.partitionBy("_b").orderBy(key_col)
+    out = (d.join(F.broadcast(off_df), "_b")
+           .withColumn("rank", (F.col("_off")
+                                + F.row_number().over(w) - 1).cast("long"))
+           .select(*df.columns, "rank"))
+    out._recrun_caches = [d]
+    return out
+
+
+def ancestor_closure(edges: DataFrame, child: str = "child",
+                     parent: str = "parent",
+                     max_rounds: int = 20) -> DataFrame:
+    """Transitive ancestor closure of a forest/DAG parent relation with
+    exact path distances — the hierarchy-flatten primitive (category
+    trees, org charts, thread reply chains).
+
+    Scale design: POINTER DOUBLING — each round composes the closure
+    with itself (``R ∪ R∘R``), so paths of length ≤ 2^k exist after k
+    rounds and a height-h hierarchy closes in ⌈log₂ h⌉ joins, not the h
+    sequential self-joins of the naive frontier walk (a recursive CTE's
+    shape).  Convergence is ONE count per round; the closure frame is
+    localCheckpoint-ed per round (pagerank discipline).  Input must be
+    acyclic (a cycle never converges — ``max_rounds`` bounds the loop
+    loudly).  In a tree each (node, ancestor) pair has a unique path, so
+    distances are exact set elements, no min needed; on a DAG with
+    multiple paths the closure keeps each distinct distance.
+
+    Returns (node, anc, dist:long)."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    clo = (edges.select(F.col(child).alias("node"),
+                        F.col(parent).alias("anc"),
+                        F.lit(1).cast("long").alias("dist"))
+           .where(F.col("node").isNotNull() & F.col("anc").isNotNull())
+           .distinct()
+           .localCheckpoint(eager=True))
+    n = clo.count()
+    for _ in range(max_rounds):
+        a, b = clo.alias("a"), clo.alias("b")
+        doubled = (a.join(b, F.col("a.anc") == F.col("b.node"))
+                   .select(F.col("a.node").alias("node"),
+                           F.col("b.anc").alias("anc"),
+                           (F.col("a.dist") + F.col("b.dist"))
+                           .alias("dist")))
+        clo = (clo.unionByName(doubled).distinct()
+               .localCheckpoint(eager=True))
+        n2 = clo.count()
+        if n2 == n:
+            return clo
+        n = n2
+    raise ValueError(
+        f"ancestor_closure did not converge in {max_rounds} rounds — "
+        "cycle in the parent relation, or raise max_rounds")
 
 
 def skyline2d(df: DataFrame, x_col: str, y_col: str,

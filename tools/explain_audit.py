@@ -636,6 +636,32 @@ def main():
          lambda p: "partial" in p.lower()),
     ])
 
+    # global rank (r5): THE trap this operator exists to avoid is the
+    # single-partition window of a global ORDER BY row_number — the
+    # interior rank must be partitioned by bucket
+    from recrun_spark.operators import global_rank
+    gr_in = (spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+             .where(F.col("doc_id").isNotNull())
+             .select("doc_id",
+                     F.md5(F.col("doc_id").cast("string")).alias("_k")))
+    gr = global_rank(gr_in, "_k")
+    audit("global_rank_operator", gr, [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("interior rank window partitioned by bucket — no single-reducer",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("bucket offsets broadcast back",
+         lambda p: "BroadcastHashJoin" in p),
+    ])
+    release_caches(gr)
+
+    # ancestor closure (r5): ONE doubling composition — an equi-join on
+    # the middle node plus a distinct, no window, no cartesian
+    clo = qs["customer_hierarchy"](spark, SF_DIR)
+    audit("customer_hierarchy", clo, [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
