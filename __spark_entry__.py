@@ -693,6 +693,53 @@ def customer_hierarchy(spark, sf_dir):
     return _finalize(ancestor_closure(c))
 
 
+def embeddings_quantize_int8(spark, sf_dir):
+    """Per-vector max-abs scalar quantization of the embedding corpus to
+    int8 codes — the storage/bandwidth step of a vector pipeline (the
+    SQ8 of FAISS, minus codebook training).  All math is the SAME IEEE
+    double expression in both engines (float32 → float64 widening is
+    exact; ×127/scale is one multiply + one divide; floor truncates the
+    shared result), so codes and scales value-hash with no float fuzz.
+    Zero vectors quantize to zeros (no 0/0).  Pure higher-order array
+    expressions over one scan — no shuffle, no UDF."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id").isNotNull()
+                  & F.col("embedding").isNotNull()))
+    mx = F.array_max(F.transform(F.col("embedding"),
+                                 lambda x: F.abs(x))).cast("double")
+    q = (F.when(mx == 0.0,
+                F.transform(F.col("embedding"), lambda x: F.lit(0)))
+         .otherwise(F.transform(
+             F.col("embedding"),
+             lambda x: F.floor(x.cast("double") * F.lit(127.0) / mx)
+             .cast("int"))))
+    return emb.select("vec_id", mx.alias("scale"), q.alias("q8"))
+
+
+def documents_fingerprint(spark, sf_dir):
+    """Order-independent per-language table checksum — the cross-cluster
+    integrity/anti-entropy primitive (diff two replicas of a 100 TB
+    table by exchanging one row per partition-group, not the data):
+    bit_xor of a portable md5-derived 60-bit row hash (dedup._hash60)
+    plus a row count per group.  XOR is commutative/associative, so the
+    checksum is independent of partitioning and row order; an EVEN
+    number of copies of the same row cancels in the xor (an odd extra
+    flips it) — the count column is what catches even-copy drift.
+    NULL fields fold as a sentinel so (NULL) and ('') differ."""
+    from recrun_spark.functions.dedup import _hash60
+    d = _t(spark, sf_dir, "documents")
+    row = F.concat_ws(
+        "\x1f",
+        F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00N")),
+        F.coalesce(F.col("text"), F.lit("\x00N")),
+        F.coalesce(F.col("lang"), F.lit("\x00N")),
+        F.coalesce(F.col("source"), F.lit("\x00N")),
+        F.coalesce(F.col("n_chars").cast("string"), F.lit("\x00N")))
+    return (d.groupBy(F.coalesce(F.col("lang"), F.lit("?")).alias("lang"))
+            .agg(F.bit_xor(_hash60(row)).alias("checksum"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows")))
+
+
 def documents_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span profile (functions.dedup.
     duplicated_spans — Lee et al. ACL'22): per doc, how many of its
@@ -1760,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample_1h": events_resample_1h,
         "documents_shuffle_order": documents_shuffle_order,
         "customer_hierarchy": customer_hierarchy,
+        "embeddings_quantize_int8": embeddings_quantize_int8,
+        "documents_fingerprint": documents_fingerprint,
         "kg_bfs_neighborhood": kg_bfs_neighborhood,
         "kg_triangles": kg_triangles,
         "kg_entity_jaccard": kg_entity_jaccard,
@@ -2342,6 +2391,40 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": _pagerank_sql(),
         "kg_label_prop": _label_prop_sql(),
         "orders_sssp": _sssp_sql(),
+        "embeddings_quantize_int8": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     CAST(list_max(list_transform(
+                       embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)
+                       AS scale
+              FROM embeddings
+              WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+            SELECT vec_id, scale,
+                   CASE WHEN scale = 0.0
+                        THEN list_transform(embedding, x -> 0)
+                        ELSE list_transform(
+                          embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE)
+                                          * CAST(127.0 AS DOUBLE)
+                                          / scale) AS INT)) END AS q8
+            FROM e
+        """,
+        "documents_fingerprint": f"""
+            WITH rowed AS (
+              SELECT coalesce(lang, '?') AS lang,
+                     concat_ws(chr(31),
+                       coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'N'),
+                       coalesce(text, chr(0) || 'N'),
+                       coalesce(lang, chr(0) || 'N'),
+                       coalesce(source, chr(0) || 'N'),
+                       coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'N'))
+                       AS r
+              FROM documents)
+            SELECT lang,
+                   bit_xor({_ddb_hash60('r')}) AS checksum,
+                   count(*)::BIGINT AS n_rows
+            FROM rowed GROUP BY 1
+        """,
         "documents_shuffle_order": """
             SELECT doc_id,
                    (row_number() OVER (

@@ -258,7 +258,8 @@ def main():
                  "documents_bm25_topk", "orders_skyline",
                  "documents_fuzzy_aliases", "orders_sssp",
                  "events_resample_1h", "documents_shuffle_order",
-                 "customer_hierarchy"):
+                 "customer_hierarchy", "embeddings_quantize_int8",
+                 "documents_fingerprint"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

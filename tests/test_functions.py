@@ -2078,3 +2078,63 @@ def test_ancestor_closure_semantics(spark):
     with pytest.raises(ValueError, match="converge"):
         cyc = spark.createDataFrame([(1, 2), (2, 1)], ["child", "parent"])
         ancestor_closure(cyc, max_rounds=3)
+
+
+def test_quantize_and_fingerprint_entries(spark, tmp_path):
+    """embeddings_quantize_int8: codes bounded, extreme element hits
+    ±127, zero vector quantizes to zeros, scale = max |x|.
+    documents_fingerprint: partition/order invariant, content sensitive,
+    duplicate rows cancel in the xor but not in the count."""
+    import __spark_entry__ as entrymod
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25], 0), (2, [0.0, 0.0], 0), (3, None, 0)],
+        "vec_id long, embedding array<float>, label int") \
+        .write.parquet(f"{sf}/embeddings.parquet")
+    rows = {r["vec_id"]: r for r in
+            entrymod.queries()["embeddings_quantize_int8"](spark, sf)
+            .collect()}
+    assert rows[1]["scale"] == 1.0
+    assert rows[1]["q8"] == [63, -127, 31]     # floor(0.5*127), -127, floor(31.75)
+    assert rows[2]["q8"] == [0, 0] and rows[2]["scale"] == 0.0
+    assert 3 not in rows                        # NULL embedding excluded
+    assert all(-127 <= v <= 127 for r in rows.values() for v in r["q8"])
+
+    docs = spark.createDataFrame(
+        [(1, "aaa", "en", "s", 3), (2, "bbb", "en", "s", 3),
+         (3, "ccc", "de", "s", 3), (4, None, None, None, None)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    fp = entrymod.queries()["documents_fingerprint"]
+    base = {r["lang"]: (r["checksum"], r["n_rows"])
+            for r in fp(spark, sf).collect()}
+    assert set(base) == {"en", "de", "?"}
+
+    sf2 = str(tmp_path / "repart")
+    docs.repartition(7).write.parquet(f"{sf2}/documents.parquet")
+    again = {r["lang"]: (r["checksum"], r["n_rows"])
+             for r in fp(spark, sf2).collect()}
+    assert again == base                        # order/partition invariant
+
+    sf3 = str(tmp_path / "mut")
+    docs.withColumn("text", F.when(F.col("doc_id") == 1, "aaA")
+                    .otherwise(F.col("text"))) \
+        .write.parquet(f"{sf3}/documents.parquet")
+    mut = {r["lang"]: (r["checksum"], r["n_rows"])
+           for r in fp(spark, sf3).collect()}
+    assert mut["en"] != base["en"] and mut["de"] == base["de"]
+
+    one = docs.where(F.col("doc_id") == 1)
+    sf4 = str(tmp_path / "dup1")
+    docs.unionByName(one).write.parquet(f"{sf4}/documents.parquet")
+    dup1 = {r["lang"]: (r["checksum"], r["n_rows"])
+            for r in fp(spark, sf4).collect()}
+    assert dup1["en"][0] != base["en"][0]       # ONE extra copy flips xor
+    sf5 = str(tmp_path / "dup2")
+    docs.unionByName(one).unionByName(one) \
+        .write.parquet(f"{sf5}/documents.parquet")
+    dup2 = {r["lang"]: (r["checksum"], r["n_rows"])
+            for r in fp(spark, sf5).collect()}
+    assert dup2["en"][0] == base["en"][0]       # an EVEN count cancels...
+    assert dup2["en"][1] == base["en"][1] + 2   # ...the row count catches it

@@ -662,6 +662,25 @@ def main():
         ("no cartesian", lambda p: "CartesianProduct" not in p),
     ])
 
+    # int8 quantization (r5): pure higher-order array expressions over one
+    # scan — NO exchange, NO UDF (the whole row stays in codegen)
+    audit("embeddings_quantize_int8",
+          qs["embeddings_quantize_int8"](spark, SF_DIR), [
+              ("no python UDF", lambda p: "BatchEvalPython" not in p),
+              ("zero shuffle — pure projection over the scan",
+               lambda p: "Exchange" not in p),
+          ])
+
+    # table fingerprint (r5): one keyed xor/count aggregate with map-side
+    # combine — the anti-entropy checksum never moves row data
+    audit("documents_fingerprint",
+          qs["documents_fingerprint"](spark, SF_DIR), [
+              ("no python UDF", lambda p: "BatchEvalPython" not in p),
+              ("map-side partial combine", lambda p: "partial" in p.lower()),
+              ("no single-reducer exchange",
+               lambda p: "Exchange SinglePartition" not in p),
+          ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
