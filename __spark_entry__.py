@@ -740,6 +740,23 @@ def documents_fingerprint(spark, sf_dir):
                  F.count(F.lit(1)).cast("long").alias("n_rows")))
 
 
+def join_size_estimate(spark, sf_dir):
+    """Pre-shuffle join-size estimation (functions.sketch.cms_join_size
+    — the CMS inner-product estimator): size events ⋈ orders on the
+    user/customer key from two 4×256 sketches, next to the exact count
+    the estimate bounds from above.  All-integer, so both numbers
+    value-hash; the oracle rebuilds the identical sketches cell-for-cell
+    and takes the same row-wise min."""
+    from recrun_spark.functions.sketch import cms_join_size, count_min_sketch
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    od = _t(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    est = cms_join_size(count_min_sketch(ev, "user_id"),
+                        count_min_sketch(od, "o_custkey"))
+    exact = (ev.join(od, ev.user_id == od.o_custkey)
+             .agg(F.count(F.lit(1)).cast("long").alias("exact_rows")))
+    return est.crossJoin(exact)
+
+
 def documents_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span profile (functions.dedup.
     duplicated_spans — Lee et al. ACL'22): per doc, how many of its
@@ -1809,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_hierarchy": customer_hierarchy,
         "embeddings_quantize_int8": embeddings_quantize_int8,
         "documents_fingerprint": documents_fingerprint,
+        "join_size_estimate": join_size_estimate,
         "kg_bfs_neighborhood": kg_bfs_neighborhood,
         "kg_triangles": kg_triangles,
         "kg_entity_jaccard": kg_entity_jaccard,
@@ -2391,6 +2409,32 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": _pagerank_sql(),
         "kg_label_prop": _label_prop_sql(),
         "orders_sssp": _sssp_sql(),
+        "join_size_estimate": f"""
+            WITH ea AS (
+              SELECT i,
+                     ({_ddb_hash60("i::VARCHAR || chr(31) || "
+                                   "user_id::VARCHAR")}) % 256 AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+              WHERE user_id IS NOT NULL GROUP BY 1, 2),
+            ob AS (
+              SELECT i,
+                     ({_ddb_hash60("i::VARCHAR || chr(31) || "
+                                   "o_custkey::VARCHAR")}) % 256 AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM orders CROSS JOIN (SELECT unnest(range(4)) AS i)
+              WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+            ip AS (SELECT a.i, sum(a.cnt * b.cnt) AS ipr
+                   FROM ea a JOIN ob b USING (i, bucket) GROUP BY 1),
+            est AS (SELECT CAST(min(coalesce(ip.ipr, 0)) AS BIGINT)
+                      AS estimate
+                    FROM (SELECT unnest(range(4)) AS i) g
+                    LEFT JOIN ip ON ip.i = g.i),
+            ex AS (SELECT count(*)::BIGINT AS exact_rows
+                   FROM events e JOIN orders o ON e.user_id = o.o_custkey
+                   WHERE e.user_id IS NOT NULL)
+            SELECT est.estimate, ex.exact_rows FROM est, ex
+        """,
         "embeddings_quantize_int8": """
             WITH e AS (
               SELECT vec_id, embedding,

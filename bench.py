@@ -259,7 +259,7 @@ def main():
                  "documents_fuzzy_aliases", "orders_sssp",
                  "events_resample_1h", "documents_shuffle_order",
                  "customer_hierarchy", "embeddings_quantize_int8",
-                 "documents_fingerprint"):
+                 "documents_fingerprint", "join_size_estimate"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -63,6 +63,34 @@ def count_min_sketch(df: DataFrame, key_col: str,
             .agg(F.sum("_w").alias("cnt")))
 
 
+def cms_join_size(a_cells: DataFrame, b_cells: DataFrame,
+                  depth: int = CMS_DEPTH) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches — the
+    AMS/CMS inner-product estimator (Cormode & Muthukrishnan §4.2):
+    |A ⋈ B| = Σ_key f_A(key)·f_B(key) is estimated by min over hash rows
+    of Σ_bucket a_cnt·b_cnt.  One-sided like the point estimate
+    (estimate ≥ exact always; error bounded by N_A·N_B/width per row) —
+    the query-planning primitive for sizing a shuffle BEFORE running it,
+    at depth×width state per table instead of a distinct-key aggregate.
+    All-integer (int64 products/sums), so the estimate value-hashes
+    cross-engine.
+
+    Scale/overflow: Σ a·b ≤ N_A·N_B must fit int64 — fine to ~3·10⁹ rows
+    a side (ANSI mode makes an overflow loud).  A hash row whose buckets
+    never collide across the two sketches contributes 0 (estimate 0 ⇒
+    the join is provably empty — no false negatives the other way).
+
+    Returns a 1-row frame (estimate:long)."""
+    spark = a_cells.sparkSession
+    rows = spark.range(depth).select(F.col("id").cast("int").alias("i"))
+    per = (a_cells.alias("a").join(b_cells.alias("b"), ["i", "bucket"])
+           .groupBy("i")
+           .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("_ip")))
+    full = rows.join(per, "i", "left").select(
+        F.coalesce("_ip", F.lit(0)).cast("long").alias("_ip"))
+    return full.agg(F.min("_ip").cast("long").alias("estimate"))
+
+
 HLL_P = 9                 # 2^9 = 512 registers; std err ~1.04/sqrt(512) ≈ 4.6%
 HLL_M = 1 << HLL_P
 _HLL_WBITS = 60 - HLL_P   # rank bits left after the register index

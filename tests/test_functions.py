@@ -2138,3 +2138,29 @@ def test_quantize_and_fingerprint_entries(spark, tmp_path):
             for r in fp(spark, sf5).collect()}
     assert dup2["en"][0] == base["en"][0]       # an EVEN count cancels...
     assert dup2["en"][1] == base["en"][1] + 2   # ...the row count catches it
+
+
+def test_cms_join_size_one_sided(spark):
+    """CMS inner-product estimate >= exact join size always (one-sided),
+    equals it exactly when no cross-key bucket collisions exist (single
+    shared key), and never exceeds the trivial N_A*N_B bound."""
+    from recrun_spark.functions.sketch import cms_join_size, count_min_sketch
+
+    a = spark.createDataFrame([("x",)] * 3, ["k"])
+    b = spark.createDataFrame([("x",)] * 2, ["k"])
+    est = cms_join_size(count_min_sketch(a, "k"),
+                        count_min_sketch(b, "k")).collect()[0]["estimate"]
+    assert est == 6                      # one key, no collisions possible
+
+    import random
+    rng = random.Random(7)
+    ka = [f"k{rng.randrange(40)}" for _ in range(200)]
+    kb = [f"k{rng.randrange(40)}" for _ in range(150)]
+    a = spark.createDataFrame([(k,) for k in ka], ["k"])
+    b = spark.createDataFrame([(k,) for k in kb], ["k"])
+    from collections import Counter
+    ca, cb = Counter(ka), Counter(kb)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    est = cms_join_size(count_min_sketch(a, "k"),
+                        count_min_sketch(b, "k")).collect()[0]["estimate"]
+    assert exact <= est <= len(ka) * len(kb)

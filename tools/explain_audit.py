@@ -681,6 +681,16 @@ def main():
                lambda p: "Exchange SinglePartition" not in p),
           ])
 
+    # CMS join-size estimate (r5): both sketches are bounded depth×width
+    # cell frames — the estimator itself must never shuffle row data
+    audit("join_size_estimate", qs["join_size_estimate"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("map-side partial combine into sketch cells",
+         lambda p: "partial" in p.lower()),
+        ("no cartesian over row data (only the 1-row est × exact cross)",
+         lambda p: p.count("CartesianProduct") <= 1),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
