@@ -757,6 +757,58 @@ def join_size_estimate(spark, sf_dir):
     return est.crossJoin(exact)
 
 
+def bloom_join_reduce(spark, sf_dir):
+    """Bloom semi-join reduction (functions.sketch.bloom_prefilter —
+    predicate transfer): customers of ONE nation build a 16384-bit/6-hash
+    filter; the events fact table is pre-filtered AT THE SCAN to
+    maybe-members before the exact join, so the shuffle only ever sees
+    true matches + the false-positive sliver.  Output: how many fact rows
+    survived the Bloom filter, how many actually join, and the distinct
+    matched users — all integers, and the md5-derived bit positions are
+    engine-portable, so even the false-positive count value-hashes."""
+    from recrun_spark.functions.sketch import bloom_bits, bloom_prefilter
+    cust = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_nationkey") == 2).select("c_custkey"))
+    # ≤ 16384 rows by construction — the sketch IS the bounded transfer
+    positions = [r["pos"] for r in bloom_bits(cust, "c_custkey").collect()]
+    pre = bloom_prefilter(_t(spark, sf_dir, "events"), "user_id", positions)
+    j = pre.join(F.broadcast(cust), pre.user_id == cust.c_custkey, "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("prefiltered_rows"),
+        F.count("c_custkey").cast("long").alias("joined_rows"),
+        F.count_distinct(F.when(F.col("c_custkey").isNotNull(),
+                                F.col("user_id"))).cast("long")
+        .alias("matched_users"))
+
+
+def events_kmv_overlap(spark, sf_dir):
+    """Theta/KMV segment overlap (functions.sketch.kmv_sketch/
+    kmv_overlap — Beyer et al. SIGMOD'07): estimate the distinct-user
+    sizes of two behavioral segments (high-value purchasers vs
+    high-value clickers) AND their intersection from two 64-value
+    sketches, next to the exact answers.  Set intersection is the
+    question HLL registers cannot answer; here it costs k rows per
+    segment.  All-integer estimates (decimal-exact integral division),
+    so every column value-hashes cross-engine."""
+    from recrun_spark.functions.sketch import kmv_overlap, kmv_sketch
+    ev = _t(spark, sf_dir, "events")
+
+    def seg(t):
+        return ev.where((F.col("event_type") == t) & (F.col("value") >= 150))
+
+    est = kmv_overlap(kmv_sketch(seg("purchase"), "user_id"),
+                      kmv_sketch(seg("click"), "user_id"))
+    pa = seg("purchase").select("user_id").distinct()
+    pb = seg("click").select("user_id").distinct()
+    exact = (pa.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+             .crossJoin(pb.agg(F.count(F.lit(1)).cast("long")
+                               .alias("exact_b")))
+             .crossJoin(pa.join(pb, "user_id")
+                        .agg(F.count(F.lit(1)).cast("long")
+                             .alias("exact_common"))))
+    return est.crossJoin(exact)
+
+
 def documents_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span profile (functions.dedup.
     duplicated_spans — Lee et al. ACL'22): per doc, how many of its
@@ -1827,6 +1879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_quantize_int8": embeddings_quantize_int8,
         "documents_fingerprint": documents_fingerprint,
         "join_size_estimate": join_size_estimate,
+        "bloom_join_reduce": bloom_join_reduce,
+        "events_kmv_overlap": events_kmv_overlap,
         "kg_bfs_neighborhood": kg_bfs_neighborhood,
         "kg_triangles": kg_triangles,
         "kg_entity_jaccard": kg_entity_jaccard,
@@ -2434,6 +2488,72 @@ def oracle_sql() -> dict[str, str]:
                    FROM events e JOIN orders o ON e.user_id = o.o_custkey
                    WHERE e.user_id IS NOT NULL)
             SELECT est.estimate, ex.exact_rows FROM est, ex
+        """,
+        "bloom_join_reduce": f"""
+            WITH keys AS (
+              SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey = 2),
+            bits AS (
+              SELECT DISTINCT
+                     ({_ddb_hash60("i::VARCHAR || chr(31) || "
+                                   "c_custkey::VARCHAR")}) % 16384 AS pos
+              FROM keys CROSS JOIN (SELECT unnest(range(6)) AS i)),
+            probe AS (
+              SELECT e.event_id, any_value(e.user_id) AS user_id
+              FROM events e CROSS JOIN (SELECT unnest(range(6)) AS i) g
+              WHERE e.user_id IS NOT NULL
+                AND ({_ddb_hash60("g.i::VARCHAR || chr(31) || "
+                                  "e.user_id::VARCHAR")}) % 16384
+                    IN (SELECT pos FROM bits)
+              GROUP BY e.event_id HAVING count(*) = 6)
+            SELECT count(*)::BIGINT AS prefiltered_rows,
+                   count(k.c_custkey)::BIGINT AS joined_rows,
+                   count(DISTINCT CASE WHEN k.c_custkey IS NOT NULL
+                                       THEN p.user_id END)::BIGINT
+                     AS matched_users
+            FROM probe p LEFT JOIN keys k ON p.user_id = k.c_custkey
+        """,
+        "events_kmv_overlap": f"""
+            WITH sa AS (
+              SELECT DISTINCT ({_ddb_hash60("user_id::VARCHAR")}) AS hv
+              FROM events WHERE event_type = 'purchase' AND value >= 150
+                AND user_id IS NOT NULL
+              ORDER BY hv LIMIT 64),
+            sb AS (
+              SELECT DISTINCT ({_ddb_hash60("user_id::VARCHAR")}) AS hv
+              FROM events WHERE event_type = 'click' AND value >= 150
+                AND user_id IS NOT NULL
+              ORDER BY hv LIMIT 64),
+            base AS (
+              SELECT (SELECT count(*) FROM sa) AS ca,
+                     (SELECT count(*) FROM sb) AS cb,
+                     CASE WHEN (SELECT count(*) FROM sa) < 64
+                          THEN 1152921504606846976
+                          ELSE (SELECT max(hv) FROM sa) END AS tha,
+                     CASE WHEN (SELECT count(*) FROM sb) < 64
+                          THEN 1152921504606846976
+                          ELSE (SELECT max(hv) FROM sb) END AS thb),
+            base2 AS (SELECT *, least(tha, thb) AS theta FROM base),
+            nc AS (SELECT count(*) AS nc FROM sa JOIN sb USING (hv), base2
+                   WHERE sa.hv < base2.theta),
+            seg_a AS (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'purchase' AND value >= 150
+                        AND user_id IS NOT NULL),
+            seg_b AS (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'click' AND value >= 150
+                        AND user_id IS NOT NULL)
+            SELECT CASE WHEN ca < 64 THEN ca
+                        ELSE ((63::HUGEINT * 1152921504606846976::HUGEINT)
+                              // tha::HUGEINT)::BIGINT END AS est_a,
+                   CASE WHEN cb < 64 THEN cb
+                        ELSE ((63::HUGEINT * 1152921504606846976::HUGEINT)
+                              // thb::HUGEINT)::BIGINT END AS est_b,
+                   ((nc.nc::HUGEINT * 1152921504606846976::HUGEINT)
+                    // theta::HUGEINT)::BIGINT AS est_common,
+                   (SELECT count(*) FROM seg_a)::BIGINT AS exact_a,
+                   (SELECT count(*) FROM seg_b)::BIGINT AS exact_b,
+                   (SELECT count(*) FROM seg_a JOIN seg_b USING (user_id)
+                    )::BIGINT AS exact_common
+            FROM base2, nc
         """,
         "embeddings_quantize_int8": """
             WITH e AS (

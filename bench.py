@@ -259,7 +259,8 @@ def main():
                  "documents_fuzzy_aliases", "orders_sssp",
                  "events_resample_1h", "documents_shuffle_order",
                  "customer_hierarchy", "embeddings_quantize_int8",
-                 "documents_fingerprint", "join_size_estimate"):
+                 "documents_fingerprint", "join_size_estimate",
+                 "bloom_join_reduce", "events_kmv_overlap"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -184,6 +184,101 @@ def bloom_might_contain(positions, key, m: int = BLOOM_M,
     return True
 
 
+def bloom_prefilter(df: DataFrame, key_col: str, positions,
+                    m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Map-side Bloom semi-join reduction — the predicate-transfer /
+    sideways-information-passing pattern (Bloom-join; cf. the SIGMOD'25
+    predicate-transfer line in PAPERS.md): ``positions`` is the collected
+    bit set of `bloom_bits` over the SMALL side's join key (≤ m rows —
+    metadata-scale by construction, the whole point of the sketch), and
+    this keeps only the big-side rows whose ``k`` md5 positions are all
+    set.  Definite non-members are dropped AT THE SCAN, before any
+    shuffle: at 100 TB the exact join then moves only maybe-members
+    (true matches + the ~(1-e^{-kn/m})^k false-positive sliver), which
+    for a selective dimension filter is the difference between shuffling
+    the fact table and shuffling a few percent of it.
+
+    The m bits ride into the plan as m/64 int64 literal words (256 longs
+    at the default 16384 bits — smaller than a broadcast relation and
+    free of the broadcast-join machinery); the membership test is pure
+    JVM expressions (`getbit` over the word array), no UDF, no extra
+    scan.  No false negatives ⇒ any downstream exact join is unchanged.
+    NULL keys are dropped (they cannot equi-join anyway)."""
+    words = [0] * (m // 64)
+    for p in positions:
+        words[int(p) >> 6] |= 1 << (int(p) & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    arr = F.lit(signed)   # one foldable ArrayType literal, not a per-row
+    #                       CreateArray of m/64 elements per hash probe
+    key = F.col(key_col)
+    cond = key.isNotNull()
+    for i in range(k):
+        pos = cms_bucket(F.lit(i), key, m)
+        word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
+        cond = cond & (F.getbit(word, pos.bitwiseAND(F.lit(63))) == 1)
+    return df.where(cond)
+
+
+KMV_K = 64            # sketch size; std err of the estimate ~1/sqrt(k-2) ≈ 13%
+_KMV_T = 1 << 60      # the hash space size (hv ∈ [0, 2^60))
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """(hv) — the ``k`` smallest DISTINCT md5 hash values of ``key_col``:
+    the K-minimum-values / theta distinct sketch (Beyer et al. SIGMOD'07;
+    the Apache DataSketches theta family).  Bounded at k rows whatever
+    the key cardinality, and plans as distinct + TakeOrdered (per-
+    partition top-k merge — no global sort).  Unlike HLL the sketch
+    keeps hash VALUES, so two sketches compose into SET operations —
+    `kmv_overlap` below estimates the intersection, the segment-overlap
+    question registers fundamentally cannot answer (HLL only unions).
+    Hashes are `dedup._hash60` (md5-derived), so any SQL engine rebuilds
+    the identical sketch value-for-value.  NULL keys are excluded."""
+    return (df.where(F.col(key_col).isNotNull())
+            .select(_hash60(F.col(key_col).cast("string")).alias("hv"))
+            .distinct().orderBy("hv").limit(k))
+
+
+def _kmv_scale(n, theta) -> Column:
+    """Exact integral n·2^60 div θ — decimal(38) product, integral div.
+    Exact while the quotient fits int64, i.e. θ ≥ 8 for n ≤ k-1=63 (a
+    60-bit hash below 8 happens w.p. ~2^-57 per key; Spark's decimal
+    `div` would wrap silently there, documented not guarded)."""
+    return F.expr(
+        f"(cast({n} as decimal(38,0)) * cast({_KMV_T} as decimal(38,0)))"
+        f" div cast({theta} as decimal(38,0))").cast("long")
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """1-row (est_a, est_b, est_common) from two `kmv_sketch` frames —
+    the theta-sketch set algebra: θ_X = 2^60 while X is in exact mode
+    (|X| < k ⇒ the sketch IS the key set), else X's kth-smallest hash;
+    θ = min(θ_A, θ_B); the intersection candidates are the common hash
+    values strictly below θ, scaled by 2^60/θ (in exact mode θ = 2^60
+    makes est_common the exact common count with no branch).  Distinct
+    estimates are the standard (k-1)·2^60/θ_X.  All integer, so every
+    output value-hashes cross-engine; inputs are ≤ k rows, so every join
+    here is sketch-sized."""
+    sa = a.agg(F.count(F.lit(1)).alias("ca"), F.max("hv").alias("ma"))
+    sb = b.agg(F.count(F.lit(1)).alias("cb"), F.max("hv").alias("mb"))
+    base = (sa.crossJoin(sb)
+            .withColumn("tha", F.when(F.col("ca") < k, F.lit(_KMV_T))
+                        .otherwise(F.col("ma")))
+            .withColumn("thb", F.when(F.col("cb") < k, F.lit(_KMV_T))
+                        .otherwise(F.col("mb")))
+            .withColumn("theta", F.least("tha", "thb")))
+    ncomm = (a.join(b, "hv")
+             .crossJoin(F.broadcast(base.select("theta")))
+             .where(F.col("hv") < F.col("theta"))
+             .agg(F.count(F.lit(1)).alias("nc")))
+    return (base.crossJoin(ncomm).select(
+        F.when(F.col("ca") < k, F.col("ca"))
+         .otherwise(_kmv_scale(k - 1, "tha")).cast("long").alias("est_a"),
+        F.when(F.col("cb") < k, F.col("cb"))
+         .otherwise(_kmv_scale(k - 1, "thb")).cast("long").alias("est_b"),
+        _kmv_scale("nc", "theta").alias("est_common")))
+
+
 def cms_estimate(cells, keys, depth: int = CMS_DEPTH,
                  width: int = CMS_WIDTH) -> dict:
     """Point estimates for ``keys`` from collected sketch cells

@@ -2164,3 +2164,73 @@ def test_cms_join_size_one_sided(spark):
     est = cms_join_size(count_min_sketch(a, "k"),
                         count_min_sketch(b, "k")).collect()[0]["estimate"]
     assert exact <= est <= len(ka) * len(kb)
+
+
+def test_bloom_prefilter_matches_might_contain(spark):
+    """The expression-side prefilter agrees row-for-row with the
+    driver-side bloom_might_contain probe (same md5 positions, same
+    all-k rule): no false negatives ever, and with 50 members in a
+    16384-bit/6-hash filter the 950 non-members are mostly dropped."""
+    from recrun_spark.functions.sketch import (bloom_bits, bloom_might_contain,
+                                               bloom_prefilter)
+
+    members = [f"m{i}" for i in range(50)]
+    small = spark.createDataFrame([(m,) for m in members], ["k"])
+    positions = {r["pos"] for r in bloom_bits(small, "k").collect()}
+
+    probe_keys = members + [f"x{i}" for i in range(950)] + [None]
+    big = spark.createDataFrame([(k,) for k in probe_keys], ["k"])
+    kept = {r["k"] for r in bloom_prefilter(big, "k", positions).collect()}
+
+    expected = {k for k in probe_keys
+                if k is not None and bloom_might_contain(positions, k)}
+    assert kept == expected                      # differential, row-exact
+    assert set(members) <= kept                  # no false negatives
+    assert len(kept) - len(members) < 95         # <10% FP on non-members
+
+
+def test_kmv_overlap_exact_and_estimate_modes(spark):
+    """KMV/theta overlap: below k the sketch IS the set (estimates equal
+    exact counts, intersection included); above k every output matches a
+    pure-Python reference computing the identical estimator (row-exact
+    differential — same md5 hashes, same integral division), and the
+    estimate lands within 3 standard errors of the truth."""
+    import hashlib
+
+    from recrun_spark.functions.sketch import KMV_K, kmv_overlap, kmv_sketch
+
+    def h60(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+    def py_overlap(keys_a, keys_b, k=KMV_K):
+        T = 1 << 60
+        sa = sorted({h60(x) for x in keys_a})[:k]
+        sb = sorted({h60(x) for x in keys_b})[:k]
+        tha = T if len(sa) < k else sa[-1]
+        thb = T if len(sb) < k else sb[-1]
+        theta = min(tha, thb)
+        nc = len({v for v in sa if v < theta} & set(sb))
+        ea = len(sa) if len(sa) < k else (k - 1) * T // tha
+        eb = len(sb) if len(sb) < k else (k - 1) * T // thb
+        return (ea, eb, nc * T // theta)
+
+    def spark_overlap(keys_a, keys_b):
+        a = spark.createDataFrame([(x,) for x in keys_a], ["k"])
+        b = spark.createDataFrame([(x,) for x in keys_b], ["k"])
+        r = kmv_overlap(kmv_sketch(a, "k"), kmv_sketch(b, "k")).collect()[0]
+        return (r["est_a"], r["est_b"], r["est_common"])
+
+    # exact mode: 20 and 30 keys sharing 10
+    ka = [f"u{i}" for i in range(20)]
+    kb = [f"u{i}" for i in range(10, 40)]
+    assert spark_overlap(ka, kb) == (20, 30, 10) == py_overlap(ka, kb)
+
+    # estimate mode: 800 / 600 keys sharing 300
+    ka = [f"a{i}" for i in range(500)] + [f"s{i}" for i in range(300)]
+    kb = [f"b{i}" for i in range(300)] + [f"s{i}" for i in range(300)]
+    got = spark_overlap(ka, kb)
+    assert got == py_overlap(ka, kb)             # row-exact differential
+    se = 1.0 / (KMV_K - 2) ** 0.5
+    assert abs(got[0] - 800) <= 3 * se * 800
+    assert abs(got[1] - 600) <= 3 * se * 600
+    assert abs(got[2] - 300) <= 4 * se * 300     # intersection: wider band

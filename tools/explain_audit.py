@@ -691,6 +691,27 @@ def main():
          lambda p: p.count("CartesianProduct") <= 1),
     ])
 
+    # Bloom semi-join reduction (r5): the filter must ride as literal
+    # words into a map-side Filter — no UDF, no extra join for membership
+    audit("bloom_join_reduce", qs["bloom_join_reduce"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("membership is a scan-side Filter (getbit over literal words), "
+         "not a join", lambda p: "getbit" in p.lower()),
+        ("exact join is broadcast (dim side tiny after the nation cut)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ])
+
+    # KMV/theta overlap (r5): sketches must build as TakeOrdered (per-
+    # partition top-k), never a global sort; combine joins are sketch-sized
+    audit("events_kmv_overlap", qs["events_kmv_overlap"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("sketch builds as TakeOrdered top-k, not a global sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no cartesian over row data (1-row combine crosses only)",
+         lambda p: "CartesianProduct" not in p),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
