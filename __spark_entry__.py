@@ -809,6 +809,34 @@ def events_kmv_overlap(spark, sf_dir):
     return est.crossJoin(exact)
 
 
+def documents_pps_sample(spark, sf_dir):
+    """Importance-weighted corpus subsampling (functions.sampling.
+    pps_sample — Poisson PPS, Hájek 1964): keep each document with
+    probability min(1, T·n_chars/Σn_chars) at T=300, so long documents
+    are preferentially retained and the expected sample size is ≤ T.
+    The keep rule is an exact integer cross-multiplication in
+    decimal(38)/HUGEINT, so the kept set is row-for-row identical in
+    both engines."""
+    from recrun_spark.functions.sampling import pps_sample
+    docs = _t(spark, sf_dir, "documents")
+    return (pps_sample(docs, "n_chars", 300, key_col="doc_id")
+            .select("doc_id", "lang", F.col("n_chars").cast("long")
+                    .alias("n_chars")))
+
+
+def events_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters WITHOUT a full-key groupBy (functions.sketch.
+    heavy_hitters_dyadic — Cormode & Muthukrishnan hierarchical HH):
+    dyadic CMS drill-down finds candidate users, an exact verify pass
+    over `key IN (candidates)` removes the sketch's false positives —
+    so the result equals the plain GROUP BY ... HAVING answer (the
+    oracle IS that plain query), while the distributed work stays
+    bounded-cells + a few-hundred-key filtered aggregate."""
+    from recrun_spark.functions.sketch import heavy_hitters_dyadic
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters_dyadic(ev, "user_id", threshold=80, levels=21)
+
+
 def documents_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span profile (functions.dedup.
     duplicated_spans — Lee et al. ACL'22): per doc, how many of its
@@ -1881,6 +1909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": join_size_estimate,
         "bloom_join_reduce": bloom_join_reduce,
         "events_kmv_overlap": events_kmv_overlap,
+        "documents_pps_sample": documents_pps_sample,
+        "events_heavy_hitters": events_heavy_hitters,
         "kg_bfs_neighborhood": kg_bfs_neighborhood,
         "kg_triangles": kg_triangles,
         "kg_entity_jaccard": kg_entity_jaccard,
@@ -2511,6 +2541,23 @@ def oracle_sql() -> dict[str, str]:
                                        THEN p.user_id END)::BIGINT
                      AS matched_users
             FROM probe p LEFT JOIN keys k ON p.user_id = k.c_custkey
+        """,
+        "events_heavy_hitters": """
+            SELECT user_id, count(*)::BIGINT AS cnt
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id HAVING count(*) >= 80
+        """,
+        "documents_pps_sample": f"""
+            WITH d AS (
+              SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND n_chars > 0),
+            t AS (SELECT sum(n_chars)::BIGINT AS tw FROM d)
+            SELECT doc_id, lang, n_chars FROM d, t
+            WHERE ({_ddb_hash60("doc_id::VARCHAR")})::HUGEINT * tw::HUGEINT
+                  < n_chars::HUGEINT * 300::HUGEINT
+                    * 1152921504606846976::HUGEINT
         """,
         "events_kmv_overlap": f"""
             WITH sa AS (

@@ -260,7 +260,8 @@ def main():
                  "events_resample_1h", "documents_shuffle_order",
                  "customer_hierarchy", "embeddings_quantize_int8",
                  "documents_fingerprint", "join_size_estimate",
-                 "bloom_join_reduce", "events_kmv_overlap"):
+                 "bloom_join_reduce", "events_kmv_overlap",
+                 "documents_pps_sample", "events_heavy_hitters"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

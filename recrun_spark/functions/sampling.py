@@ -229,3 +229,43 @@ def temperature_rebalance(df: DataFrame, target_total: int,
             .where(hb * F.col("n_group")
                    < F.col("n_target") * F.lit(1 << 30))
             .select(key_col, group_col, "n_group", "n_target"))
+
+
+def pps_sample(df: DataFrame, weight_col: str, target_total: int,
+               key_col: str = "doc_id") -> DataFrame:
+    """Poisson sampling with probability proportional to size (PPS —
+    Hájek 1964; Ohlsson's sequential Poisson sampling is the ordered
+    variant): row i is kept with probability min(1, T·w_i/Σw), so the
+    expected sample size is ≤ T = ``target_total`` and heavy rows are
+    preferentially retained — importance-weighted corpus subsampling
+    (sample long/high-quality documents at higher rate) with unbiased
+    Horvitz-Thompson reweighting available downstream as 1/p_i.
+
+    Deterministic and engine-exact: keep iff  h60(key)·Σw  <  w_i·T·2^60
+    compared in decimal(38,0) (DuckDB mirrors with HUGEINT — products
+    stay under 10^38 for Σw < 10^18), so the kept set value-hashes
+    row-for-row.  Rows with w_i ≥ Σw/T are certainty units: every hash
+    passes, they are always kept (the standard PPS boundary case — the
+    realized expectation dips slightly below T, exactly as in the
+    textbook scheme).  Like all hash sampling here the sample is stable
+    under repartitioning and corpus reordering.
+
+    Scale shape: ONE weight-sum aggregate (map-side combinable, 1-row
+    driver exchange — the literal then rides into the plan), then a pure
+    filter over one scan: zero shuffle, scan-pushable.  NULL keys,
+    NULL/non-positive weights are excluded."""
+    if target_total < 0:
+        raise ValueError(f"target_total must be >= 0, got {target_total}")
+    d = df.where(F.col(key_col).isNotNull() & F.col(weight_col).isNotNull()
+                 & (F.col(weight_col) > 0))
+    tot = d.agg(F.sum(F.col(weight_col).cast("long")).alias("_tw")) \
+           .collect()[0]["_tw"]
+    if not tot or not target_total:
+        return d.where(F.lit(False))
+    dec = "decimal(38,0)"
+    h = _hash60(F.col(key_col).cast("string"))
+    return d.where(
+        h.cast(dec) * F.lit(int(tot)).cast(dec)
+        < F.col(weight_col).cast("long").cast(dec)
+        * F.lit(int(target_total)).cast(dec)
+        * F.lit(HASH_SPACE).cast(dec))

@@ -279,6 +279,103 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
         _kmv_scale("nc", "theta").alias("est_common")))
 
 
+def dyadic_cms_cells(df: DataFrame, key_col: str, levels: int = 21,
+                     depth: int = CMS_DEPTH,
+                     width: int = CMS_WIDTH) -> DataFrame:
+    """(l, i, bucket, cnt) — a CMS per dyadic level: level ``l`` sketches
+    the prefix ``key >> l`` (so level 0 is the plain key sketch and the
+    top level has one prefix covering the whole domain).  One pass over
+    the data: a (levels+1)·depth explode, partial-combined map-side into
+    ≤ (levels+1)·depth·width cells — ~85 integer updates per row at the
+    defaults, shuffle bounded at ~22k cells regardless of input size.
+    Keys MUST lie in [0, 2^levels); a violating key raises loudly from
+    inside the scan expression (the guard is fused into the prefix
+    computation so Catalyst cannot prune it)."""
+    key = F.col(key_col)
+    rows = (df.where(key.isNotNull())
+            .select(F.expr(
+                f"CASE WHEN {key_col} >= 0 AND {key_col} < {1 << levels}"
+                f" THEN CAST({key_col} AS BIGINT)"
+                f" ELSE CAST(raise_error('dyadic_cms_cells: key out of"
+                f" [0, 2^{levels})') AS BIGINT) END").alias("_k")))
+    lv = rows.select(
+        F.explode(F.sequence(F.lit(0), F.lit(levels))).alias("l"), "_k")
+    pre = lv.select("l", F.expr("shiftright(_k, cast(l as int))")
+                    .alias("_p"))
+    exploded = pre.select(
+        "l", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+        "_p")
+    return (exploded
+            .select("l", "i",
+                    cms_bucket(F.col("i"), F.col("_p"), width)
+                    .alias("bucket"))
+            .groupBy("l", "i", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+HH_MAX_CANDIDATES = 4096   # drill-down frontier bound — a blown bound
+#                            means the threshold is far too low for the
+#                            domain (or the sketch width too narrow)
+
+
+def heavy_hitters_dyadic(df: DataFrame, key_col: str, threshold: int,
+                         levels: int = 21, depth: int = CMS_DEPTH,
+                         width: int = CMS_WIDTH) -> DataFrame:
+    """EXACT heavy hitters over a non-negative integer key WITHOUT a
+    full-key groupBy: the dyadic CMS drill-down (Cormode & Muthukrishnan
+    §5 hierarchical heavy hitters).  Build one CMS per dyadic level
+    (bounded cells — the only corpus-scale pass), collect them
+    (metadata-scale: ≤ 22k cells), drill down on the driver from the
+    root prefix, expanding only children whose subtree ESTIMATE reaches
+    ``threshold`` (CMS is one-sided, estimate ≥ truth, so no true heavy
+    key is ever pruned), then verify the ≤ `HH_MAX_CANDIDATES` surviving
+    level-0 candidates EXACTLY with a semi-filtered groupBy (false
+    positives die there).  Result == the true heavy-hitter set, always —
+    the sketch bounds the WORK, not the answer.
+
+    At 100 TB the win is that the exact groupBy runs over
+    ``key IN (candidates)`` — a scan-pushable membership filter over a
+    few hundred keys — instead of shuffling every distinct key.
+
+    Returns (``key_col``, cnt:long), exact counts, cnt ≥ threshold."""
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    cells = {(r["l"], r["i"], r["bucket"]): r["cnt"]
+             for r in dyadic_cms_cells(df, key_col, levels=levels,
+                                       depth=depth, width=width).collect()}
+
+    import hashlib
+
+    def est(l: int, prefix: int) -> int:
+        vals = []
+        for i in range(depth):
+            h = int(hashlib.md5(f"{i}{_SEP}{prefix}".encode())
+                    .hexdigest()[:15], 16) % width
+            vals.append(cells.get((l, i, h), 0))
+        return min(vals)
+
+    frontier = [0]                          # the level-`levels` root
+    for l in range(levels - 1, -1, -1):
+        frontier = [c for p in frontier for c in (2 * p, 2 * p + 1)
+                    if est(l, c) >= threshold]
+        if len(frontier) > HH_MAX_CANDIDATES:
+            raise ValueError(
+                f"heavy_hitters_dyadic: frontier {len(frontier)} > "
+                f"{HH_MAX_CANDIDATES} at level {l} — threshold too low "
+                f"for this domain/width")
+        if not frontier:
+            break
+    key = F.col(key_col)
+    if not frontier:
+        return (df.select(key).where(F.lit(False))
+                .groupBy(key_col).agg(F.count(F.lit(1)).cast("long")
+                                      .alias("cnt")))
+    return (df.where(key.isin(frontier))
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .where(F.col("cnt") >= threshold))
+
+
 def cms_estimate(cells, keys, depth: int = CMS_DEPTH,
                  width: int = CMS_WIDTH) -> dict:
     """Point estimates for ``keys`` from collected sketch cells

@@ -2234,3 +2234,60 @@ def test_kmv_overlap_exact_and_estimate_modes(spark):
     assert abs(got[0] - 800) <= 3 * se * 800
     assert abs(got[1] - 600) <= 3 * se * 600
     assert abs(got[2] - 300) <= 4 * se * 300     # intersection: wider band
+
+
+def test_pps_sample_weighted_keep(spark):
+    """PPS Poisson sampling: row-exact vs a pure-Python mirror of the
+    integer keep rule; certainty units (w >= sum_w/T) always kept;
+    realized size within a binomial band of the target; zero weights
+    and NULL keys excluded."""
+    import hashlib
+
+    from recrun_spark.functions.sampling import pps_sample
+
+    rows = [(i, (i % 7) * 100 + 10) for i in range(2000)]
+    rows += [(9999, 10_000_000), (None, 50), (5555, 0)]   # whale/null/zero
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+
+    T = 100
+    got = {r["doc_id"] for r in
+           pps_sample(df, "w", T, key_col="doc_id").collect()}
+
+    def h60(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+    valid = [(k, w) for k, w in rows if k is not None and w > 0]
+    tw = sum(w for _, w in valid)
+    expect = {k for k, w in valid if h60(k) * tw < w * T * (1 << 60)}
+    assert got == expect                          # row-exact differential
+    assert 9999 in got                            # certainty unit
+    assert None not in got and 5555 not in got
+    exp_size = sum(min(1.0, T * w / tw) for _, w in valid)
+    assert abs(len(got) - exp_size) <= 4 * exp_size ** 0.5
+
+
+def test_heavy_hitters_dyadic_exact(spark):
+    """The dyadic CMS drill-down returns EXACTLY the true heavy-hitter
+    set (the sketch bounds work, not the answer): skewed corpus with
+    known heavies, empty result when the threshold exceeds every count,
+    and a loud raise on keys outside the dyadic domain."""
+    import pytest as _pytest
+
+    from recrun_spark.functions.sketch import heavy_hitters_dyadic
+
+    rows = ([(7,)] * 500 + [(13,)] * 120 + [(99,)] * 100
+            + [(k,) for k in range(1000, 1800) for _ in range(3)]
+            + [(None,)] * 5)
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+
+    got = {(r["k"], r["cnt"])
+           for r in heavy_hitters_dyadic(df, "k", threshold=100,
+                                         levels=12).collect()}
+    assert got == {(7, 500), (13, 120), (99, 100)}
+
+    assert heavy_hitters_dyadic(df, "k", threshold=501,
+                                levels=12).count() == 0
+
+    bad = spark.createDataFrame([(1,), (5000,)], ["k"])
+    with _pytest.raises(Exception, match="out of"):
+        heavy_hitters_dyadic(bad, "k", threshold=1, levels=12)

@@ -712,6 +712,28 @@ def main():
          lambda p: "CartesianProduct" not in p),
     ])
 
+    # PPS weighted sampling (r5): after the 1-row weight-sum probe the
+    # plan must be a pure filtered scan — zero shuffle
+    audit("documents_pps_sample", qs["documents_pps_sample"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("zero shuffle — pure filter over one scan",
+         lambda p: "Exchange" not in p),
+        ("weight/null filters pushed to the scan",
+         lambda p: "PushedFilters: [IsNotNull" in p
+         or "PushedFilters: [Is" in p),
+    ])
+
+    # dyadic heavy hitters (r5): the verify pass must be a candidate-
+    # filtered aggregate (membership pushed to the scan), never a
+    # full-key groupBy of unfiltered rows
+    audit("events_heavy_hitters", qs["events_heavy_hitters"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("candidate membership pushed into the scan",
+         lambda p: "In(user_id" in p or "user_id IN" in p),
+        ("one keyed aggregate, no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
