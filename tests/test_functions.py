@@ -2291,3 +2291,20 @@ def test_heavy_hitters_dyadic_exact(spark):
     bad = spark.createDataFrame([(1,), (5000,)], ["k"])
     with _pytest.raises(Exception, match="out of"):
         heavy_hitters_dyadic(bad, "k", threshold=1, levels=12)
+
+
+def test_xxh64_long_mirrors_spark(spark):
+    """The driver drill-down's pure-Python XXH64 mirror is bit-for-bit
+    Spark's xxhash64 over chained long columns — a Spark upgrade that
+    shifts the hash fails HERE first, not as silently-empty heavy
+    hitters."""
+    from recrun_spark.functions.sketch import _xxh64_long
+
+    pairs = [(0, 0), (3, 17), (21, 123456789), (5, -2),
+             (1, 1 << 62), (20, (1 << 21) - 1)]
+    df = spark.createDataFrame(pairs, ["l", "p"])
+    got = [r["h"] & ((1 << 64) - 1) for r in
+           df.select(F.xxhash64(F.col("l").cast("long"),
+                                F.col("p").cast("long")).alias("h"))
+           .collect()]
+    assert got == [_xxh64_long(p, _xxh64_long(l, 42)) for l, p in pairs]
