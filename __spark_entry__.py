@@ -837,6 +837,21 @@ def events_heavy_hitters(spark, sf_dir):
     return heavy_hitters_dyadic(ev, "user_id", threshold=80, levels=21)
 
 
+def documents_interleave_mix(spark, sf_dir):
+    """Deterministic data-mixing schedule (functions.sampling.
+    interleave_mix — smooth weighted round-robin): interleave the
+    five language corpora at 3:1:1:1:1 so every prefix of the training
+    stream realizes the target mixture within ±5 items; positions come
+    from the two-phase global_rank (no global sort, no per-group
+    single-partition window), and the whole schedule is integer-exact,
+    so it value-hashes row-for-row."""
+    from recrun_spark.functions.sampling import interleave_mix
+    docs = _t(spark, sf_dir, "documents")
+    return interleave_mix(docs, "lang",
+                          {"en": 3, "zh": 1, "es": 1, "de": 1, "fr": 1},
+                          key_col="doc_id")
+
+
 def documents_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span profile (functions.dedup.
     duplicated_spans — Lee et al. ACL'22): per doc, how many of its
@@ -1911,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_overlap": events_kmv_overlap,
         "documents_pps_sample": documents_pps_sample,
         "events_heavy_hitters": events_heavy_hitters,
+        "documents_interleave_mix": documents_interleave_mix,
         "kg_bfs_neighborhood": kg_bfs_neighborhood,
         "kg_triangles": kg_triangles,
         "kg_entity_jaccard": kg_entity_jaccard,
@@ -2541,6 +2557,25 @@ def oracle_sql() -> dict[str, str]:
                                        THEN p.user_id END)::BIGINT
                      AS matched_users
             FROM probe p LEFT JOIN keys k ON p.user_id = k.c_custkey
+        """,
+        "documents_interleave_mix": f"""
+            WITH w(lang, a) AS (VALUES ('de', 1), ('en', 3), ('es', 1),
+                                       ('fr', 1), ('zh', 1)),
+            d AS (SELECT doc_id::VARCHAR AS doc_id, lang, a
+                  FROM documents JOIN w USING (lang)
+                  WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+            rk AS (SELECT doc_id, lang, a,
+                          row_number() OVER (
+                            PARTITION BY lang
+                            ORDER BY ({_ddb_hash60("doc_id")}), doc_id)
+                          - 1 AS r
+                   FROM d),
+            sl AS (SELECT doc_id, lang, r,
+                          ((2 * r + 1) * 7) // (2 * a) AS slot FROM rk)
+            SELECT doc_id, lang, r::BIGINT AS r, slot::BIGINT AS slot,
+                   (row_number() OVER (ORDER BY slot, lang, r)
+                    - 1)::BIGINT AS mix_pos
+            FROM sl
         """,
         "events_heavy_hitters": """
             SELECT user_id, count(*)::BIGINT AS cnt

@@ -261,7 +261,8 @@ def main():
                  "customer_hierarchy", "embeddings_quantize_int8",
                  "documents_fingerprint", "join_size_estimate",
                  "bloom_join_reduce", "events_kmv_overlap",
-                 "documents_pps_sample", "events_heavy_hitters"):
+                 "documents_pps_sample", "events_heavy_hitters",
+                 "documents_interleave_mix"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -269,3 +269,60 @@ def pps_sample(df: DataFrame, weight_col: str, target_total: int,
         < F.col(weight_col).cast("long").cast(dec)
         * F.lit(int(target_total)).cast(dec)
         * F.lit(HASH_SPACE).cast(dec))
+
+
+def interleave_mix(df: DataFrame, group_col: str, weights: dict,
+                   key_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus interleaving at integer mixture ratios — the
+    data-mixing schedule a training run consumes.  Item r (0-based, in
+    md5-hash order within its group) of group g with weight a_g out of
+    A = Σa is assigned slot  k = (2r+1)·A div (2·a_g)  (smooth weighted
+    round-robin — Bresenham's midpoint spacing); ordering by (k, g, r)
+    realizes the target mixture within ±|groups| items over EVERY
+    prefix of the stream (no long single-source runs), and a group's
+    slots depend only on ITS r and the weights — growing one corpus
+    never reorders another's items (the property a reshuffled random
+    mix lacks).
+
+    Scale shape: groups are NEVER single-partition windows — both the
+    within-group rank r and the final position come from
+    `operators.global_rank` (two-phase prefix counts, bounded driver
+    exchange), plus one broadcast join of per-group offsets (group
+    cardinality = domain vocabulary).  All integer (slot products stay
+    under 2^63 for n·A < 4·10^18), so the full schedule value-hashes
+    row-for-row cross-engine.
+
+    Groups absent from ``weights`` (and NULL groups/keys) are excluded.
+    Returns (key_col, group_col, r:long, slot:long, mix_pos:long)."""
+    from ..operators import global_rank
+    if not weights or any(a <= 0 for a in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positive "
+                         f"integers, got {weights}")
+    total = int(sum(weights.values()))
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, int(a)) for g, a in sorted(weights.items())],
+        [group_col, "_a"])
+    d = (df.where(F.col(key_col).isNotNull()
+                  & F.col(group_col).isNotNull())
+         .select(F.col(key_col).cast("string").alias(key_col), group_col)
+         .join(F.broadcast(wdf), group_col))
+    h = _hash60(F.col(key_col))
+    keyed = d.withColumn(
+        "_gk", F.format_string("%s|%019d|%s", F.col(group_col), h,
+                               F.col(key_col)))
+    ranked = global_rank(keyed, "_gk", bucket_prefix_len=2)
+    offs = (ranked.groupBy(group_col)
+            .agg(F.min("rank").alias("_g0")))
+    base = (ranked.join(F.broadcast(offs), group_col)
+            .withColumn("r", (F.col("rank") - F.col("_g0")).cast("long"))
+            .withColumn("slot",
+                        F.expr(f"((2 * r + 1) * {total}) div (2 * _a)")
+                        .cast("long"))
+            .drop("rank", "_g0", "_gk"))
+    skey = base.withColumn(
+        "_mk", F.format_string("%012d|%s|%010d", F.col("slot"),
+                               F.col(group_col), F.col("r")))
+    out = global_rank(skey, "_mk", bucket_prefix_len=10)
+    return (out.select(key_col, group_col, "r", "slot",
+                       F.col("rank").cast("long").alias("mix_pos")))

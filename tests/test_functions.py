@@ -2308,3 +2308,43 @@ def test_xxh64_long_mirrors_spark(spark):
                                 F.col("p").cast("long")).alias("h"))
            .collect()]
     assert got == [_xxh64_long(p, _xxh64_long(l, 42)) for l, p in pairs]
+
+
+def test_interleave_mix_schedule_properties(spark):
+    """Weighted round-robin interleave: mix_pos is a dense permutation;
+    every prefix of the schedule realizes the target mixture within
+    ±|groups| items per group; and growing one corpus never reorders
+    another group's items relative to each other (slots depend only on
+    own r and the weights)."""
+    from recrun_spark.functions.sampling import interleave_mix
+
+    rows = ([(f"a{i}", "A") for i in range(60)]
+            + [(f"b{i}", "B") for i in range(25)]
+            + [(f"c{i}", "C") for i in range(15)])
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    weights = {"A": 3, "B": 2, "C": 1}
+    out = interleave_mix(df, "g", weights).collect()
+
+    seq = [r["g"] for r in sorted(out, key=lambda r: r["mix_pos"])]
+    assert sorted(r["mix_pos"] for r in out) == list(range(len(rows)))
+
+    total = sum(weights.values())
+    n_by_g = {g: sum(1 for x in seq if x == g) for g in weights}
+    run = {g: 0 for g in weights}
+    for p, x in enumerate(seq, start=1):
+        run[x] += 1
+        if any(run[g] >= n_by_g[g] for g in weights):
+            break   # a group exhausted: WRR proportions no longer apply
+        for g, a in weights.items():
+            want = p * a / total
+            assert abs(run[g] - want) <= len(weights), (p, g)
+
+    # growth stability: add 40 more A docs — B's internal order unchanged
+    bigger = spark.createDataFrame(
+        rows + [(f"a{i}", "A") for i in range(60, 100)], ["doc_id", "g"])
+    out2 = interleave_mix(bigger, "g", weights).collect()
+    b1 = [r["doc_id"] for r in sorted(out, key=lambda r: r["mix_pos"])
+          if r["g"] == "B"]
+    b2 = [r["doc_id"] for r in sorted(out2, key=lambda r: r["mix_pos"])
+          if r["g"] == "B"]
+    assert b1 == b2

@@ -734,6 +734,17 @@ def main():
          lambda p: "Exchange SinglePartition" not in p),
     ])
 
+    # interleave mix (r5): both ranking phases must be the two-phase
+    # prefix pattern — bucket-partitioned windows, no global sort
+    audit("documents_interleave_mix",
+          qs["documents_interleave_mix"](spark, SF_DIR), [
+              ("no python UDF", lambda p: "BatchEvalPython" not in p),
+              ("no single-partition exchange (global_rank two-phase ×2)",
+               lambda p: "Exchange SinglePartition" not in p),
+              ("weights ride as a broadcast join",
+               lambda p: "BroadcastHashJoin" in p),
+          ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
