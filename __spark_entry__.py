@@ -1030,6 +1030,25 @@ def ann_ivf_topk_2level(spark, sf_dir):
                     assignment="two_level", coarse_nprobe=2)
 
 
+def ann_srp_topk(spark, sf_dir):
+    """Multi-table signed-random-projection (hyperplane) LSH top-k
+    (similarity.srp_topk — Charikar STOC'02 random-hyperplane rounding,
+    Rademacher planes per Achlioptas JCSS'03): the centroid-free cosine
+    ANN path.  The index build is ONE stateless projection over the
+    corpus scan (no training/sampling pass — suits append-only ingest);
+    probing is a broadcast of the query codes plus one (tbl, code)
+    equi-join, and only bucket collisions reach the top-k window.
+    Everything is exact integer arithmetic — coordinates quantized by
+    floor(x·2^20) (float32→double exact, power-of-two scale exact),
+    Rademacher signs from md5 parity embedded as literals in BOTH
+    engines — so the DuckDB oracle reproduces every sign bit, bucket
+    code, and candidate dot product bit-for-bit (a raw double
+    hyperplane sum would be summation-order-dependent near 0)."""
+    from recrun_spark.functions.similarity import srp_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_topk(emb, query_ids=list(range(10)), k=5, dim=64)
+
+
 def ann_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup family #5) — bucketed
     IVF multi-probe candidates + exact-cosine verify; every join is an
@@ -1965,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_topk_2level": ann_ivf_topk_2level,
+        "ann_srp_topk": ann_srp_topk,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -2109,6 +2129,52 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
 """
+
+def _srp_sql(n_tables: int = 4, n_bits: int = 8, dim: int = 64,
+             k: int = 5) -> str:
+    """SRP-LSH oracle: the Rademacher sign matrix is generated by the SAME
+    driver-side function as the Spark plan (similarity._srp_signs) and
+    embedded as integer-array literals, so both engines compute identical
+    sign bits, bucket codes, and quantized dot products — exact integer
+    arithmetic end to end."""
+    from recrun_spark.functions.similarity import SRP_SCALE, _srp_signs
+    signs = _srp_signs(n_tables * n_bits, dim)
+
+    def bits(t: int) -> str:
+        parts = []
+        for j in range(n_bits):
+            s = "[" + ",".join(str(x) for x in signs[t * n_bits + j]) + "]"
+            parts.append(
+                f"CASE WHEN list_sum(list_transform(range(0,{dim}),"
+                f" i -> q[i+1] * ({s})[i+1])) >= 0"
+                f" THEN {1 << j} ELSE 0 END")
+        return "(" + " + ".join(parts) + ")"
+
+    codes_union = "\nUNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bits(t)} AS code FROM v"
+        for t in range(n_tables))
+    return f"""
+WITH v AS (SELECT vec_id,
+    list_transform(embedding,
+                   x -> floor(x::DOUBLE * {float(SRP_SCALE)})::BIGINT) AS q
+  FROM embeddings),
+codes AS ({codes_union}),
+cand AS (
+  SELECT DISTINCT qc.vec_id AS query_id, vc.vec_id AS neighbor_id
+  FROM codes qc JOIN codes vc ON qc.tbl = vc.tbl AND qc.code = vc.code
+                             AND vc.vec_id != qc.vec_id
+  WHERE qc.vec_id < 10),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(range(0,{dim}),
+              i -> a.q[i+1] * b.q[i+1])) AS BIGINT) AS qdot
+  FROM cand c JOIN v a ON a.vec_id = c.query_id
+              JOIN v b ON b.vec_id = c.neighbor_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY qdot DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, rank, qdot FROM ranked WHERE rank <= {k}
+"""
+
 
 def _cosd(x: str, y: str) -> str:
     """DuckDB cosine between two named DOUBLE[] expressions."""
@@ -3077,6 +3143,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
         "ann_ivf_topk_2level": _IVF2_SQL,
+        "ann_srp_topk": _srp_sql(),
         "ann_near_dups": f"""
             WITH {_ANN_ND_CTE}
             SELECT id_a, id_b, sim FROM verified WHERE sim >= 0.45

@@ -383,3 +383,101 @@ def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(wr))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "sim"))
+
+
+# ---------------------------------------------------------------------------
+# signed-random-projection (hyperplane) LSH — the multi-table cosine-LSH
+# alternative to IVF (Charikar STOC'02 SimHash-for-vectors; the classic
+# "random hyperplane rounding").  Complements ivf_topk: no centroid pass at
+# all, index build is one stateless map over the corpus, so it suits
+# append-only ingest where re-sampling centroids is awkward.
+# ---------------------------------------------------------------------------
+
+SRP_SCALE = 1 << 20  # float32→double is exact and ×2^20 only shifts the
+                     # exponent, so floor() lands the SAME int64 in every
+                     # engine — the whole sketch stays in exact integers
+                     # (a raw double hyperplane sum would be summation-
+                     # order-dependent and could flip sign bits near 0)
+
+
+def _srp_signs(n_planes: int, dim: int, seed: int = 11) -> list[list[int]]:
+    """Deterministic Rademacher hyperplanes: sign(h, d) = ±1 from the md5
+    parity of "srp:<seed>:<h>:<d>".  Rademacher entries satisfy the same
+    JL/SRP guarantees as Gaussians (Achlioptas JCSS'03).  Computed once on
+    the driver and embedded as LITERALS in both the Spark plan and the SQL
+    oracle — the engines never have to agree on an RNG, only on md5."""
+    import hashlib
+    return [[1 if int(hashlib.md5(f"srp:{seed}:{h}:{d}".encode())
+                      .hexdigest()[:15], 16) % 2 == 0 else -1
+             for d in range(dim)]
+            for h in range(n_planes)]
+
+
+def _srp_quantize(vec_col):
+    return F.transform(vec_col.cast("array<double>"),
+                       lambda x: F.floor(x * F.lit(float(SRP_SCALE))))
+
+
+def _srp_codes(base: DataFrame, signs, n_tables: int, n_bits: int):
+    """(… , tbl, code): one row per (vector, hash table).  All pure
+    expressions — the index build is a single stateless projection over
+    the corpus scan (zero shuffle), which is what lets the same plan run
+    as a streaming map on an append-only corpus."""
+    def proj(h):
+        return F.aggregate(
+            F.zip_with(F.col("q"), F.lit(signs[h]),
+                       lambda x, s: x * s.cast("long")),
+            F.lit(0).cast("long"), lambda a, v: a + v)
+
+    def code(t):
+        out = F.lit(0)
+        for j in range(n_bits):
+            out = out + F.when(proj(t * n_bits + j) >= 0,
+                               F.lit(1 << j)).otherwise(F.lit(0))
+        return out.cast("int")
+
+    return base.select(
+        "*", F.posexplode(F.array(*[code(t) for t in range(n_tables)]))
+        .alias("tbl", "code"))
+
+
+def srp_topk(embeddings: DataFrame, query_ids, k: int = 5,
+             n_tables: int = 4, n_bits: int = 8, dim: int | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 11) -> DataFrame:
+    """(query_id, neighbor_id, rank, qdot) — multi-table SRP-LSH top-k.
+
+    Each vector is quantized to exact int64 coordinates (×2^20, floor) and
+    hashed into ``n_tables`` buckets of ``n_bits`` hyperplane sign bits;
+    candidates are the bucket collisions in ANY table, ranked by the exact
+    integer dot product of the quantized vectors (monotone in cosine for
+    fixed-norm-ish corpora; bounded by dim·(2^20·|x|max)² ≲ 2e13 « int64).
+
+    100 TB shape: the index is one stateless map (no centroid training, no
+    sampling pass); the probe is a broadcast of the query codes and ONE
+    equi-join on (tbl, code); only candidate pairs — |collisions|, not
+    |corpus| — reach the top-k window.  Recall/cost is tuned by
+    (n_tables, n_bits) exactly as in production LSH services.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+    signs = _srp_signs(n_tables * n_bits, dim, seed)
+    base = embeddings.select(F.col(id_col).alias("_id"),
+                             _srp_quantize(F.col(vec_col)).alias("q"))
+    coded = _srp_codes(base, signs, n_tables, n_bits)
+    qs = (coded.where(F.col("_id").isin(list(query_ids)))
+          .select(F.col("_id").alias("query_id"), F.col("q").alias("qq"),
+                  "tbl", "code"))
+    qdot = F.aggregate(F.zip_with(F.col("q"), F.col("qq"),
+                                  lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda a, v: a + v)
+    cand = (coded.join(F.broadcast(qs), ["tbl", "code"])
+            .where(F.col("_id") != F.col("query_id"))
+            .select("query_id", F.col("_id").alias("neighbor_id"),
+                    qdot.alias("qdot"))
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(),
+                                               F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "qdot"))

@@ -2348,3 +2348,52 @@ def test_interleave_mix_schedule_properties(spark):
     b2 = [r["doc_id"] for r in sorted(out2, key=lambda r: r["mix_pos"])
           if r["g"] == "B"]
     assert b1 == b2
+
+
+def test_srp_lsh_recall_on_clustered_corpus_and_bit_monotonicity(spark):
+    """SRP (hyperplane) LSH: on a clustered corpus, intra-blob neighbors
+    have near-zero hyperplane angle, so bucket collision probability
+    (1-θ/π)^bits stays near 1 and recall vs exact cosine top-k must be
+    ≥0.9.  Widening the codes (more bits per table) can only REFINE
+    buckets — the candidate set shrinks monotonically — and results are
+    identical across runs (hyperplanes are md5-derived literals, no RNG).
+
+    Recall is asserted on the CANDIDATE set (every exact top-10 neighbor
+    must collide in some table), not on the final top-10 ranking: blob
+    points are so tight that their 4-dp cosines all tie at ~1.0 and
+    cosine_topk's deterministic tie-break (neighbor_id asc) makes the
+    exact "top-10" id-order among ~49 equals — a ranking artifact no
+    candidate generator should be graded against."""
+    from recrun_spark.functions.similarity import cosine_topk, srp_topk
+    emb = _blob_corpus(spark)
+    qids = [b * 50 + 7 for b in range(8)]      # one query per blob
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(cosine_topk(emb, qids, k=10))
+    cands = topk_sets(srp_topk(emb, qids, k=10 ** 6, n_tables=4, n_bits=8,
+                               dim=16))
+    recall = sum(len(exact[q] & cands.get(q, set())) / len(exact[q])
+                 for q in exact) / len(exact)
+    assert recall >= 0.9, recall
+    # and the ranked top-10 stays semantically right: every returned
+    # neighbor lives in the query's own blob
+    top = srp_topk(emb, qids, k=10, n_tables=4, n_bits=8, dim=16).collect()
+    assert len(top) == 80
+    assert all(r["neighbor_id"] // 50 == r["query_id"] // 50 for r in top)
+
+    def n_cands(n_bits):
+        # k > corpus so the "top-k" IS the candidate set
+        return srp_topk(emb, qids, k=10 ** 6, n_tables=2, n_bits=n_bits,
+                        dim=16).count()
+
+    c4, c10 = n_cands(4), n_cands(10)
+    assert c4 >= c10, (c4, c10)
+    # determinism: identical plan → identical rows
+    a = sorted(map(tuple, srp_topk(emb, qids, k=5, dim=16).collect()))
+    b = sorted(map(tuple, srp_topk(emb, qids, k=5, dim=16).collect()))
+    assert a == b
