@@ -1049,6 +1049,30 @@ def ann_srp_topk(spark, sf_dir):
     return srp_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+def kg_negative_samples(spark, sf_dir):
+    """Filtered uniform negative sampling over the positive
+    (entity, doc) mention pairs (operators.negative_samples — the
+    TransE-style corrupted-triple generator, Bordes NeurIPS'13): for
+    each positive and slot i, the corrupted doc is
+    h60(entity|doc|17|i) mod (max_doc+1), validated against the doc
+    universe and anti-joined against the positives.  Deterministic
+    md5-derived corruption, so the DuckDB oracle reproduces every
+    sampled negative row-for-row.  Scale shape: row-local k-way
+    explode + two keyed joins; the only driver exchange is the 1-row
+    max(doc_id) probe."""
+    from recrun_spark.operators import negative_samples
+    ments = (_mentions_df(spark, sf_dir)
+             .select(F.col("entity").alias("head"),
+                     F.col("doc_id").alias("item")))
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item"))
+    out = negative_samples(ments, docs, k=4)
+    return out.select(F.col("head").alias("subj"),
+                      F.col("pos_item").alias("pos_doc_id"),
+                      F.col("neg_item").alias("neg_doc_id"),
+                      "sample_i")
+
+
 def ann_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup family #5) — bucketed
     IVF multi-probe candidates + exact-cosine verify; every join is an
@@ -1985,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_topk_2level": ann_ivf_topk_2level,
         "ann_srp_topk": ann_srp_topk,
+        "kg_negative_samples": kg_negative_samples,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -3144,6 +3169,28 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _IVF_SQL,
         "ann_ivf_topk_2level": _IVF2_SQL,
         "ann_srp_topk": _srp_sql(),
+        "kg_negative_samples": f"""
+            WITH {_MENTIONS_CTE},
+            pos AS (SELECT DISTINCT entity AS head, doc_id AS pos_item
+                    FROM ments),
+            mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            cand AS (
+              SELECT p.head, p.pos_item, CAST(t.i AS INTEGER) AS sample_i,
+                     ({_ddb_hash60(
+                        "p.head || '|' || CAST(p.pos_item AS VARCHAR)"
+                        " || '|17|' || CAST(t.i AS VARCHAR)")})
+                       % (SELECT n FROM mx) AS neg_item
+              FROM pos p, range(0, 4) t(i)),
+            valid AS (SELECT c.* FROM cand c
+                      JOIN (SELECT DISTINCT doc_id FROM documents) d
+                        ON d.doc_id = c.neg_item),
+            neg AS (SELECT v.* FROM valid v
+                    ANTI JOIN pos p
+                      ON p.head = v.head AND p.pos_item = v.neg_item)
+            SELECT head AS subj, pos_item AS pos_doc_id,
+                   neg_item AS neg_doc_id, sample_i
+            FROM neg
+        """,
         "ann_near_dups": f"""
             WITH {_ANN_ND_CTE}
             SELECT id_a, id_b, sim FROM verified WHERE sim >= 0.45

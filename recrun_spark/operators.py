@@ -865,3 +865,63 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, key_col: str,
               .select(key_col, "_v.*"))
     return hist.select(key_col, *attr_cols, "valid_from", "valid_to",
                        "is_current").unionByName(merged)
+
+
+def negative_samples(positives: DataFrame, items: DataFrame, k: int = 4,
+                     head_col: str = "head", item_col: str = "item",
+                     seed: int = 17) -> DataFrame:
+    """Filtered uniform negative sampling over (head, item) positive pairs
+    — the corrupted-triple generator KG-embedding training needs (TransE,
+    Bordes NeurIPS'13: for each positive, corrupt the tail uniformly and
+    reject corruptions that are themselves positives).
+
+    For each positive and slot i ∈ [0, k), the candidate negative is
+    ``h60(head|item|seed|i) mod (max_item+1)`` — deterministic, so the
+    sample is stable under repartitioning and reproducible by any engine
+    that can take md5 (the DuckDB oracle mirrors it literally).  Candidates
+    are validated against the item universe (ids need not be contiguous —
+    holes are rejected by the join, the standard "filtered" variant) and
+    anti-joined against the positives.  Slots that collide with a true
+    positive or an id hole are DROPPED, not resampled: per-slot rejection
+    keeps the generator one-pass and the miss rate is |positives|/|items|
+    per slot (negligible when the universe is large, exactly the regime
+    negative sampling is for).
+
+    Output: (head, pos_item, neg_item, sample_i) — the per-positive
+    (positive, negative) training pairs.
+
+    100 TB shape: one scan of the positives, a row-local k-way explode,
+    one equi semi-join on the item key to validate, one anti-join on
+    (head, item) to filter — all keyed shuffles, no windows, no driver
+    loop.  The only driver exchange is the 1-row max(item) probe (the
+    pps_sample convention).  Head skew is harmless: corrupted items are
+    uniform over the universe, so the validate join cannot hot-spot.
+    """
+    from recrun_spark.functions.dedup import _hash60
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    pos = (positives.select(F.col(head_col).alias("head"),
+                            F.col(item_col).cast("long").alias("pos_item"))
+           .where(F.col("head").isNotNull() & F.col("pos_item").isNotNull())
+           .distinct())
+    universe = (items.select(F.col(item_col).cast("long").alias("neg_item"))
+                .where(F.col("neg_item").isNotNull()).distinct())
+    n = universe.agg(F.max("neg_item").alias("m")).first()["m"]
+    if n is None:
+        raise ValueError("item universe is empty")
+    cand = (pos.select(
+        "head", "pos_item",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("sample_i"))
+        .withColumn("neg_item", F.pmod(
+            _hash60(F.concat(F.col("head"), F.lit("|"),
+                             F.col("pos_item").cast("string"),
+                             F.lit(f"|{seed}|"),
+                             F.col("sample_i").cast("string"))),
+            F.lit(int(n) + 1))))
+    valid = cand.join(universe, "neg_item", "left_semi")
+    neg = valid.join(
+        pos.select("head", F.col("pos_item").alias("neg_item")),
+        ["head", "neg_item"], "left_anti")
+    return neg.select("head", "pos_item", "neg_item",
+                      F.col("sample_i").cast("int").alias("sample_i"))

@@ -2397,3 +2397,42 @@ def test_srp_lsh_recall_on_clustered_corpus_and_bit_monotonicity(spark):
     a = sorted(map(tuple, srp_topk(emb, qids, k=5, dim=16).collect()))
     b = sorted(map(tuple, srp_topk(emb, qids, k=5, dim=16).collect()))
     assert a == b
+
+
+def test_negative_samples_semantics(spark):
+    """Filtered negative sampling: no emitted negative is a positive for
+    its head, candidates outside the item universe (id holes) are
+    rejected, at most k slots per positive, deterministic across runs,
+    and corrupting a near-total universe drops almost everything (the
+    rejection filter really bites)."""
+    import pytest
+
+    from recrun_spark.operators import negative_samples
+    pos = spark.createDataFrame(
+        [("a", i) for i in range(0, 20, 2)] + [("b", 1), ("b", 3)],
+        "head string, item bigint")
+    # universe with holes: only even ids 0..18 plus 1 and 3
+    items = spark.createDataFrame(
+        [(i,) for i in range(0, 20, 2)] + [(1,), (3,)], "item bigint")
+    out = negative_samples(pos, items, k=3).collect()
+    assert out, "expected at least one negative at k=3"
+    posset = {(r["head"], r["item"]) for r in pos.collect()}
+    universe = {r["item"] for r in items.collect()}
+    for r in out:
+        assert (r["head"], r["neg_item"]) not in posset
+        assert r["neg_item"] in universe
+        assert 0 <= r["sample_i"] < 3
+    per_pos = {}
+    for r in out:
+        per_pos[(r["head"], r["pos_item"])] = \
+            per_pos.get((r["head"], r["pos_item"]), 0) + 1
+    assert max(per_pos.values()) <= 3
+    again = negative_samples(pos, items, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # head 'a' owns EVERY even id — all its candidates that survive the
+    # universe check must be 1 or 3
+    for r in out:
+        if r["head"] == "a":
+            assert r["neg_item"] in (1, 3)
+    with pytest.raises(Exception):
+        negative_samples(pos, items.where("item < 0"), k=3)
