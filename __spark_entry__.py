@@ -1049,6 +1049,22 @@ def ann_srp_topk(spark, sf_dir):
     return srp_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+def documents_sim_pairs(spark, sf_dir):
+    """All-pairs TF-IDF cosine similarity join at τ = 9/10 over the
+    df ≤ 250 vocabulary (text.tfidf_cosine_pairs — the inverted-index +
+    threshold shape of DIMSUM, Zadeh & Carlsson 2013): related-document /
+    weighted near-dup mining, the weighted-vector twin of the Jaccard
+    pair joins.  The threshold test is exact integer arithmetic —
+    (den·dot)² ≥ num²·‖a‖²·‖b‖² in decimal(38,0), HUGEINT in the oracle —
+    no floats, no square roots.  Candidates come only from shared terms
+    (one term-keyed self-join with map-side partial dot sums); the df cut
+    bounds the m² fan-out of frequent terms."""
+    from recrun_spark.functions.text import tfidf_cosine_pairs
+    return tfidf_cosine_pairs(_t(spark, sf_dir, "documents"),
+                              threshold_num=9, threshold_den=10,
+                              df_cut=250)
+
+
 def kg_negative_samples(spark, sf_dir):
     """Filtered uniform negative sampling over the positive
     (entity, doc) mention pairs (operators.negative_samples — the
@@ -2010,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_2level": ann_ivf_topk_2level,
         "ann_srp_topk": ann_srp_topk,
         "kg_negative_samples": kg_negative_samples,
+        "documents_sim_pairs": documents_sim_pairs,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -3169,6 +3186,37 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _IVF_SQL,
         "ann_ivf_topk_2level": _IVF2_SQL,
         "ann_srp_topk": _srp_sql(),
+        "documents_sim_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM documents
+              WHERE doc_id IS NOT NULL AND trim(text) <> ''),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfk AS (SELECT term, count(*)::BIGINT AS df
+                    FROM tf GROUP BY 1 HAVING count(*) <= 250),
+            n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+            w AS (SELECT tf.doc_id, tf.term,
+                         (tf.tf * ((1000 * n.n_docs) // dfk.df))::BIGINT
+                           AS w
+                  FROM tf JOIN dfk ON dfk.term = tf.term, n),
+            norms AS (SELECT doc_id, sum(w * w)::BIGINT AS norm2
+                      FROM w GROUP BY 1),
+            dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                            sum(a.w * b.w)::BIGINT AS dot
+                     FROM w a JOIN w b ON a.term = b.term
+                                      AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+            SELECT id_a, id_b, dot,
+                   na.norm2 AS norm_a, nb.norm2 AS norm_b
+            FROM dots
+            JOIN norms na ON na.doc_id = id_a
+            JOIN norms nb ON nb.doc_id = id_b
+            WHERE (10 * dot)::HUGEINT * (10 * dot)
+                    >= (81::HUGEINT * na.norm2) * nb.norm2
+        """,
         "kg_negative_samples": f"""
             WITH {_MENTIONS_CTE},
             pos AS (SELECT DISTINCT entity AS head, doc_id AS pos_item

@@ -483,3 +483,76 @@ def lm_coverage(documents: DataFrame, n: int = 3, min_count: int = 2,
                     F.when(F.col("n_ngrams") > 0,
                            F.expr("(10000 * n_in_head) div n_ngrams"))
                     .cast("long").alias("coverage_bp")))
+
+
+def tfidf_cosine_pairs(documents: DataFrame, threshold_num: int = 1,
+                       threshold_den: int = 2, df_cut: int | None = None,
+                       scale: int = 10 ** 3, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """All-pairs TF-IDF cosine similarity join above a RATIONAL threshold
+    — the weighted-vector twin of the Jaccard pair joins (near-duplicate
+    and related-document mining over sparse term vectors; the inverted-
+    index + threshold shape of DIMSUM, Zadeh & Carlsson 2013, minus the
+    sampling — candidates come only from shared terms, never all pairs).
+
+    Weights are the integer TF-IDF surrogate of ``tfidf_top_terms``:
+    w(d,t) = tf · ((scale·N) div df) over the df-pruned vocabulary; with
+    ``df_cut`` set, terms in more than df_cut docs are dropped BEFORE
+    weights and norms (the standard stop-term cut — a term in m docs fans
+    out m² candidate pairs, so the cut bounds join volume; cosines are
+    then "over the pruned vocabulary", and the oracle mirrors exactly
+    that).  The threshold test is exact integer arithmetic:
+
+        keep  iff  (den·dot)² ≥ (num²·‖a‖²)·‖b‖²
+
+    compared in decimal(38,0) (DuckDB mirrors with HUGEINT) — no square
+    roots, no floats, value-hashable cross-engine.  Bounds: dot and the
+    squared norms must fit int64, i.e. tf·scale·N ≲ 3·10⁹·√terms; at
+    larger corpora lower ``scale`` (the ranking family is unchanged) —
+    ANSI mode raises loudly on overflow rather than wrapping.
+
+    Scale shape: one (doc, term) count shuffle, a vocabulary-scale df
+    aggregate, the N total broadcast as a 1-row frame, ONE term-keyed
+    self-join (inverted index) reduced by groupBy(id_a, id_b) with
+    map-side partial sums, then two doc-keyed norm joins.  No windows,
+    no cartesian, no driver collects.
+
+    Returns (id_a, id_b, dot, norm_a, norm_b) with id_a < id_b."""
+    if threshold_num < 0 or threshold_den <= 0:
+        raise ValueError("threshold must be a non-negative rational")
+    toks = (documents
+            .where(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_col(F.lower(F.col(text_col))))
+                    .alias("term")))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if df_cut is not None:
+        dfx = dfx.where(F.col("df") <= df_cut)
+    n = tf.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    w = (tf.join(dfx, "term").crossJoin(F.broadcast(n))
+         .select("doc_id", "term",
+                 (F.col("tf") * F.expr(f"{scale} * n_docs div df"))
+                 .cast("long").alias("w")))
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w"))
+                                    .cast("long").alias("norm2"))
+    a = w.select(F.col("doc_id").alias("id_a"), "term",
+                 F.col("w").alias("w_a"))
+    b = w.select(F.col("doc_id").alias("id_b"), "term",
+                 F.col("w").alias("w_b"))
+    dots = (a.join(b, "term")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("w_a") * F.col("w_b"))
+                 .cast("long").alias("dot")))
+    lhs = (F.col("dot") * F.lit(threshold_den)).cast("decimal(19,0)")
+    rhs_a = (F.col("norm_a")
+             * F.lit(threshold_num * threshold_num)).cast("decimal(19,0)")
+    return (dots
+            .join(norms.select(F.col("doc_id").alias("id_a"),
+                               F.col("norm2").alias("norm_a")), "id_a")
+            .join(norms.select(F.col("doc_id").alias("id_b"),
+                               F.col("norm2").alias("norm_b")), "id_b")
+            .where(lhs * lhs >= rhs_a * F.col("norm_b").cast("decimal(19,0)"))
+            .select("id_a", "id_b", "dot", "norm_a", "norm_b"))

@@ -2436,3 +2436,40 @@ def test_negative_samples_semantics(spark):
             assert r["neg_item"] in (1, 3)
     with pytest.raises(Exception):
         negative_samples(pos, items.where("item < 0"), k=3)
+
+
+def test_tfidf_cosine_pairs_threshold_and_df_cut(spark):
+    """Exact rational threshold: identical docs pass at any τ, docs with
+    no shared (kept) term never pair, the df cut removes a ubiquitous
+    term from weights AND norms, and the comparison is ≥ (a pair exactly
+    AT the threshold is kept)."""
+    from recrun_spark.functions.text import tfidf_cosine_pairs
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta"), (4, "alpha beta othertoken")],
+        "doc_id bigint, text string")
+    out = {(r["id_a"], r["id_b"]): r
+           for r in tfidf_cosine_pairs(docs, 9, 10).collect()}
+    assert (1, 2) in out                          # identical → cos = 1
+    r = out[(1, 2)]
+    assert r["dot"] == r["norm_a"] == r["norm_b"]
+    assert all(3 not in p for p in out)           # disjoint vocabulary
+    # τ = 0: every shared-term pair appears, still never (·,3)
+    allp = {(r["id_a"], r["id_b"])
+            for r in tfidf_cosine_pairs(docs, 0, 1).collect()}
+    assert allp == {(1, 2), (1, 4), (2, 4)}
+    # df cut: 'alpha'/'beta' live in 3 docs — cutting df>2 removes them,
+    # so doc 4 shares nothing with 1/2 anymore
+    cutp = {(r["id_a"], r["id_b"])
+            for r in tfidf_cosine_pairs(docs, 0, 1, df_cut=2).collect()}
+    assert cutp == {(1, 2)}
+    # boundary inclusivity: every term below has df = 2, so all weights
+    # are equal and each sharing pair has cos = 1/2 EXACTLY — kept at
+    # τ = 1/2 (the test is ≥), dropped at τ = 51/100
+    eq = spark.createDataFrame(
+        [(1, "x y"), (2, "x z"), (3, "y w"), (4, "z w")],
+        "doc_id bigint, text string")
+    half = {(r["id_a"], r["id_b"])
+            for r in tfidf_cosine_pairs(eq, 1, 2).collect()}
+    assert half == {(1, 2), (1, 3), (2, 4), (3, 4)}
+    assert not tfidf_cosine_pairs(eq, 51, 100).collect()
