@@ -1049,6 +1049,46 @@ def ann_srp_topk(spark, sf_dir):
     return srp_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+def events_outliers_mad(spark, sf_dir):
+    """Robust per-type outlier detection — the Hampel filter
+    (events.mad_outliers): flag events whose deviation from the type
+    median exceeds 5 × MAD.  Exact integers end-to-end (values
+    fixed-pointed to cents, both medians via the pinned lower-median
+    rank rule over PER-VALUE COUNT tables — the rank scan windows over
+    distinct values per group, never raw rows, so a 10^10-row group
+    costs two keyed aggregates, not a sort).  The quality gate an event/
+    telemetry ingest runs before training-data aggregation."""
+    from recrun_spark.functions.events import mad_outliers
+    return mad_outliers(_t(spark, sf_dir, "events"))
+
+
+def kg_adjacency(spark, sf_dir):
+    """Adjacency-list materialization of the entity co-mention graph —
+    the CSR-style export format a KG hands to downstream graph trainers
+    (GraphSAGE/DeepWalk neighbor tables): per entity, its degree and the
+    sorted neighbor list, capped at ``max_neighbors`` per node.  The cap
+    is applied with a per-src window BEFORE the list aggregate, so a
+    mega-degree hub never has to materialize its full neighbor set in
+    one aggregation buffer (the groupBy-collect_set OOM trap at 100 TB);
+    neighbors are rendered as a comma-joined sorted string so the value
+    hash is order-independent-proof by construction."""
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    a = ments.select("doc_id", F.col("entity").alias("src"))
+    b = ments.select("doc_id", F.col("entity").alias("dst"))
+    edges = (a.join(b, "doc_id")
+             .where(F.col("src") != F.col("dst"))
+             .select("src", "dst").distinct())
+    cap = 100
+    w = Window.partitionBy("src").orderBy(F.col("dst").asc())
+    kept = (edges.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= cap))
+    return (kept.groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"),
+                 F.array_join(F.array_sort(F.collect_list("dst")), ",")
+                 .alias("neighbors"))
+            .select(F.col("src").alias("entity"), "degree", "neighbors"))
+
+
 def documents_sim_pairs(spark, sf_dir):
     """All-pairs TF-IDF cosine similarity join at τ = 9/10 over the
     df ≤ 250 vocabulary (text.tfidf_cosine_pairs — the inverted-index +
@@ -2027,6 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_topk": ann_srp_topk,
         "kg_negative_samples": kg_negative_samples,
         "documents_sim_pairs": documents_sim_pairs,
+        "kg_adjacency": kg_adjacency,
+        "events_outliers_mad": events_outliers_mad,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -3186,6 +3228,52 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _IVF_SQL,
         "ann_ivf_topk_2level": _IVF2_SQL,
         "ann_srp_topk": _srp_sql(),
+        "events_outliers_mad": """
+            WITH r AS (SELECT event_id, event_type AS g,
+                              round(value * 100)::BIGINT AS cents
+                       FROM events),
+            c1 AS (SELECT g, cents, count(*)::BIGINT AS c
+                   FROM r GROUP BY 1, 2),
+            n1 AS (SELECT g, sum(c) AS n FROM c1 GROUP BY 1),
+            cum1 AS (SELECT g, cents,
+                            sum(c) OVER (PARTITION BY g
+                                         ORDER BY cents ASC) AS cum
+                     FROM c1),
+            med AS (SELECT cum1.g, min(cents) AS med
+                    FROM cum1 JOIN n1 ON n1.g = cum1.g
+                    WHERE cum * 2 >= n GROUP BY 1),
+            dev AS (SELECT r.event_id, r.g, r.cents,
+                           abs(r.cents - m.med) AS dev, m.med
+                    FROM r JOIN med m ON m.g = r.g),
+            c2 AS (SELECT g, dev, count(*)::BIGINT AS c
+                   FROM dev GROUP BY 1, 2),
+            n2 AS (SELECT g, sum(c) AS n FROM c2 GROUP BY 1),
+            cum2 AS (SELECT g, dev,
+                            sum(c) OVER (PARTITION BY g
+                                         ORDER BY dev ASC) AS cum
+                     FROM c2),
+            mad AS (SELECT cum2.g, min(dev) AS mad
+                    FROM cum2 JOIN n2 ON n2.g = cum2.g
+                    WHERE cum * 2 >= n GROUP BY 1)
+            SELECT d.event_id, d.g AS event_type, d.cents, d.dev,
+                   d.med, a.mad
+            FROM dev d JOIN mad a ON a.g = d.g
+            WHERE d.dev * 1 > a.mad * 5
+        """,
+        "kg_adjacency": f"""
+            WITH {_MENTIONS_CTE},
+            m AS (SELECT DISTINCT doc_id, entity FROM ments),
+            e AS (SELECT DISTINCT a.entity AS src, b.entity AS dst
+                  FROM m a JOIN m b ON a.doc_id = b.doc_id
+                                   AND a.entity != b.entity),
+            kept AS (SELECT src, dst,
+                            row_number() OVER (PARTITION BY src
+                                               ORDER BY dst ASC) AS r
+                     FROM e)
+            SELECT src AS entity, count(*)::BIGINT AS degree,
+                   string_agg(dst, ',' ORDER BY dst) AS neighbors
+            FROM kept WHERE r <= 100 GROUP BY src
+        """,
         "documents_sim_pairs": """
             WITH toks AS (
               SELECT doc_id,

@@ -164,3 +164,54 @@ def resample_ffill(df, user_col="user_id", ts_col="ts", val_col="value",
             .withColumn("value", F.last("_obs", ignorenulls=True).over(w))
             .withColumn("filled", F.col("_obs").isNull())
             .select(user_col, "bucket_start_us", "value", "filled"))
+
+
+def mad_outliers(df, group_col="event_type", val_col="value",
+                 id_col="event_id", k_num=5, k_den=1, cents_scale=100):
+    """Robust per-group outlier detection: flag rows whose deviation from
+    the group median exceeds (k_num/k_den) × MAD (median absolute
+    deviation — the Hampel filter, the robust-statistics replacement for
+    z-scores: one wild value shifts a mean/stddev fence arbitrarily but
+    moves a median/MAD fence by at most one rank).
+
+    Exact and engine-portable: values are fixed-pointed to integer cents
+    (round(v·scale) — shared IEEE double path), and both medians use the
+    pinned LOWER-median rank rule over the sorted multiset: the smallest
+    value whose cumulative count reaches ⌈n/2⌉.  All comparisons are
+    integers — the flag set value-hashes bit-for-bit cross-engine.
+
+    Scale shape — the grouped-exact-median trap avoided: medians are read
+    from PER-VALUE COUNT tables (groupBy(group, cents) with map-side
+    combine), so the rank scan windows over DISTINCT VALUES per group
+    (bounded by value cardinality — at 2-dp cents, thousands), never over
+    raw rows; n per group comes off the same count table.  Raw rows are
+    touched exactly twice (cents projection, final flag filter+join) with
+    no row-level window at all — a group with 10^10 rows costs two keyed
+    aggregates over its distinct cents, not a 10^10-row sort.
+
+    Returns the flagged rows: (id, group, cents, dev, med, mad)."""
+    g, v = F.col(group_col), F.col(val_col)
+    rows = df.select(F.col(id_col).alias("_id"), g.alias("_g"),
+                     F.round(v * cents_scale, 0).cast("long").alias("cents"))
+
+    def lower_median(frame, val):
+        """Median of the multiset (group, val, c): smallest val whose
+        running count reaches ceil(n/2) — windows over distinct values."""
+        counts = frame.groupBy("_g", val).agg(
+            F.count(F.lit(1)).cast("long").alias("c"))
+        w = (Window.partitionBy("_g").orderBy(F.col(val).asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        n = counts.groupBy("_g").agg(F.sum("c").alias("n"))
+        cum = counts.withColumn("cum", F.sum("c").over(w)).join(n, "_g")
+        # cum ≥ ⌈n/2⌉  ⇔  2·cum ≥ n  (integers)
+        return (cum.where(F.col("cum") * 2 >= F.col("n"))
+                .groupBy("_g").agg(F.min(val).alias("med")))
+
+    med = lower_median(rows, "cents")
+    devs = (rows.join(med, "_g")
+            .withColumn("dev", F.abs(F.col("cents") - F.col("med"))))
+    mad = lower_median(devs, "dev").withColumnRenamed("med", "mad")
+    return (devs.join(mad, "_g")
+            .where(F.col("dev") * F.lit(k_den) > F.col("mad") * F.lit(k_num))
+            .select(F.col("_id").alias(id_col), F.col("_g").alias(group_col),
+                    "cents", "dev", "med", "mad"))

@@ -2473,3 +2473,38 @@ def test_tfidf_cosine_pairs_threshold_and_df_cut(spark):
             for r in tfidf_cosine_pairs(eq, 1, 2).collect()}
     assert half == {(1, 2), (1, 3), (2, 4), (3, 4)}
     assert not tfidf_cosine_pairs(eq, 51, 100).collect()
+
+
+def test_mad_outliers_hampel_semantics(spark):
+    """Hampel filter pins: lower-median rank rule on even/odd multisets,
+    MAD computed on deviations from the median, strict > fence (a point
+    exactly AT k·MAD is NOT an outlier), and robustness — one wild value
+    flags itself without dragging the fence (the mean/stddev failure
+    mode)."""
+    from recrun_spark.functions.events import mad_outliers
+
+    def run(vals, **kw):
+        df = spark.createDataFrame(
+            [(i, "t", float(v)) for i, v in enumerate(vals)],
+            "event_id bigint, event_type string, value double")
+        return mad_outliers(df, **kw).collect()
+
+    # values (cents): 100,200,300,400,10000 → lower median 300 (n=5,r=3);
+    # devs: 200,100,0,100,9700 → MAD = 100; fence 5·100=500 → only 10000
+    out = run([1.0, 2.0, 3.0, 4.0, 100.0])
+    assert [(r["event_id"], r["med"], r["mad"]) for r in out] == \
+        [(4, 300, 100)]
+    # even n: 100,200,300,10000 → LOWER median 200; devs 100,0,100,9800
+    # → dev multiset {0,100,100,9800}, lower median (r=2) = 100
+    out = run([1.0, 2.0, 3.0, 100.0])
+    assert [(r["event_id"], r["med"], r["mad"]) for r in out] == \
+        [(3, 200, 100)]
+    # boundary strictness: dev == k·MAD must NOT flag.  cents
+    # 0,100,100,200,600: med=100, devs {100,0,0,100,500}, MAD=0... pick
+    # better: 0,100,200,300,600 → med 200, devs {200,100,0,100,400},
+    # MAD=100, fence 4·100: dev 400 == fence → not flagged at k=4
+    out = run([0.0, 1.0, 2.0, 3.0, 6.0], k_num=4)
+    assert out == []
+    # same data, k=3: 400 > 300 → flagged (id 4), and 200 ≤ 300 not
+    out = run([0.0, 1.0, 2.0, 3.0, 6.0], k_num=3)
+    assert [r["event_id"] for r in out] == [4]
