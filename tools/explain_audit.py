@@ -745,6 +745,59 @@ def main():
                lambda p: "BroadcastHashJoin" in p),
           ])
 
+    # SRP-LSH ANN (r5): index build is pure expressions; the only joins
+    # are the broadcast of the query codes and sketch-sized candidates —
+    # never a corpus-scale cartesian
+    audit("ann_srp_topk", qs["ann_srp_topk"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("query codes broadcast into the bucket probe",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian/nested-loop over the corpus",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ])
+
+    # KG negative sampling (r5): row-local explode + two keyed joins;
+    # corruption must never become a cartesian or a global window
+    audit("kg_negative_samples", qs["kg_negative_samples"](spark, SF_DIR), [
+        ("no python UDF in the corruption path",
+         lambda p: "BatchEvalPython" not in p),
+        ("slot fan-out is a row-local generator (explode)",
+         lambda p: "Generate" in p),
+        ("no single-reducer exchange, no corpus cartesian",
+         lambda p: "Exchange SinglePartition" not in p
+         and "CartesianProduct" not in p),
+    ])
+
+    # TF-IDF cosine pair join (r5): candidates only from the term-keyed
+    # self-join; dot sums must partial-aggregate map-side
+    audit("documents_sim_pairs", qs["documents_sim_pairs"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("partial aggregation before the pair shuffle",
+         lambda p: "partial" in p.lower()),
+        ("no cartesian (inverted index only)",
+         lambda p: "CartesianProduct" not in p),
+    ])
+
+    # MAD outliers (r5): medians come off per-value count tables — the
+    # only windows run over the counts, and there is no global sort
+    audit("events_outliers_mad", qs["events_outliers_mad"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("per-value counts partial-aggregate before the rank scan",
+         lambda p: "partial" in p.lower()),
+        ("no single-reducer exchange (grouped median stays keyed)",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
+    # adjacency export (r5): the neighbor cap is a window BEFORE the list
+    # aggregate; no single-reducer exchange
+    audit("kg_adjacency", qs["kg_adjacency"](spark, SF_DIR), [
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("window cap precedes the list aggregate",
+         lambda p: "Window" in p and "collect_list" in p),
+    ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
