@@ -262,7 +262,9 @@ def main():
                  "documents_fingerprint", "join_size_estimate",
                  "bloom_join_reduce", "events_kmv_overlap",
                  "documents_pps_sample", "events_heavy_hitters",
-                 "documents_interleave_mix"):
+                 "documents_interleave_mix", "ann_srp_topk",
+                 "kg_negative_samples", "documents_sim_pairs",
+                 "events_outliers_mad", "kg_adjacency"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------
