@@ -1049,6 +1049,24 @@ def ann_srp_topk(spark, sf_dir):
     return srp_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+def documents_bpe_vocab(spark, sf_dir):
+    """Distributed BPE vocabulary induction (text.bpe_learn — Sennrich
+    ACL'16 word-level byte-pair encoding, 12 merges): the tokenizer-
+    training step of an LLM data pipeline, made distributed via the
+    classic trick — pair counting and merging run over the DISTINCT-WORD
+    vocabulary weighted by word frequency (vocab ≪ corpus), reduced from
+    the corpus by one groupBy(word).  Each round is one vocabulary-scale
+    pair aggregate plus a 1-ROW driver argmax (the sequential dependency
+    is inherent to BPE); the merge is a pure per-row string replace over
+    a boundary-fenced symbol encoding whose left-to-right non-overlapping
+    replace semantics are IDENTICAL in Java and DuckDB — the oracle
+    re-learns all 12 merges independently as unrolled CTE rounds and the
+    final tokenization matches string-for-string."""
+    from recrun_spark.functions.text import bpe_learn
+    out, _ = bpe_learn(_t(spark, sf_dir, "documents"), n_merges=12)
+    return out
+
+
 def events_outliers_mad(spark, sf_dir):
     """Robust per-type outlier detection — the Hampel filter
     (events.mad_outliers): flag events whose deviation from the type
@@ -2069,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_sim_pairs": documents_sim_pairs,
         "kg_adjacency": kg_adjacency,
         "events_outliers_mad": events_outliers_mad,
+        "documents_bpe_vocab": documents_bpe_vocab,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -2213,6 +2232,56 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
 """
+
+def _bpe_sql(n_merges: int = 12) -> str:
+    """BPE oracle: re-learns every merge INDEPENDENTLY as unrolled CTE
+    rounds (pair count → argmax with the pinned (c desc, x, y) tie-break
+    → boundary-fenced replace), then emits the final tokenization.  The
+    LEFT JOIN ON TRUE keeps exhausted rounds (no pairs left) as no-ops,
+    mirroring bpe_learn's early break."""
+    s = "chr(31)"          # BPE_SEP
+    ss = f"{s} || {s}"
+    rounds = []
+    for r in range(1, n_merges + 1):
+        rounds.append(f"""
+px{r} AS MATERIALIZED (
+  SELECT freq,
+         unnest(list_transform(range(1, len(s)),
+                               i -> {{'x': s[i], 'y': s[i + 1]}})) AS p
+  FROM (SELECT freq, string_split(trim(wrapped, {s}), {ss}) AS s
+        FROM v{r - 1})),
+p{r} AS (SELECT p.x AS x, p.y AS y, sum(freq) AS c
+         FROM px{r} GROUP BY 1, 2),
+b{r} AS (SELECT x, y FROM p{r} ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+v{r} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN b.x IS NULL THEN wrapped
+              ELSE replace(wrapped, {s} || b.x || {ss} || b.y || {s},
+                           {s} || b.x || b.y || {s}) END AS wrapped
+  FROM v{r - 1} LEFT JOIN b{r} b ON TRUE)""")
+    return f"""
+WITH words AS (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+          AS word
+        FROM documents
+        WHERE doc_id IS NOT NULL AND trim(text) <> '')
+  WHERE word <> '' AND NOT contains(word, {s})
+  GROUP BY 1),
+v0 AS (
+  SELECT word, freq,
+         {s} || array_to_string(
+           list_filter(string_split_regex(word, ''), c -> c <> ''),
+           {ss}) || {s} AS wrapped
+  FROM words),
+{','.join(rounds)}
+SELECT word, freq,
+       len(string_split(trim(wrapped, {s}), {ss}))::INT AS n_tokens,
+       array_to_string(string_split(trim(wrapped, {s}), {ss}), ' ')
+         AS tokens
+FROM v{n_merges}
+"""
+
 
 def _srp_sql(n_tables: int = 4, n_bits: int = 8, dim: int = 64,
              k: int = 5) -> str:
@@ -3228,6 +3297,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _IVF_SQL,
         "ann_ivf_topk_2level": _IVF2_SQL,
         "ann_srp_topk": _srp_sql(),
+        "documents_bpe_vocab": _bpe_sql(),
         "events_outliers_mad": """
             WITH r AS (SELECT event_id, event_type AS g,
                               round(value * 100)::BIGINT AS cents

@@ -264,7 +264,8 @@ def main():
                  "documents_pps_sample", "events_heavy_hitters",
                  "documents_interleave_mix", "ann_srp_topk",
                  "kg_negative_samples", "documents_sim_pairs",
-                 "events_outliers_mad", "kg_adjacency"):
+                 "events_outliers_mad", "kg_adjacency",
+                 "documents_bpe_vocab"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

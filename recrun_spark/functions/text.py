@@ -556,3 +556,104 @@ def tfidf_cosine_pairs(documents: DataFrame, threshold_num: int = 1,
                                F.col("norm2").alias("norm_b")), "id_b")
             .where(lhs * lhs >= rhs_a * F.col("norm_b").cast("decimal(19,0)"))
             .select("id_a", "id_b", "dot", "norm_a", "norm_b"))
+
+
+# BPE vocabulary induction ---------------------------------------------------
+
+BPE_SEP = "\x1f"  # unit separator: cannot appear in whitespace-tokenized
+                  # text, so symbol boundaries are unambiguous
+
+
+def _bpe_wrap(word: Column) -> Column:
+    """Word → wrapped symbol string: each initial symbol (character)
+    individually fenced, '␟a␟␟b␟' for "ab".  With EVERY symbol carrying
+    its own boundary pair, the round merge (x, y) → xy is a plain
+    left-to-right non-overlapping string replace of '␟x␟␟y␟' by '␟xy␟' —
+    greedy BPE merge semantics exactly, with no false prefix matches
+    inside longer symbols (both Java's replace and DuckDB's replace scan
+    left-to-right over non-overlapping occurrences, so the two engines
+    tokenize identically)."""
+    chars = F.filter(F.split(word, ""), lambda c: c != "")
+    return F.concat(F.lit(BPE_SEP),
+                    F.array_join(chars, BPE_SEP + BPE_SEP),
+                    F.lit(BPE_SEP))
+
+
+def _bpe_syms(wrapped: Column) -> Column:
+    return F.split(F.regexp_replace(wrapped, f"^{BPE_SEP}|{BPE_SEP}$", ""),
+                   BPE_SEP + BPE_SEP)
+
+
+def bpe_learn(documents: DataFrame, n_merges: int = 8,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Byte-pair-encoding vocabulary induction (Sennrich ACL'16 word-level
+    BPE): learn ``n_merges`` merges over the corpus, greedily taking the
+    most frequent adjacent symbol pair each round (frequency-weighted by
+    word counts; ties pinned by (pair) lexicographic order, so the learned
+    vocabulary is deterministic and engine-reproducible).
+
+    Returns ``(vocab_df, merges)``: the tokenized word vocabulary
+    (word, freq, n_tokens, tokens — space-joined symbols) after all
+    merges, and the merge table [(round, x, y, count)].
+
+    Scale shape — the classic BPE trick made distributed: pair counting
+    and merging run over the DISTINCT-WORD vocabulary weighted by word
+    frequency (vocab ≪ corpus by orders of magnitude), reduced from the
+    corpus by ONE groupBy(word).  Each round is one vocabulary-scale pair
+    aggregate (map-side combinable) plus a 1-ROW driver argmax — the
+    sequential driver dependency is inherent to BPE (round r's counts
+    depend on round r-1's merge), and what rides the driver is one
+    (x, y, count) row per round, never data.  The merge itself is a pure
+    per-row string replace (zero shuffle).  The vocab frame is cached and
+    localCheckpoint-truncated every few rounds so lineage stays flat.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    words = (documents
+             .where(F.col(id_col).isNotNull())
+             .select(F.explode(tokens_col(F.lower(F.col(text_col))))
+                     .alias("word"))
+             .where((F.col("word") != "")
+                    & ~F.col("word").contains(BPE_SEP))
+             .groupBy("word")
+             .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+    vocab = words.select("word", "freq",
+                         _bpe_wrap(F.col("word")).alias("wrapped"))
+    vocab = vocab.persist()
+    merges = []
+    for r in range(1, n_merges + 1):
+        syms = _bpe_syms(F.col("wrapped"))
+        pairs = (vocab
+                 .select("freq", syms.alias("s"))
+                 .where(F.size("s") >= 2)
+                 .select("freq", F.explode(F.transform(
+                     F.sequence(F.lit(0), F.size("s") - 2),
+                     lambda i: F.struct(
+                         F.get(F.col("s"), i).alias("x"),
+                         F.get(F.col("s"), i + 1).alias("y"))))
+                     .alias("p"))
+                 .groupBy("p.x", "p.y")
+                 .agg(F.sum("freq").alias("c")))
+        best = pairs.orderBy(F.col("c").desc(), F.col("x").asc(),
+                             F.col("y").asc()).limit(1).collect()
+        if not best:
+            break
+        x, y, c = best[0]["x"], best[0]["y"], int(best[0]["c"])
+        merges.append((r, x, y, c))
+        pat = F.lit(f"{BPE_SEP}{x}{BPE_SEP}{BPE_SEP}{y}{BPE_SEP}")
+        rep = F.lit(f"{BPE_SEP}{x}{y}{BPE_SEP}")
+        nxt = vocab.select("word", "freq",
+                           F.replace(F.col("wrapped"), pat, rep)
+                           .alias("wrapped"))
+        # eager checkpoint EVERY round: the vocab frame is tiny (distinct
+        # words), and anything lazy here re-derives the whole merge chain
+        # from round 0 on each subsequent argmax (measured: 223 s → ~20 s
+        # at 12 merges on sf0.01)
+        nxt = nxt.localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = nxt
+    syms = _bpe_syms(F.col("wrapped"))
+    out = vocab.select("word", "freq",
+                       F.size(syms).cast("int").alias("n_tokens"),
+                       F.array_join(syms, " ").alias("tokens"))
+    return out, merges

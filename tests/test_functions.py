@@ -2508,3 +2508,37 @@ def test_mad_outliers_hampel_semantics(spark):
     # same data, k=3: 400 > 300 → flagged (id 4), and 200 ≤ 300 not
     out = run([0.0, 1.0, 2.0, 3.0, 6.0], k_num=3)
     assert [r["event_id"] for r in out] == [4]
+
+
+def test_bpe_learn_merge_semantics(spark):
+    """BPE pins: the classic low/lower corpus learns (l,o) then (lo,w);
+    greedy left-to-right non-overlapping merge ('aaaa' → [aa, aa],
+    'aaa' → [aa, a]); merges exhaust → early break; token counts
+    conserve word length."""
+    from recrun_spark.functions.text import bpe_learn
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id bigint, text string")
+    out, merges = bpe_learn(docs, n_merges=5)
+    assert [(m[1], m[2]) for m in merges[:2]] == [("l", "o"), ("lo", "w")]
+    assert merges[0][3] == 6                      # 4×low +1 lower +1 lowest... freq-weighted
+    toks = {r["word"]: r["tokens"] for r in out.collect()}
+    assert toks["low"] == "low" and toks["lower"] == "low er"
+
+    # greedy non-overlap: corpus of a single word 'aaaa' (freq 2) —
+    # round 1 merges (a,a) pairwise left-to-right
+    docs2 = spark.createDataFrame([(1, "aaaa aaaa"), (2, "aaa")],
+                                  "doc_id bigint, text string")
+    out2, merges2 = bpe_learn(docs2, n_merges=1)
+    assert (merges2[0][1], merges2[0][2]) == ("a", "a")
+    t2 = {r["word"]: (r["n_tokens"], r["tokens"]) for r in out2.collect()}
+    assert t2["aaaa"] == (2, "aa aa")
+    assert t2["aaa"] == (2, "aa a")
+
+    # exhaustion: one single-char word cannot merge — loop breaks early
+    docs3 = spark.createDataFrame([(1, "x x x")],
+                                  "doc_id bigint, text string")
+    out3, merges3 = bpe_learn(docs3, n_merges=4)
+    assert merges3 == []
+    assert out3.collect()[0]["tokens"] == "x"
