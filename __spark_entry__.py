@@ -1049,6 +1049,62 @@ def ann_srp_topk(spark, sf_dir):
     return srp_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+def documents_source_nucleus(spark, sf_dir):
+    """Per-language nucleus (top-p) source coverage — the data-mixing
+    governance query: for each language, the SMALLEST prefix of sources
+    (ranked by doc count desc, source asc) whose cumulative count reaches
+    p = 4/5 of the language's documents.  The nucleus/top-p rule of LLM
+    samplers applied to corpus composition ("which sources do I must keep
+    to cover 80% of each language?").  Keep rule pinned exactly: a source
+    is in the nucleus iff the cumulative count BEFORE it is still short
+    of the target — (cum − n)·5 < total·4 — all integers.  Scale shape:
+    one (lang, source) count aggregate (map-side combinable), then
+    windows over the DISTINCT (lang, source) frame (vocabulary-scale,
+    never raw rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (docs.groupBy("lang", "source")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    w = (Window.partitionBy("lang")
+         .orderBy(F.col("n_docs").desc(), F.col("source").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = counts.groupBy("lang").agg(F.sum("n_docs").alias("total"))
+    return (counts.withColumn("cum", F.sum("n_docs").over(w))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("n_docs").desc(), F.col("source").asc())))
+            .join(tot, "lang")
+            .where((F.col("cum") - F.col("n_docs")) * 5
+                   < F.col("total") * 4)
+            .select("lang", "source", "n_docs", "cum", "total", "rank"))
+
+
+def events_decayed_counts(spark, sf_dir):
+    """Recency-weighted per-user activity — exponentially decayed counts
+    with power-of-two weights (the freshness feature of ranking/feature
+    stores, kept EXACT): weight = 2^max(0, 7 − age_days) with age
+    anchored at the corpus max timestamp, so Σ value_cents · weight is
+    pure int64 arithmetic (a float e^{−λt} decay can't be value-hashed
+    cross-engine).  Time is epoch-microsecond arithmetic (NTZ-safe — the
+    zorder/sessionizer convention), the anchor is a 1-row max aggregate
+    broadcast into the plan, and the whole query is one scan + one keyed
+    sum — map-side combinable, zero windows."""
+    ev = _t(spark, sf_dir, "events")
+    us = ("cast(timestampdiff(MICROSECOND, "
+          "timestamp'1970-01-01 00:00:00', ts) as bigint)")
+    anchor = ev.agg(F.expr(f"max({us})").alias("anchor_us"))
+    return (ev.crossJoin(F.broadcast(anchor))
+            .withColumn("age_days",
+                        F.expr(f"(anchor_us - {us}) div 86400000000"))
+            .withColumn("w", F.expr(
+                "shiftleft(cast(1 as bigint), "
+                "cast(greatest(0, 7 - age_days) as int))"))
+            .groupBy("user_id")
+            .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")
+                       * F.col("w")).alias("decayed_cents"),
+                 F.sum("w").alias("weight_sum"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))
+
+
 def documents_bpe_vocab(spark, sf_dir):
     """Distributed BPE vocabulary induction (text.bpe_learn — Sennrich
     ACL'16 word-level byte-pair encoding, 12 merges): the tokenizer-
@@ -2088,6 +2144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency": kg_adjacency,
         "events_outliers_mad": events_outliers_mad,
         "documents_bpe_vocab": documents_bpe_vocab,
+        "documents_source_nucleus": documents_source_nucleus,
+        "events_decayed_counts": events_decayed_counts,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -3298,6 +3356,36 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_2level": _IVF2_SQL,
         "ann_srp_topk": _srp_sql(),
         "documents_bpe_vocab": _bpe_sql(),
+        "documents_source_nucleus": """
+            WITH c AS (SELECT lang, source, count(*)::BIGINT AS n_docs
+                       FROM documents GROUP BY 1, 2),
+            t AS (SELECT lang, sum(n_docs)::BIGINT AS total
+                  FROM c GROUP BY 1),
+            r AS (SELECT lang, source, n_docs,
+                         sum(n_docs) OVER (PARTITION BY lang
+                             ORDER BY n_docs DESC, source ASC
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY n_docs DESC, source ASC) AS rank
+                  FROM c)
+            SELECT r.lang, r.source, r.n_docs, r.cum, t.total, r.rank
+            FROM r JOIN t ON t.lang = r.lang
+            WHERE (r.cum - r.n_docs) * 5 < t.total * 4
+        """,
+        "events_decayed_counts": """
+            WITH a AS (SELECT max(epoch_us(ts)) AS anchor_us FROM events),
+            w AS (SELECT user_id,
+                         round(value * 100)::BIGINT AS cents,
+                         (1::BIGINT << greatest(0,
+                            7 - (a.anchor_us - epoch_us(ts))
+                                  // 86400000000)::INT) AS w
+                  FROM events, a)
+            SELECT user_id,
+                   sum(cents * w)::BIGINT AS decayed_cents,
+                   sum(w)::BIGINT AS weight_sum,
+                   count(*)::BIGINT AS n_events
+            FROM w GROUP BY user_id
+        """,
         "events_outliers_mad": """
             WITH r AS (SELECT event_id, event_type AS g,
                               round(value * 100)::BIGINT AS cents

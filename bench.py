@@ -265,7 +265,8 @@ def main():
                  "documents_interleave_mix", "ann_srp_topk",
                  "kg_negative_samples", "documents_sim_pairs",
                  "events_outliers_mad", "kg_adjacency",
-                 "documents_bpe_vocab"):
+                 "documents_bpe_vocab", "documents_source_nucleus",
+                 "events_decayed_counts"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------
