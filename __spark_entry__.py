@@ -1049,6 +1049,89 @@ def ann_srp_topk(spark, sf_dir):
     return srp_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+def documents_profile(spark, sf_dir):
+    """Table profiling — the data-quality summary every ingest job runs
+    before training-data aggregation: per column, row count, null count,
+    EXACT distinct count, and min/max (rendered as strings so one output
+    schema covers all column types; min/max computed in the column's
+    NATIVE type first, then cast — never string-ordered).  One aggregate
+    pass: multiple count(distinct) in a single agg plans as Spark's
+    Expand (k× row multiplication, the documented cost of exact multi-
+    column profiling in one scan — swap to per-column HLL sketches at
+    100 TB when ±2% suffices, events_user_hll family)."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col, n_rows, n_nulls, n_distinct, min_s, max_s)")
+
+
+def documents_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation / CDC diff — classify every key as added,
+    removed, or changed between two table versions (the incremental-
+    ingest primitive: what changed since the last run?).  The "new"
+    snapshot is a deterministic mutation of the old (doc_id % 89 == 0
+    deleted, % 97 == 0 text-edited, % 131 == 0 cloned to a shifted id
+    range), so the oracle rebuilds both sides exactly.  Shape: ONE keyed
+    full-outer join on the key + an md5 row fingerprint comparison —
+    no windows, no driver state; unchanged rows drop out so the output
+    is delta-sized, not table-sized."""
+    old = _t(spark, sf_dir, "documents")
+    new = (old.where(F.col("doc_id") % 89 != 0)
+           .withColumn("text", F.when(F.col("doc_id") % 97 == 0,
+                                      F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text")))
+           .unionByName(
+               old.where(F.col("doc_id") % 131 == 0)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))))
+    fp = F.md5(F.concat_ws("\x1f", "text", "lang", "source",
+                           F.col("n_chars").cast("string")))
+    o = old.select("doc_id", fp.alias("old_fp"))
+    n = new.select("doc_id", fp.alias("new_fp"))
+    return (o.join(n, "doc_id", "full_outer")
+            .withColumn("change", F.when(F.col("old_fp").isNull(), "added")
+                        .when(F.col("new_fp").isNull(), "removed")
+                        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+                        .otherwise("same"))
+            .where(F.col("change") != "same")
+            .select("doc_id", "change", "old_fp", "new_fp"))
+
+
+def events_ema(spark, sf_dir):
+    """Integer-exact exponential moving average over each user's event
+    stream — the time-series smoothing feature (half-per-step decay over
+    the last 8 events): ema = Σ_{j=0..7} cents_{t−j} · 2^(7−j), newest
+    weighted 2^7; absent lags contribute nothing (pinned).  Power-of-two
+    weights keep it pure int64 (a float α-EMA is recursively rounding
+    and can't be value-hashed cross-engine).  One per-user window over
+    (ts, event_id) order with 8 bounded lags — a single keyed sort, no
+    unbounded state."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    d = ev.select("event_id", "user_id", "ts", cents.alias("cents"))
+    ema = F.lit(0).cast("long")
+    for j in range(8):
+        ema = ema + F.coalesce(F.lag("cents", j).over(w),
+                               F.lit(0).cast("long")) * F.lit(1 << (7 - j))
+    return d.select("event_id", "user_id", "cents", ema.alias("ema"))
+
+
 def documents_source_nucleus(spark, sf_dir):
     """Per-language nucleus (top-p) source coverage — the data-mixing
     governance query: for each language, the SMALLEST prefix of sources
@@ -2146,6 +2229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_bpe_vocab": documents_bpe_vocab,
         "documents_source_nucleus": documents_source_nucleus,
         "events_decayed_counts": events_decayed_counts,
+        "documents_profile": documents_profile,
+        "documents_snapshot_diff": documents_snapshot_diff,
+        "events_ema": events_ema,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -3356,6 +3442,97 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_2level": _IVF2_SQL,
         "ann_srp_topk": _srp_sql(),
         "documents_bpe_vocab": _bpe_sql(),
+        "documents_profile": """
+            WITH w AS (
+              SELECT
+                count(*)::BIGINT AS doc_id__n,
+                sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS doc_id__nulls,
+                count(DISTINCT doc_id)::BIGINT AS doc_id__distinct,
+                CAST(min(doc_id) AS VARCHAR) AS doc_id__min,
+                CAST(max(doc_id) AS VARCHAR) AS doc_id__max,
+                sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS text__nulls,
+                count(DISTINCT text)::BIGINT AS text__distinct,
+                CAST(min(text) AS VARCHAR) AS text__min,
+                CAST(max(text) AS VARCHAR) AS text__max,
+                sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS lang__nulls,
+                count(DISTINCT lang)::BIGINT AS lang__distinct,
+                CAST(min(lang) AS VARCHAR) AS lang__min,
+                CAST(max(lang) AS VARCHAR) AS lang__max,
+                sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS source__nulls,
+                count(DISTINCT source)::BIGINT AS source__distinct,
+                CAST(min(source) AS VARCHAR) AS source__min,
+                CAST(max(source) AS VARCHAR) AS source__max,
+                sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_chars__nulls,
+                count(DISTINCT n_chars)::BIGINT AS n_chars__distinct,
+                CAST(min(n_chars) AS VARCHAR) AS n_chars__min,
+                CAST(max(n_chars) AS VARCHAR) AS n_chars__max
+              FROM documents)
+            SELECT 'doc_id' AS col, doc_id__n AS n_rows,
+                   doc_id__nulls AS n_nulls, doc_id__distinct AS n_distinct,
+                   doc_id__min AS min_s, doc_id__max AS max_s FROM w
+            UNION ALL SELECT 'text', doc_id__n, text__nulls,
+                   text__distinct, text__min, text__max FROM w
+            UNION ALL SELECT 'lang', doc_id__n, lang__nulls,
+                   lang__distinct, lang__min, lang__max FROM w
+            UNION ALL SELECT 'source', doc_id__n, source__nulls,
+                   source__distinct, source__min, source__max FROM w
+            UNION ALL SELECT 'n_chars', doc_id__n, n_chars__nulls,
+                   n_chars__distinct, n_chars__min, n_chars__max FROM w
+        """,
+        "documents_snapshot_diff": """
+            WITH fp_old AS (
+              SELECT doc_id,
+                     md5(text || chr(31) || lang || chr(31) || source
+                         || chr(31) || CAST(n_chars AS VARCHAR)) AS old_fp
+              FROM documents),
+            newt AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 97 = 0 THEN text || ' v2'
+                          ELSE text END AS text,
+                     lang, source, n_chars
+              FROM documents WHERE doc_id % 89 != 0
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang, source, n_chars
+              FROM documents WHERE doc_id % 131 = 0),
+            fp_new AS (
+              SELECT doc_id,
+                     md5(text || chr(31) || lang || chr(31) || source
+                         || chr(31) || CAST(n_chars AS VARCHAR)) AS new_fp
+              FROM newt),
+            j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                         o.old_fp, n.new_fp
+                  FROM fp_old o FULL OUTER JOIN fp_new n
+                    ON o.doc_id = n.doc_id)
+            SELECT doc_id,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   old_fp, new_fp
+            FROM j
+            WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp != new_fp
+        """,
+        "events_ema": """
+            WITH d AS (SELECT event_id, user_id, ts,
+                              round(value * 100)::BIGINT AS cents
+                       FROM events)
+            SELECT event_id, user_id, cents,
+                   (  coalesce(lag(cents, 0) OVER w, 0) * 128
+                    + coalesce(lag(cents, 1) OVER w, 0) * 64
+                    + coalesce(lag(cents, 2) OVER w, 0) * 32
+                    + coalesce(lag(cents, 3) OVER w, 0) * 16
+                    + coalesce(lag(cents, 4) OVER w, 0) * 8
+                    + coalesce(lag(cents, 5) OVER w, 0) * 4
+                    + coalesce(lag(cents, 6) OVER w, 0) * 2
+                    + coalesce(lag(cents, 7) OVER w, 0) * 1)::BIGINT AS ema
+            FROM d
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC)
+        """,
         "documents_source_nucleus": """
             WITH c AS (SELECT lang, source, count(*)::BIGINT AS n_docs
                        FROM documents GROUP BY 1, 2),

@@ -266,7 +266,8 @@ def main():
                  "kg_negative_samples", "documents_sim_pairs",
                  "events_outliers_mad", "kg_adjacency",
                  "documents_bpe_vocab", "documents_source_nucleus",
-                 "events_decayed_counts"):
+                 "events_decayed_counts", "documents_profile",
+                 "documents_snapshot_diff", "events_ema"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------
