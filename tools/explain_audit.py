@@ -798,6 +798,46 @@ def main():
          lambda p: "Window" in p and "collect_list" in p),
     ])
 
+    # BPE (r5): after the one word reduce, every round's pair count must
+    # partial-aggregate; the merge itself is a pure projection (the plan
+    # here is the FINAL tokenization read — checkpointed, so it must be
+    # scan-shaped, not a 12-round lineage)
+    audit("documents_bpe_vocab", qs["documents_bpe_vocab"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("final read is checkpoint-truncated (no merge-chain lineage)",
+         lambda p: "Scan ExistingRDD" in p or "LocalTableScan" in p),
+    ])
+
+    # decayed counts (r5): 1-row anchor broadcast + ONE keyed partial-
+    # aggregated sum; no windows
+    audit("events_decayed_counts",
+          qs["events_decayed_counts"](spark, SF_DIR), [
+              ("anchor rides as a broadcast join",
+               lambda p: "BroadcastNestedLoopJoin" in p
+               or "BroadcastHashJoin" in p),
+              ("map-side partial aggregation",
+               lambda p: "partial" in p.lower()),
+              ("no window operator", lambda p: "Window" not in p),
+          ])
+
+    # profile (r5): single-pass multi-distinct plans as Expand (the
+    # documented exact-profiling cost) with partial aggregation
+    audit("documents_profile", qs["documents_profile"](spark, SF_DIR), [
+        ("multi-distinct via Expand (one scan, k-fold rows)",
+         lambda p: "Expand" in p),
+        ("map-side partial aggregation",
+         lambda p: "partial" in p.lower()),
+    ])
+
+    # snapshot diff (r5): one keyed full-outer join, no windows
+    audit("documents_snapshot_diff",
+          qs["documents_snapshot_diff"](spark, SF_DIR), [
+              ("full-outer join is keyed (SMJ/SHJ), not nested-loop",
+               lambda p: "FullOuter" in p
+               and "BroadcastNestedLoopJoin" not in p),
+              ("no window operator", lambda p: "Window" not in p),
+          ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
