@@ -1049,6 +1049,35 @@ def ann_srp_topk(spark, sf_dir):
     return srp_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+def events_user_scc(spark, sf_dir):
+    """STRONGLY connected components (operators.scc — FW-BW min-label
+    coloring, Fleischer/Hendrickson/Pinar 2000) over the DIRECTED
+    consecutive-actor graph: user a → user b iff b's event immediately
+    follows a's within the same (event_type, hour) stream — the directed
+    twin of cc_components (undirected CC can't see direction; SCC is the
+    influence/cycle structure).  scc_id = min member (the CC canonical
+    convention).  No transitive closure is ever materialized on the
+    Spark side — fwd/bwd min-label fixpoints with 1-row convergence
+    aggregates; the ORACLE builds the closure via a recursive CTE (test
+    scale only) and takes min over mutually-reachable sets, a fully
+    independent formulation."""
+    from recrun_spark.operators import scc
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("cast(timestampdiff(MICROSECOND, "
+                  "timestamp'1970-01-01 00:00:00', ts) div 3600000000 "
+                  "as bigint)")
+    d = ev.select("event_id", "ts", "user_id", "event_type",
+                  hour.alias("hr"))
+    w = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    edges = (d.withColumn("nxt", F.lead("user_id").over(w))
+             .where(F.col("nxt").isNotNull()
+                    & (F.col("nxt") != F.col("user_id")))
+             .select(F.col("user_id").alias("src"),
+                     F.col("nxt").alias("dst")).distinct())
+    return scc(edges).select(F.col("node").alias("user_id"), "scc_id")
+
+
 def documents_profile(spark, sf_dir):
     """Table profiling — the data-quality summary every ingest job runs
     before training-data aggregation: per column, row count, null count,
@@ -2232,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_profile": documents_profile,
         "documents_snapshot_diff": documents_snapshot_diff,
         "events_ema": events_ema,
+        "events_user_scc": events_user_scc,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -3442,6 +3472,32 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_2level": _IVF2_SQL,
         "ann_srp_topk": _srp_sql(),
         "documents_bpe_vocab": _bpe_sql(),
+        "events_user_scc": """
+            WITH RECURSIVE d AS (
+              SELECT event_id, ts, user_id, event_type,
+                     epoch_us(ts) // 3600000000 AS hr
+              FROM events),
+            e0 AS (
+              SELECT user_id AS s,
+                     lead(user_id) OVER (PARTITION BY event_type, hr
+                                         ORDER BY ts ASC, event_id ASC)
+                       AS t
+              FROM d),
+            e AS (SELECT DISTINCT s, t FROM e0
+                  WHERE t IS NOT NULL AND t != s),
+            reach AS (
+              SELECT s AS a, t AS b FROM e
+              UNION
+              SELECT r.a, e.t FROM reach r JOIN e ON e.s = r.b),
+            mutual AS (
+              SELECT r1.a AS u, r1.b AS v
+              FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+            nodes AS (SELECT s AS n FROM e UNION SELECT t FROM e)
+            SELECT n.n AS user_id,
+                   least(n.n, coalesce(min(m.v), n.n)) AS scc_id
+            FROM nodes n LEFT JOIN mutual m ON m.u = n.n
+            GROUP BY n.n
+        """,
         "documents_profile": """
             WITH w AS (
               SELECT

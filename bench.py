@@ -267,7 +267,8 @@ def main():
                  "events_outliers_mad", "kg_adjacency",
                  "documents_bpe_vocab", "documents_source_nucleus",
                  "events_decayed_counts", "documents_profile",
-                 "documents_snapshot_diff", "events_ema"):
+                 "documents_snapshot_diff", "events_ema",
+                 "events_user_scc"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

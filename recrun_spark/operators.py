@@ -925,3 +925,95 @@ def negative_samples(positives: DataFrame, items: DataFrame, k: int = 4,
         ["head", "neg_item"], "left_anti")
     return neg.select("head", "pos_item", "neg_item",
                       F.col("sample_i").cast("int").alias("sample_i"))
+
+
+def _min_label_fixpoint(nodes: DataFrame, edges: DataFrame,
+                        reverse: bool, max_inner: int) -> DataFrame:
+    """(n, lbl): lbl = min node id reachable FROM n along edge direction
+    (``reverse=True`` follows edges backward — min id that REACHES n).
+    Plain min-label relaxation: each round pulls successors' labels
+    through one equi-join + one keyed min aggregate, converging in
+    ≤ diameter rounds (checked by a single changed-count aggregate;
+    localCheckpoint per round keeps lineage flat — the pagerank/kcore
+    discipline).  Raises loudly if max_inner rounds don't converge."""
+    s, d = ("d", "s") if reverse else ("s", "d")
+    lab = nodes.select("n", F.col("n").alias("lbl")) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_inner):
+        upd = (edges.join(lab.withColumnRenamed("n", d), d)
+               .groupBy(F.col(s).alias("n"))
+               .agg(F.min("lbl").alias("nbr")))
+        nxt = (lab.join(upd, "n", "left")
+               .select("n", F.least(F.col("lbl"),
+                                    F.coalesce("nbr", F.col("lbl")))
+                       .alias("lbl"))
+               .localCheckpoint(eager=True))
+        changed = (nxt.withColumnRenamed("lbl", "l2").join(lab, "n")
+                   .where(F.col("l2") != F.col("lbl")).count())
+        lab = nxt
+        if changed == 0:
+            return lab
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_inner} rounds "
+        "(graph diameter exceeds max_inner — raise it)")
+
+
+def scc(edges: DataFrame, src: str = "src", dst: str = "dst",
+        max_outer: int = 20, max_inner: int = 50) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — forward/
+    backward min-label coloring (the FW-BW family: Fleischer,
+    Hendrickson & Pinar 2000; Slota, Rajamanickam & Madduri 2014; Orzan's
+    coloring variant).  Returns (node, scc_id) for every node appearing
+    in an edge, scc_id = MIN node id of the component (the canonical
+    label, same convention as connected_components).
+
+    Each outer round computes fwd(u) = min id forward-reachable from u
+    and bwd(u) = min id backward-reachable; nodes with fwd == bwd == m
+    are exactly SCC(m) with m its minimum member (m is reachable both
+    ways → m ∈ SCC(u); fwd min ≤ min(SCC) and fwd min ∈ SCC → equality),
+    so they RESOLVE and leave the graph; unresolved nodes recurse on the
+    induced subgraph.  The globally minimal remaining node always
+    resolves (its fwd and bwd are both itself), so ≥1 SCC retires per
+    round — and every locally-minimal SCC retires simultaneously, which
+    is why real graphs finish in few rounds (one giant SCC + fringe is
+    the common shape).  Raises loudly at max_outer with nodes left.
+
+    100 TB shape: inner rounds are one equi-join + one keyed min each
+    (O(E)/round, ≤ diameter rounds, convergence by a 1-row changed-count
+    aggregate); outer rounds shrink the graph by two semi-joins; every
+    frame is localCheckpoint-truncated.  No transitive closure is ever
+    materialized (the oracle does that — at test scale only)."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull()
+                & (F.col("s") != F.col("d")))
+         .distinct().localCheckpoint(eager=True))
+    remaining = (e.select(F.col("s").alias("n"))
+                 .union(e.select(F.col("d").alias("n")))
+                 .distinct().localCheckpoint(eager=True))
+    resolved = []
+    for _ in range(max_outer):
+        n_left = remaining.count()
+        if n_left == 0:
+            break
+        fwd = _min_label_fixpoint(remaining, e, False, max_inner)
+        bwd = (_min_label_fixpoint(remaining, e, True, max_inner)
+               .withColumnRenamed("lbl", "blbl"))
+        lab = fwd.join(bwd, "n")
+        res = (lab.where(F.col("lbl") == F.col("blbl"))
+               .select("n", F.col("lbl").alias("scc_id"))
+               .localCheckpoint(eager=True))
+        resolved.append(res)
+        remaining = (remaining.join(res, "n", "left_anti")
+                     .localCheckpoint(eager=True))
+        e = (e.join(remaining.withColumnRenamed("n", "s"), "s", "left_semi")
+             .join(remaining.withColumnRenamed("n", "d"), "d", "left_semi")
+             .localCheckpoint(eager=True))
+    else:
+        if remaining.count() > 0:
+            raise RuntimeError(
+                f"scc did not resolve all nodes in {max_outer} outer "
+                "rounds — raise max_outer")
+    out = resolved[0]
+    for r in resolved[1:]:
+        out = out.unionByName(r)
+    return out.select(F.col("n").alias("node"), "scc_id")

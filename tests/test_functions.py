@@ -2542,3 +2542,62 @@ def test_bpe_learn_merge_semantics(spark):
     out3, merges3 = bpe_learn(docs3, n_merges=4)
     assert merges3 == []
     assert out3.collect()[0]["tokens"] == "x"
+
+
+def test_scc_fwbw_vs_tarjan(spark):
+    """Distributed FW-BW SCC pins: cycle+tail, chained 2-cycles (forces
+    one outer recursion per locally-non-minimal SCC), and a differential
+    against a driver-side Tarjan on a seeded random digraph."""
+    from recrun_spark.operators import scc
+
+    def run(es):
+        df = spark.createDataFrame(es, "src bigint, dst bigint")
+        return {r["node"]: r["scc_id"] for r in scc(df).collect()}
+
+    assert run([(1, 2), (2, 3), (3, 1), (3, 4)]) == \
+        {1: 1, 2: 1, 3: 1, 4: 4}
+    # two 2-cycles joined by a one-way bridge: {3,4} is NOT resolvable in
+    # round 1 (bwd(3) = 1 ≠ fwd(3) = 3) — exercises the outer recursion
+    assert run([(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)]) == \
+        {1: 1, 2: 1, 3: 3, 4: 3}
+
+    import random
+    rng = random.Random(7)
+    n = 40
+    es = list({(rng.randrange(n), rng.randrange(n)) for _ in range(80)})
+    es = [(a, b) for a, b in es if a != b]
+    got = run(es)
+
+    adj, nodes = {}, set()
+    for a, b in es:
+        adj.setdefault(a, []).append(b)
+        nodes.update((a, b))
+    index, low, onstk, stk, counter, comp = {}, {}, {}, [], [0], {}
+
+    def strong(v):
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        stk.append(v)
+        onstk[v] = True
+        for w in adj.get(v, []):
+            if w not in index:
+                strong(w)
+                low[v] = min(low[v], low[w])
+            elif onstk.get(w):
+                low[v] = min(low[v], index[w])
+        if low[v] == index[v]:
+            members = []
+            while True:
+                w = stk.pop()
+                onstk[w] = False
+                members.append(w)
+                if w == v:
+                    break
+            m = min(members)
+            for w in members:
+                comp[w] = m
+
+    for v in sorted(nodes):
+        if v not in index:
+            strong(v)
+    assert got == comp
