@@ -2014,6 +2014,63 @@ def events_windowed_stream(spark, sf_dir):
             .select("window_start", "window_end", "event_type", "n_events"))
 
 
+def events_enriched_stream(spark, sf_dir):
+    """STREAM-STATIC broadcast enrichment + watermarked windowed
+    aggregation in APPEND mode (streaming/windows.py::
+    enriched_windowed_counts — the remaining Structured Streaming join
+    surface: the static nation dimension broadcasts into every
+    micro-batch, NO state store, and the watermark passes through the
+    stateless join untouched).  Events replayed as 3 time-ranged files,
+    keyed user_id % 25 → nation; hourly counts per nation land in the
+    sink only when finalized (window_end ≤ ms-floored max ts − delay,
+    inclusive — the SAME pinned rule as events_windowed_stream, because
+    a stateless join cannot change finalization).  Oracle: the batch
+    join + GROUP BY under that predicate.  Same digest-keyed
+    cached-workdir pattern as the other streaming rows."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import recrun_spark.streaming.windows as swin
+    from recrun_spark.streaming.sessions import prepare_ranged_events
+    _ensure_pkg(spark)
+    src_file = f"{sf_dir}/events.parquet"
+    st = os.stat(src_file)
+    digest = hashlib.sha1(
+        f"{src_file}:{st.st_size}:{st.st_mtime_ns}:enr:3f:1h:10m".encode())
+    digest.update(open(swin.__file__, "rb").read())
+    work = os.path.join(tempfile.gettempdir(),
+                        f"recrun_enr_stream_{digest.hexdigest()[:12]}")
+    if not os.path.isdir(work):
+        build = tempfile.mkdtemp(prefix="recrun_enr_build_")
+        try:
+            keyed_src = os.path.join(build, "keyed.parquet")
+            (spark.read.parquet(src_file)
+             .withColumn("dim_key", F.col("user_id") % 25)
+             .coalesce(1).write.mode("overwrite").parquet(keyed_src))
+            src = prepare_ranged_events(keyed_src, os.path.join(build, "in"),
+                                        n_files=3)
+            schema = spark.read.parquet(keyed_src).schema
+            dim = _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").cast("long").alias("dim_key"),
+                F.col("n_name").alias("label"))
+            sink = swin.run_enriched_counts_available_now(
+                spark, src, os.path.join(build, "out"), schema, dim,
+                window="1 hour", delay="10 minutes")
+            shutil.rmtree(os.path.join(sink, "_spark_metadata"),
+                          ignore_errors=True)
+            try:
+                os.rename(build, work)
+            except OSError:
+                pass
+        finally:
+            if os.path.isdir(build) and os.path.isdir(work) and build != work:
+                shutil.rmtree(build, ignore_errors=True)
+    return (spark.read.parquet(os.path.join(work, "out", "enriched"))
+            .select("window_start", "window_end",
+                    F.col("label").alias("nation"), "n_events"))
+
+
 def events_attribution_stream(spark, sf_dir):
     """STREAM-STREAM watermarked interval join (streaming/join.py — the
     symmetric-hash-join state surface): purchases and clicks replayed as
@@ -2262,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_snapshot_diff": documents_snapshot_diff,
         "events_ema": events_ema,
         "events_user_scc": events_user_scc,
+        "events_enriched_stream": events_enriched_stream,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -4416,6 +4474,26 @@ def oracle_sql() -> dict[str, str]:
                      event_type, count(*) AS n_events
               FROM events GROUP BY 1, 2, 3)
             SELECT window_start, window_end, event_type, n_events
+            FROM agg, wm
+            WHERE epoch_us(window_end) <= wm.wm_us
+        """,
+        # stream-static join is stateless, so finalization is identical
+        # to events_windowed_stream's pinned rule; the oracle is the
+        # batch join + GROUP BY under that predicate
+        "events_enriched_stream": """
+            WITH wm AS (
+              SELECT (epoch_us(max(ts)) // 1000) * 1000
+                     - 600 * 1000000 AS wm_us
+              FROM events),
+            agg AS (
+              SELECT date_trunc('hour', e.ts) AS window_start,
+                     date_trunc('hour', e.ts) + INTERVAL 1 HOUR
+                       AS window_end,
+                     n.n_name AS nation, count(*) AS n_events
+              FROM events e
+              JOIN nation n ON n.n_nationkey = e.user_id % 25
+              GROUP BY 1, 2, 3)
+            SELECT window_start, window_end, nation, n_events
             FROM agg, wm
             WHERE epoch_us(window_end) <= wm.wm_us
         """,

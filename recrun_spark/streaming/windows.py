@@ -103,3 +103,76 @@ def run_windowed_counts_available_now(spark: SparkSession, input_dir: str,
          .start())
     q.awaitTermination()
     return sink
+
+
+def enriched_windowed_counts(stream: DataFrame, dim: DataFrame,
+                             window: str = "1 hour",
+                             delay: str = "10 minutes",
+                             ts_col: str = "ts",
+                             stream_key: str = "dim_key",
+                             dim_key: str = "dim_key",
+                             label_col: str = "label") -> DataFrame:
+    """STREAM-STATIC enrichment + watermarked tumbling-window aggregation
+    — the remaining Structured Streaming join surface (sessions.py owns
+    hand-managed state, join.py the stream-stream symmetric hash join;
+    the stream-STATIC join is STATELESS: the static side broadcasts into
+    every micro-batch, no state store, and the watermark passes through
+    untouched).  The stream is enriched against ``dim`` on
+    ``stream_key == dim_key`` (inner — unmatched keys drop, the standard
+    dimension-enrichment contract), then counted per (window, label).
+
+    Same NTZ→instant epoch-arithmetic discipline as windowed_counts, and
+    the SAME append-mode finalization rule (window_end <= ms-floored max
+    ts − delay, inclusive) — a stateless join cannot change when windows
+    finalize, which is what lets the batch join+GROUP BY serve as the
+    value oracle."""
+    from pyspark.sql.types import TimestampNTZType
+    if isinstance(stream.schema[ts_col].dataType, TimestampNTZType):
+        wm = F.expr(f"timestamp_micros(timestampdiff(MICROSECOND, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col}))")
+    else:
+        wm = F.col(ts_col)
+
+    def _back(col):
+        return F.expr(f"convert_timezone(current_timezone(), 'UTC', "
+                      f"cast({col} as timestamp_ntz))")
+
+    d = dim.select(F.col(dim_key).alias("_dk"),
+                   F.col(label_col).alias("label"))
+    return (stream.withColumn("_wm_ts", wm)
+            .withWatermark("_wm_ts", delay)
+            .join(F.broadcast(d), F.col(stream_key) == F.col("_dk"))
+            .groupBy(F.window(F.col("_wm_ts"), window).alias("w"),
+                     F.col("label"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(_back("w.start").alias("window_start"),
+                    _back("w.end").alias("window_end"),
+                    "label", "n_events"))
+
+
+def run_enriched_counts_available_now(spark: SparkSession, input_dir: str,
+                                      out_dir: str, schema, dim: DataFrame,
+                                      window: str = "1 hour",
+                                      delay: str = "10 minutes",
+                                      ts_col: str = "ts",
+                                      stream_key: str = "dim_key",
+                                      dim_key: str = "dim_key",
+                                      label_col: str = "label",
+                                      max_files_per_trigger: int = 1) -> str:
+    """Drain available files through the stream-static enrichment +
+    windowed aggregate into a parquet sink (append mode — finalized
+    windows only; exactly-once via the file-sink commit log)."""
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+    sink = os.path.join(out_dir, "enriched")
+    q = (enriched_windowed_counts(stream, dim, window, delay, ts_col,
+                                  stream_key, dim_key, label_col)
+         .writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return sink
