@@ -1030,6 +1030,25 @@ def ann_ivf_topk_2level(spark, sf_dir):
                     assignment="two_level", coarse_nprobe=2)
 
 
+def embeddings_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means with EXACT integer arithmetic
+    (similarity.kmeans_quantized, k=8, 4 rounds): the centroid-training
+    step the IVF family defers (hash-sampled centroids exist precisely
+    because float k-means can't be value-oracled — this closes the gap).
+    Coordinates fixed-pointed by floor(x·2^20); assignment = exact
+    integer squared-distance argmin (ties → lower cluster id); update =
+    per-dimension sum div count TRUNCATED toward zero (the Spark div /
+    DuckDB // convention — Python's // floors and must not touch
+    negative sums).  Per round: one k·dim-literal broadcast against the
+    corpus scan, a row-local argmin, ONE map-side-combinable keyed
+    aggregate; centroids ride the driver between rounds (k·dim ints —
+    the 1-row-probe convention).  The oracle replays every round as
+    unrolled MATERIALIZED CTEs, bit-for-bit."""
+    from recrun_spark.functions.similarity import kmeans_quantized
+    return kmeans_quantized(_t(spark, sf_dir, "embeddings"),
+                            k=8, iters=4)
+
+
 def ann_srp_topk(spark, sf_dir):
     """Multi-table signed-random-projection (hyperplane) LSH top-k
     (similarity.srp_topk — Charikar STOC'02 random-hyperplane rounding,
@@ -2308,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_topk_2level": ann_ivf_topk_2level,
         "ann_srp_topk": ann_srp_topk,
+        "embeddings_kmeans": embeddings_kmeans,
         "kg_negative_samples": kg_negative_samples,
         "documents_sim_pairs": documents_sim_pairs,
         "kg_adjacency": kg_adjacency,
@@ -2512,6 +2532,56 @@ SELECT word, freq,
        array_to_string(string_split(trim(wrapped, {s}), {ss}), ' ')
          AS tokens
 FROM v{n_merges}
+"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
+    """k-means oracle: replays EVERY Lloyd round — hash-ordered init,
+    exact-integer argmin assignment (ties → lower cluster id), per-
+    dimension sum, truncated-div mean (DuckDB's `//` truncates toward
+    zero, matching the operator's pinned driver-side tdiv), empty-
+    cluster carryover via LEFT JOIN coalesce.  MATERIALIZED rounds (the
+    BPE lesson: each round references the prior one more than once, and
+    inlined CTEs go exponential)."""
+    d2 = ("list_sum(list_transform(range(0,{dim}), i -> "
+          "(v.q[i+1] - c.c[i+1]) * (v.q[i+1] - c.c[i+1])))"
+          .format(dim=dim))
+    rounds = []
+    for r in range(iters + 1):
+        rounds.append(f"""
+a{r} AS MATERIALIZED (
+  SELECT vec_id, q, j AS cluster, dist2 FROM (
+    SELECT v.vec_id, v.q, c.j, CAST({d2} AS BIGINT) AS dist2,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY CAST({d2} AS BIGINT) ASC,
+                                       c.j ASC) AS rnk
+    FROM v, c{r} c) WHERE rnk = 1)""")
+        if r == iters:
+            break
+        rounds.append(f"""
+s{r} AS MATERIALIZED (
+  SELECT cluster, i, CAST(sum(qv) AS BIGINT) AS s, count(*)::BIGINT AS n
+  FROM (SELECT a.cluster, t.i, a.q[t.i + 1] AS qv
+        FROM a{r} a, (SELECT unnest(range(0, {dim})) AS i) t)
+  GROUP BY 1, 2),
+m{r} AS MATERIALIZED (
+  SELECT cluster AS j, list(s // n ORDER BY i) AS vec
+  FROM s{r} GROUP BY 1),
+c{r + 1} AS MATERIALIZED (
+  SELECT p.j, coalesce(m.vec, p.c) AS c
+  FROM c{r} p LEFT JOIN m{r} m ON m.j = p.j)""")
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1048576.0)::BIGINT) AS q
+  FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC,
+                            vec_id ASC) - 1 AS j, q AS c
+  FROM v ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC LIMIT {k}),
+{','.join(rounds)}
+SELECT vec_id, cluster, dist2 FROM a{iters}
 """
 
 
@@ -3529,6 +3599,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _IVF_SQL,
         "ann_ivf_topk_2level": _IVF2_SQL,
         "ann_srp_topk": _srp_sql(),
+        "embeddings_kmeans": _kmeans_sql(),
         "documents_bpe_vocab": _bpe_sql(),
         "events_user_scc": """
             WITH RECURSIVE d AS (

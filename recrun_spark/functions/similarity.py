@@ -481,3 +481,87 @@ def srp_topk(embeddings: DataFrame, query_ids, k: int = 5,
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "qdot"))
+
+
+def kmeans_quantized(embeddings: DataFrame, k: int = 8, iters: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     scale: int = SRP_SCALE) -> DataFrame:
+    """Distributed Lloyd's k-means over QUANTIZED integer coordinates —
+    the centroid-training step IVF defers (ivf_topk uses hash-sampled
+    centroids precisely because float k-means can't be value-oracled;
+    this closes that gap by making k-means itself exact): coordinates are
+    fixed-pointed by floor(x·2^20) (float32→double exact, power-of-two
+    scale exact), assignment minimizes the exact integer squared
+    distance (ties → lower cluster id), and the update is the exact
+    integer mean (per-dimension sum div count — TRUNCATED toward zero,
+    the Spark `div` / DuckDB `//` convention; Python's `//` FLOORS, so
+    the driver-side update must not use it on negative sums).
+    Every round is a pure function of the previous centroids, so the
+    DuckDB oracle replays all rounds bit-for-bit as unrolled MATERIALIZED
+    CTEs.  Init = the hash-stratified sample (smallest (md5(id), id)) —
+    the same representative-regardless-of-id-order argument as IVF.
+
+    Returns (vec_id, cluster, dist2) — final assignments with exact
+    integer squared distances.
+
+    100 TB shape: per round ONE broadcast of k centroids against the
+    corpus scan (k·dim literals — tiny), an argmin reduced per row, and
+    ONE keyed aggregate for the sums (map-side combinable, k groups).
+    The centroids ride the driver between rounds (k·dim values — the
+    1-row-probe convention, not data).  Bounds: |coord|·2^20 and
+    per-cluster sums stay far inside int64 for any realistic embedding
+    range and cluster size ≤ 2^42."""
+    if k <= 0 or iters < 0:
+        raise ValueError("k must be positive and iters non-negative")
+    q = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(float(scale)))).alias("q"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"))
+    q = q.persist()
+    init = (q.orderBy(F.col("_h").asc(), F.col("_id").asc()).limit(k)
+            .select("q").collect())
+    cents = [list(r["q"]) for r in init]   # k × dim driver-side ints
+
+    def dist2(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("q"), F.lit(cvec),
+                       lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"), lambda a, v: a + v)
+
+    assigned = None
+    for _ in range(iters + 1):   # final extra pass = assignment output
+        d = q.select("_id", "q", *[dist2(c).alias(f"d{j}")
+                                   for j, c in enumerate(cents)])
+        best = F.lit(0)
+        bestd = F.col("d0")
+        for j in range(1, len(cents)):
+            cond = F.col(f"d{j}") < bestd
+            best = F.when(cond, F.lit(j)).otherwise(best)
+            bestd = F.when(cond, F.col(f"d{j}")).otherwise(bestd)
+        assigned = d.select("_id", "q", best.alias("cluster"),
+                            bestd.alias("dist2"))
+        if _ == iters:
+            break
+        dim = len(cents[0])
+        sums = (assigned.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.get(F.col("q"), i)).alias(f"s{i}")
+                       for i in range(dim)])
+                .collect())
+        by_c = {r["cluster"]: r for r in sums}
+        nxt = []
+        for j, old in enumerate(cents):
+            r = by_c.get(j)
+            if r is None:
+                nxt.append(old)          # empty cluster keeps its centroid
+            else:
+                def tdiv(s, n):          # truncate toward zero (SQL div)
+                    return s // n if s >= 0 else -((-s) // n)
+                nxt.append([tdiv(int(r[f"s{i}"]), int(r["n"]))
+                            for i in range(dim)])
+        cents = nxt
+    out = assigned.select(F.col("_id").alias(id_col), "cluster", "dist2")
+    out = out.localCheckpoint(eager=True)
+    q.unpersist()
+    return out

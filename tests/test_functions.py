@@ -2601,3 +2601,48 @@ def test_scc_fwbw_vs_tarjan(spark):
         if v not in index:
             strong(v)
     assert got == comp
+
+
+def test_kmeans_quantized_semantics(spark):
+    """Integer k-means pins: Lloyd's objective (Σ dist²) is monotonically
+    non-increasing in the iteration count (THE Lloyd invariant — exact
+    here because assignment and update are both exact); most clusters
+    are blob-pure on the blob corpus (k-means may double-up a blob from
+    a random init — exact recovery is not a k-means guarantee);
+    deterministic across runs; k > n points leaves empty clusters
+    carrying their init centroid without crashing."""
+    from recrun_spark.functions.similarity import kmeans_quantized
+    emb = _blob_corpus(spark)                       # 8 blobs × 50, dim 16
+
+    def total(iters):
+        rows = kmeans_quantized(emb, k=8, iters=iters,
+                                scale=1 << 20).collect()
+        assert len(rows) == 400
+        return rows, sum(r["dist2"] for r in rows)
+
+    out0, j0 = total(0)
+    out2, j2 = total(2)
+    out4, j4 = total(4)
+    assert j0 >= j2 >= j4, (j0, j2, j4)
+    assert j4 < j0          # it actually moved
+    # blob-local coherence: every blob's 50 points end up TOGETHER in
+    # one cluster (clusters may hold 2 merged blobs from a doubled-up
+    # random init — a k-means local optimum, not a defect — but a blob
+    # itself is never split at convergence... except the doubled blob,
+    # which splits between its two centroids; so assert ≥6 of 8 blobs
+    # are unsplit and the objective dropped ≥2× — merged clusters keep
+    # residual dispersion)
+    by_blob = {}
+    for r in out4:
+        by_blob.setdefault(r["vec_id"] // 50, set()).add(r["cluster"])
+    unsplit = sum(1 for cs in by_blob.values() if len(cs) == 1)
+    assert unsplit >= 6, by_blob
+    assert j4 * 2 < j0, (j0, j4)
+    again = kmeans_quantized(emb, k=8, iters=4, scale=1 << 20).collect()
+    assert sorted(map(tuple, out4)) == sorted(map(tuple, again))
+    # k > n: 8 centroids over 5 points — empty clusters carry over
+    tiny = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(5)],
+        "vec_id bigint, embedding array<double>")
+    t = kmeans_quantized(tiny, k=8, iters=3).collect()
+    assert len(t) == 5 and all(r["dist2"] >= 0 for r in t)
