@@ -1159,6 +1159,44 @@ def documents_snapshot_diff(spark, sf_dir):
             .select("doc_id", "change", "old_fp", "new_fp"))
 
 
+def events_trend(spark, sf_dir):
+    """Per-type linear trend (OLS slope of value vs time) as an EXACT
+    RATIONAL — the drift/regression primitive of telemetry QA, float-
+    free: slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) emitted as separate
+    numerator/denominator (cents per millisecond, den ≥ 0 by
+    Cauchy-Schwarz; a float slope can't be value-hashed cross-engine).
+    x is milliseconds since the TYPE's min timestamp (per-type centering
+    bounds every product inside decimal(38,0)/HUGEINT — raw epoch-µs
+    squares would overflow).  Shape: one min-aggregate join + ONE
+    map-side-combinable keyed sum pass — no windows, no sorts."""
+    ev = _t(spark, sf_dir, "events")
+    ms = F.expr("cast(timestampdiff(MICROSECOND, "
+                "timestamp'1970-01-01 00:00:00', ts) div 1000 as bigint)")
+    d = ev.select("event_type", ms.alias("ms"),
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents"))
+    mins = d.groupBy("event_type").agg(F.min("ms").alias("ms0"))
+    x = (F.col("ms") - F.col("ms0")).cast("decimal(20,0)")
+    y = F.col("cents").cast("decimal(20,0)")
+    agg = (d.join(mins, "event_type")
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+                F.sum(x).cast("decimal(24,0)").alias("sx"),
+                F.sum(y).cast("decimal(20,0)").alias("sy"),
+                F.sum((x * y).cast("decimal(30,0)"))
+                .cast("decimal(30,0)").alias("sxy"),
+                F.sum((x * x).cast("decimal(30,0)"))
+                .cast("decimal(30,0)").alias("sxx")))
+    num = (F.col("n") * F.col("sxy")).cast("decimal(38,0)") \
+        - (F.col("sx") * F.col("sy")).cast("decimal(38,0)")
+    den = (F.col("n") * F.col("sxx")).cast("decimal(38,0)") \
+        - (F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    return agg.select("event_type",
+                      F.col("n").cast("long").alias("n_events"),
+                      num.cast("decimal(38,0)").alias("slope_num"),
+                      den.cast("decimal(38,0)").alias("slope_den"))
+
+
 def events_ema(spark, sf_dir):
     """Integer-exact exponential moving average over each user's event
     stream — the time-series smoothing feature (half-per-step decay over
@@ -2338,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_profile": documents_profile,
         "documents_snapshot_diff": documents_snapshot_diff,
         "events_ema": events_ema,
+        "events_trend": events_trend,
         "events_user_scc": events_user_scc,
         "events_enriched_stream": events_enriched_stream,
         "ann_near_dups": ann_near_dups,
@@ -3700,6 +3739,27 @@ def oracle_sql() -> dict[str, str]:
                    old_fp, new_fp
             FROM j
             WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp != new_fp
+        """,
+        "events_trend": """
+            WITH d AS (SELECT event_type,
+                              epoch_us(ts) // 1000 AS ms,
+                              round(value * 100)::BIGINT AS cents
+                       FROM events),
+            m AS (SELECT event_type, min(ms) AS ms0 FROM d GROUP BY 1),
+            a AS (SELECT d.event_type,
+                         count(*)::HUGEINT AS n,
+                         sum((d.ms - m.ms0)::HUGEINT) AS sx,
+                         sum(d.cents::HUGEINT) AS sy,
+                         sum((d.ms - m.ms0)::HUGEINT * d.cents) AS sxy,
+                         sum((d.ms - m.ms0)::HUGEINT
+                             * (d.ms - m.ms0)) AS sxx
+                  FROM d JOIN m ON m.event_type = d.event_type
+                  GROUP BY 1)
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+                   CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den
+            FROM a
         """,
         "events_ema": """
             WITH d AS (SELECT event_id, user_id, ts,
