@@ -861,6 +861,41 @@ def main():
         ("no cartesian", lambda p: "CartesianProduct" not in p),
     ])
 
+    # integer k-means (r5): the returned assignment is checkpoint-
+    # truncated (rounds ran eagerly); audit one assignment round's plan
+    # shape separately — pure projection + argmin, no join at all
+    from recrun_spark.functions.similarity import (_srp_quantize,
+                                                   kmeans_quantized)
+    audit("embeddings_kmeans_result",
+          qs["embeddings_kmeans"](spark, SF_DIR), [
+              ("final read is checkpoint-truncated",
+               lambda p: "Scan ExistingRDD" in p
+               or "LocalTableScan" in p),
+          ])
+    emb_a = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb_a.select(F.col("vec_id").alias("_id"),
+                      _srp_quantize(F.col("embedding")).alias("q"))
+    cents0 = [[0] * 64, [1] * 64]
+    dists = qv.select("_id", *[
+        F.aggregate(F.zip_with(F.col("q"), F.lit(c),
+                               lambda x, cc: (x - cc) * (x - cc)),
+                    F.lit(0).cast("long"), lambda a, v: a + v)
+        .alias(f"d{j}") for j, c in enumerate(cents0)])
+    audit("kmeans_assignment_round", dists, [
+        ("no join, no exchange — centroid literals ride the scan",
+         lambda p: "Join" not in p and "Exchange" not in p),
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+    ])
+
+    # exact-rational OLS trend (r5): one keyed partial-agg pass
+    audit("events_trend", qs["events_trend"](spark, SF_DIR), [
+        ("map-side partial aggregation",
+         lambda p: "partial" in p.lower()),
+        ("no window operator", lambda p: "Window" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # stream-static enrichment (r5): the dimension must BROADCAST; the
     # batch analog pins the join strategy the streaming plan reuses
     audit("events_enriched_batch_analog",
