@@ -1159,6 +1159,27 @@ def documents_snapshot_diff(spark, sf_dir):
             .select("doc_id", "change", "old_fp", "new_fp"))
 
 
+def events_spatial_pairs(spark, sf_dir):
+    """Grid-bucketed DISTANCE SELF-JOIN (layout.grid_distance_join —
+    fixed-grid spatial blocking, the cell method): all event pairs
+    within L2 distance ≤ 15 in a derived integer 2-D space (x = epoch-ms
+    mod 10⁴, y = cents mod 10⁴ — deterministic coordinates at controlled
+    density).  One 9× row-local explode + ONE cell-keyed equi-join +
+    exact integer d² verify; each qualifying pair is produced exactly
+    once by construction (only one of b's 9 exploded cells equals a's).
+    The ORACLE is the brute-force inequality self-join — a fully
+    independent formulation with no cells at all."""
+    from recrun_spark.functions.layout import grid_distance_join
+    ev = _t(spark, sf_dir, "events")
+    ms = F.expr("cast(timestampdiff(MICROSECOND, "
+                "timestamp'1970-01-01 00:00:00', ts) div 1000 as bigint)")
+    pts = ev.select(F.col("event_id").alias("id"),
+                    F.pmod(ms, F.lit(10000)).alias("x"),
+                    F.pmod(F.round(F.col("value") * 100, 0).cast("long"),
+                           F.lit(10000)).alias("y"))
+    return grid_distance_join(pts, "id", "x", "y", radius=15)
+
+
 def events_trend(spark, sf_dir):
     """Per-type linear trend (OLS slope of value vs time) as an EXACT
     RATIONAL — the drift/regression primitive of telemetry QA, float-
@@ -2377,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_snapshot_diff": documents_snapshot_diff,
         "events_ema": events_ema,
         "events_trend": events_trend,
+        "events_spatial_pairs": events_spatial_pairs,
         "events_user_scc": events_user_scc,
         "events_enriched_stream": events_enriched_stream,
         "ann_near_dups": ann_near_dups,
@@ -3739,6 +3761,21 @@ def oracle_sql() -> dict[str, str]:
                    old_fp, new_fp
             FROM j
             WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp != new_fp
+        """,
+        "events_spatial_pairs": """
+            WITH p AS (
+              SELECT event_id AS id,
+                     (epoch_us(ts) // 1000) % 10000 AS x,
+                     (round(value * 100)::BIGINT) % 10000 AS y
+              FROM events)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+            FROM p a JOIN p b
+              ON a.id < b.id
+             AND abs(a.x - b.x) <= 15 AND abs(a.y - b.y) <= 15
+             AND (a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y) <= 225
         """,
         "events_trend": """
             WITH d AS (SELECT event_type,

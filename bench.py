@@ -268,7 +268,8 @@ def main():
                  "documents_bpe_vocab", "documents_source_nucleus",
                  "events_decayed_counts", "documents_profile",
                  "documents_snapshot_diff", "events_ema",
-                 "events_user_scc", "embeddings_kmeans", "events_trend"):
+                 "events_user_scc", "embeddings_kmeans", "events_trend",
+                 "events_spatial_pairs"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

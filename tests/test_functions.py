@@ -2646,3 +2646,35 @@ def test_kmeans_quantized_semantics(spark):
         "vec_id bigint, embedding array<double>")
     t = kmeans_quantized(tiny, k=8, iters=3).collect()
     assert len(t) == 5 and all(r["dist2"] >= 0 for r in t)
+
+
+def test_grid_distance_join_exactness(spark):
+    """Grid blocking pins: result equals the brute-force distance join
+    (pairs at, inside, and just outside the radius; pairs straddling a
+    cell boundary — the case a same-cell-only join would miss); each
+    pair appears exactly once; radius must be positive."""
+    import itertools
+
+    import pytest
+
+    from recrun_spark.functions.layout import grid_distance_join
+    pts = [(0, 0, 0), (1, 9, 9), (2, 10, 10), (3, 21, 10), (4, 300, 300),
+           (5, 19, 19), (6, 20, 20), (7, 1000, 0), (8, 1000, 10)]
+    df = spark.createDataFrame(pts, "id bigint, x bigint, y bigint")
+    r = 10
+    got = sorted((p["id_a"], p["id_b"], p["d2"])
+                 for p in grid_distance_join(df, "id", "x", "y", r)
+                 .collect())
+    want = sorted(
+        (a[0], b[0], (a[1]-b[1])**2 + (a[2]-b[2])**2)
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1]-b[1])**2 + (a[2]-b[2])**2 <= r*r)
+    assert got == want
+    assert len(got) == len({(a, b) for a, b, _ in got})   # exactly once
+    # boundary: (7)-(8) distance exactly 10 → d2 == 100 == r² included
+    assert (7, 8, 100) in got
+    # cell-straddling: (1)@(9,9) and (2)@(10,10) are in different cells
+    # (cell 0 vs cell 1 per axis) but distance √2 — must be found
+    assert (1, 2, 2) in got
+    with pytest.raises(ValueError):
+        grid_distance_join(df, "id", "x", "y", 0)
