@@ -1068,6 +1068,22 @@ def ann_srp_topk(spark, sf_dir):
     return srp_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+def kg_hits(spark, sf_dir):
+    """Integer-arithmetic HITS (operators.hits — Kleinberg JACM'99) over
+    the bipartite doc↔entity mention graph: docs are hubs (they point at
+    good entities), entities are authorities.  Max-normalization with
+    truncating integer division replaces the float L2 norm (ranking-
+    preserving, bit-exact cross-engine); per round two equi-joins + two
+    keyed sums with the normalizing max riding back as a 1-row
+    broadcast.  The oracle unrolls all 3 rounds as MATERIALIZED CTEs."""
+    from recrun_spark.operators import hits
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    edges = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"))
+    return hits(edges, iterations=3)
+
+
 def events_user_scc(spark, sf_dir):
     """STRONGLY connected components (operators.scc — FW-BW min-label
     coloring, Fleischer/Hendrickson/Pinar 2000) over the DIRECTED
@@ -2401,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_spatial_pairs": events_spatial_pairs,
         "events_user_scc": events_user_scc,
         "events_enriched_stream": events_enriched_stream,
+        "kg_hits": kg_hits,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -2593,6 +2610,42 @@ SELECT word, freq,
        array_to_string(string_split(trim(wrapped, {s}), {ss}), ' ')
          AS tokens
 FROM v{n_merges}
+"""
+
+
+def _hits_sql(iters: int = 3, scale: int = 10 ** 6) -> str:
+    """HITS oracle: all rounds unrolled as MATERIALIZED CTEs (each round
+    references the prior scores twice — the BPE CTE-inlining lesson);
+    max-normalization via a scalar subquery, truncating // matching
+    Spark's div on the positive scores."""
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+ar{r} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.score) AS raw
+  FROM e JOIN h{r - 1} h ON h.node = e.src GROUP BY 1),
+a{r} AS MATERIALIZED (
+  SELECT node, CAST(raw * {scale} // (SELECT max(raw) FROM ar{r})
+               AS BIGINT) AS score
+  FROM ar{r}),
+hr{r} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.score) AS raw
+  FROM e JOIN a{r} a ON a.node = e.dst GROUP BY 1),
+h{r} AS MATERIALIZED (
+  SELECT node, CAST(raw * {scale} // (SELECT max(raw) FROM hr{r})
+               AS BIGINT) AS score
+  FROM hr{r})""")
+    return f"""
+WITH {_MENTIONS_CTE},
+m AS (SELECT DISTINCT doc_id, entity FROM ments),
+e AS MATERIALIZED (SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                          entity AS dst FROM m),
+h0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+                           {scale}::BIGINT AS score FROM e),
+{','.join(rounds)}
+SELECT node, 'hub' AS kind, score FROM h{iters}
+UNION ALL
+SELECT node, 'auth' AS kind, score FROM a{iters}
 """
 
 
@@ -3661,6 +3714,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_2level": _IVF2_SQL,
         "ann_srp_topk": _srp_sql(),
         "embeddings_kmeans": _kmeans_sql(),
+        "kg_hits": _hits_sql(),
         "documents_bpe_vocab": _bpe_sql(),
         "events_user_scc": """
             WITH RECURSIVE d AS (

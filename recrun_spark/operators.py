@@ -1017,3 +1017,58 @@ def scc(edges: DataFrame, src: str = "src", dst: str = "dst",
     for r in resolved[1:]:
         out = out.unionByName(r)
     return out.select(F.col("n").alias("node"), "scc_id")
+
+
+def hits(edges: DataFrame, iterations: int = 3, scale: int = 10 ** 6,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic INTEGER-arithmetic HITS (Kleinberg JACM'99 hubs &
+    authorities) over a directed/bipartite graph — the natural ranking
+    for a doc↔entity mention graph (docs are hubs: they point at good
+    entities; entities are authorities: pointed at by good docs).
+
+    Each round: auth'(e) = Σ_in hub(d), then NORMALIZED to
+    ``a·scale div max(a)`` (max-normalization with truncating integer
+    division — the pinned replacement for the float L2 norm, preserving
+    the ranking and keeping every value in int64, bit-exact in any
+    engine); hubs update symmetrically from the new authorities.  Hubs
+    start at ``scale``.
+
+    Scale shape (the pagerank discipline): per round two equi-joins +
+    two keyed sums, O(E) each; the normalizing max rides back in as a
+    1-row broadcast (never a driver collect); score frames
+    localCheckpoint per round so the driver loop's lineage stays flat.
+    int64 headroom: Σ hub ≤ N·scale, so scale=10⁶ is safe to ~10¹²
+    in-degree-weighted mass (ANSI makes overflow loud).
+
+    Returns (node, kind 'hub'|'auth', score:long)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct().persist())
+    hubs = (e.select(F.col("src").alias("node")).distinct()
+            .select("node", F.lit(scale).cast("long").alias("score"))
+            .localCheckpoint(eager=True))
+    auths = None
+    for _ in range(iterations):
+        a_raw = (e.join(hubs.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("score").alias("raw")))
+        a_max = a_raw.agg(F.max("raw").alias("mx"))
+        auths = (a_raw.crossJoin(F.broadcast(a_max))
+                 .select("node", F.expr(f"raw * {scale} div mx")
+                         .cast("long").alias("score"))
+                 .localCheckpoint(eager=True))
+        h_raw = (e.join(auths.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("score").alias("raw")))
+        h_max = h_raw.agg(F.max("raw").alias("mx"))
+        hubs = (h_raw.crossJoin(F.broadcast(h_max))
+                .select("node", F.expr(f"raw * {scale} div mx")
+                        .cast("long").alias("score"))
+                .localCheckpoint(eager=True))
+    out = (hubs.select("node", F.lit("hub").alias("kind"), "score")
+           .unionByName(auths.select("node", F.lit("auth").alias("kind"),
+                                     "score")))
+    e.unpersist()
+    return out

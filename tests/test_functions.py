@@ -2678,3 +2678,24 @@ def test_grid_distance_join_exactness(spark):
     assert (1, 2, 2) in got
     with pytest.raises(ValueError):
         grid_distance_join(df, "id", "x", "y", 0)
+
+
+def test_hits_semantics(spark):
+    """HITS pins on a hand graph: the hub pointing at both authorities
+    beats the single-edge hub; the authority with two good in-links
+    beats the one with one; max-normalized scores top out at exactly
+    `scale`; deterministic across runs."""
+    from recrun_spark.operators import hits
+    # h1 -> a1, a2 ; h2 -> a1 : a1 is the stronger authority, h1 the
+    # stronger hub
+    e = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1")], "src string, dst string")
+    out = {(r["node"], r["kind"]): r["score"]
+           for r in hits(e, iterations=3).collect()}
+    assert out[("h1", "hub")] == 10 ** 6          # max hub
+    assert out[("a1", "auth")] == 10 ** 6         # max authority
+    assert out[("h2", "hub")] < out[("h1", "hub")]
+    assert out[("a2", "auth")] < out[("a1", "auth")]
+    again = {(r["node"], r["kind"]): r["score"]
+             for r in hits(e, iterations=3).collect()}
+    assert out == again
