@@ -1068,6 +1068,32 @@ def ann_srp_topk(spark, sf_dir):
     return srp_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+def events_user_walks(spark, sf_dir):
+    """Deterministic hash-seeded random walks (operators.hash_walks —
+    DeepWalk corpus generation, Perozzi KDD'14, derandomized): 4 steps
+    from every node of the directed consecutive-actor user graph; at
+    step r the walk moves to the out-neighbor minimizing
+    h60(cur|r|seed|nbr) — reproducible by any engine with md5, so the
+    oracle replays every step (a true RNG would make the walk corpus
+    unverifiable and non-resumable).  Per step one frontier×edges
+    equi-join + one keyed (hash, dst)-struct min."""
+    from recrun_spark.operators import hash_walks
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("cast(timestampdiff(MICROSECOND, "
+                  "timestamp'1970-01-01 00:00:00', ts) div 3600000000 "
+                  "as bigint)")
+    d = ev.select("event_id", "ts", "user_id", "event_type",
+                  hour.alias("hr"))
+    w = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    edges = (d.withColumn("nxt", F.lead("user_id").over(w))
+             .where(F.col("nxt").isNotNull()
+                    & (F.col("nxt") != F.col("user_id")))
+             .select(F.col("user_id").alias("src"),
+                     F.col("nxt").alias("dst")).distinct())
+    return hash_walks(edges, walk_len=4)
+
+
 def kg_hits(spark, sf_dir):
     """Integer-arithmetic HITS (operators.hits — Kleinberg JACM'99) over
     the bipartite doc↔entity mention graph: docs are hubs (they point at
@@ -2418,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_scc": events_user_scc,
         "events_enriched_stream": events_enriched_stream,
         "kg_hits": kg_hits,
+        "events_user_walks": events_user_walks,
         "ann_near_dups": ann_near_dups,
         "ann_dedup_clusters": ann_dedup_clusters,
         "events_quantiles": events_quantiles,
@@ -2610,6 +2637,46 @@ SELECT word, freq,
        array_to_string(string_split(trim(wrapped, {s}), {ss}), ' ')
          AS tokens
 FROM v{n_merges}
+"""
+
+
+def _walks_sql(walk_len: int = 4, seed: int = 23) -> str:
+    """Hash-walk oracle: every step replayed — the argmin neighbor is
+    row_number() = 1 over (h60, neighbor); dead ends coalesce in place.
+    MATERIALIZED rounds (each references the prior frontier twice)."""
+    rounds = []
+    for r in range(1, walk_len + 1):
+        h = _ddb_hash60(f"e.s || '|{r}|{seed}|' || e.t")
+        rounds.append(f"""
+w{r} AS MATERIALIZED (
+  SELECT w.start, coalesce(p.nxt, w.cur) AS cur
+  FROM w{r - 1} w LEFT JOIN (
+    SELECT start, nxt FROM (
+      SELECT w.start, e.t AS nxt,
+             row_number() OVER (PARTITION BY w.start
+                                ORDER BY ({h}) ASC, e.t ASC) AS rn
+      FROM w{r - 1} w JOIN e ON e.s = w.cur)
+    WHERE rn = 1) p ON p.start = w.start)""")
+    steps = "\nUNION ALL ".join(
+        f"SELECT start, {r} AS step, cur AS node FROM w{r}"
+        for r in range(walk_len + 1))
+    return f"""
+WITH d AS (
+  SELECT event_id, ts, user_id, event_type,
+         epoch_us(ts) // 3600000000 AS hr
+  FROM events),
+e0 AS (
+  SELECT user_id AS su,
+         lead(user_id) OVER (PARTITION BY event_type, hr
+                             ORDER BY ts ASC, event_id ASC) AS tu
+  FROM d),
+e AS MATERIALIZED (
+  SELECT DISTINCT CAST(su AS VARCHAR) AS s, CAST(tu AS VARCHAR) AS t
+  FROM e0 WHERE tu IS NOT NULL AND tu != su),
+nodes AS (SELECT s AS n FROM e UNION SELECT t FROM e),
+w0 AS MATERIALIZED (SELECT n AS start, n AS cur FROM nodes),
+{','.join(rounds)}
+SELECT start, CAST(step AS INTEGER) AS step, node FROM ({steps})
 """
 
 
@@ -3715,6 +3782,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_srp_topk": _srp_sql(),
         "embeddings_kmeans": _kmeans_sql(),
         "kg_hits": _hits_sql(),
+        "events_user_walks": _walks_sql(),
         "documents_bpe_vocab": _bpe_sql(),
         "events_user_scc": """
             WITH RECURSIVE d AS (

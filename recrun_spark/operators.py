@@ -1072,3 +1072,60 @@ def hits(edges: DataFrame, iterations: int = 3, scale: int = 10 ** 6,
                                      "score")))
     e.unpersist()
     return out
+
+
+def hash_walks(edges: DataFrame, walk_len: int = 4, seed: int = 23,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic hash-seeded random walks — DeepWalk-style corpus
+    generation (Perozzi et al. KDD'14), DERANDOMIZED: from every node,
+    ``walk_len`` steps; at step r the walk at node u moves to
+    argmin over out-neighbors v of h60(u|r|seed|v).  The md5-derived
+    choice is uniform-ish over neighbors, varies per step and per seed
+    (run several seeds for several walks per node), and is reproducible
+    by any engine with md5 — the SQL oracle replays every step.  A true
+    RNG would make the walk corpus unverifiable AND non-resumable; hash
+    seeding is the same determinism trade the sampling family makes.
+    Dead ends stay in place (documented; symmetrize edges if walks must
+    never stall).
+
+    Scale shape: per step ONE equi-join (walk frontier × edges on the
+    current node) + one keyed min aggregate — O(E)/step, a fixed small
+    number of steps, localCheckpoint per step (the pagerank discipline).
+    The min is taken over a (hash, dst) struct, so ties (h60 collisions)
+    break on the neighbor id — fully pinned.
+
+    Returns (start, step, node) path rows; step 0 is the start itself."""
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0, got {walk_len}")
+    from recrun_spark.functions.dedup import _hash60
+    e = (edges.select(F.col(src).cast("string").alias("s"),
+                      F.col(dst).cast("string").alias("t"))
+         .where(F.col("s").isNotNull() & F.col("t").isNotNull())
+         .distinct().persist())
+    nodes = (e.select(F.col("s").alias("n"))
+             .union(e.select(F.col("t").alias("n"))).distinct())
+    walks = (nodes.select(F.col("n").alias("start"),
+                          F.col("n").alias("cur"))
+             .localCheckpoint(eager=True))
+    outs = [walks.select("start", F.lit(0).alias("step"),
+                         F.col("cur").alias("node"))]
+    for r in range(1, walk_len + 1):
+        h = _hash60(F.concat(F.col("s"), F.lit(f"|{r}|{seed}|"),
+                             F.col("t")))
+        pick = (walks.join(e, walks.cur == e.s)
+                .select("start", h.alias("h"), "t")
+                .groupBy("start")
+                .agg(F.min(F.struct("h", "t")).alias("m"))
+                .select("start", F.col("m.t").alias("nxt")))
+        walks = (walks.join(pick, "start", "left")
+                 .select("start",
+                         F.coalesce("nxt", "cur").alias("cur"))
+                 .localCheckpoint(eager=True))
+        outs.append(walks.select("start", F.lit(r).alias("step"),
+                                 F.col("cur").alias("node")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    e.unpersist()
+    return out.select("start", F.col("step").cast("int").alias("step"),
+                      "node")

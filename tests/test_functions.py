@@ -2699,3 +2699,35 @@ def test_hits_semantics(spark):
     again = {(r["node"], r["kind"]): r["score"]
              for r in hits(e, iterations=3).collect()}
     assert out == again
+
+
+def test_hash_walks_semantics(spark):
+    """Hash-walk pins: walks follow EDGES only (every consecutive pair in
+    a path is an edge), dead ends stay in place, step 0 is the start,
+    each start yields exactly walk_len+1 rows, deterministic across
+    runs, and different seeds can diverge."""
+    from recrun_spark.operators import hash_walks
+    es = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")]
+    # note: no out-edge from... every node here has one; add a sink
+    es.append(("c", "z"))        # z is a dead end
+    df = spark.createDataFrame(es, "src string, dst string")
+    rows = hash_walks(df, walk_len=3).collect()
+    paths = {}
+    for r in rows:
+        paths.setdefault(r["start"], {})[r["step"]] = r["node"]
+    eset = set(es)
+    for start, p in paths.items():
+        assert p[0] == start
+        assert len(p) == 4
+        for i in range(3):
+            if p[i] != p[i + 1]:
+                assert (p[i], p[i + 1]) in eset, (start, p)
+            else:
+                # staying put is only allowed at a dead end
+                assert all(s != p[i] for s, _ in es), (start, p)
+    assert paths["z"] == {0: "z", 1: "z", 2: "z", 3: "z"}
+    again = sorted(map(tuple, hash_walks(df, walk_len=3).collect()))
+    assert sorted(map(tuple, rows)) == again
+    other = sorted(map(tuple, hash_walks(df, walk_len=3,
+                                         seed=99).collect()))
+    assert len(other) == len(again)
