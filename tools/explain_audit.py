@@ -887,6 +887,30 @@ def main():
         ("no python UDF", lambda p: "BatchEvalPython" not in p),
     ])
 
+    # grid distance self-join (r5): cell-keyed equi-join, never a
+    # cartesian over the points
+    audit("events_spatial_pairs", qs["events_spatial_pairs"](spark, SF_DIR), [
+        ("cell equi-join (no cartesian/BNLJ over points)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("9-cell fan-out is a row-local generator",
+         lambda p: "Generate" in p),
+    ])
+
+    # HITS (r5): iterative driver loop — the returned frame must be
+    # checkpoint-truncated, not a 3-round lineage
+    audit("kg_hits", qs["kg_hits"](spark, SF_DIR), [
+        ("scores are checkpoint-truncated",
+         lambda p: "Scan ExistingRDD" in p or "LocalTableScan" in p),
+    ])
+
+    # hash walks (r5): same discipline
+    audit("events_user_walks", qs["events_user_walks"](spark, SF_DIR), [
+        ("path rows read from checkpointed frontiers",
+         lambda p: "Scan ExistingRDD" in p or "LocalTableScan" in p),
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+    ])
+
     # exact-rational OLS trend (r5): one keyed partial-agg pass
     audit("events_trend", qs["events_trend"](spark, SF_DIR), [
         ("map-side partial aggregation",
