@@ -1049,6 +1049,37 @@ def embeddings_kmeans(spark, sf_dir):
                             k=8, iters=4)
 
 
+def embeddings_pq_codes(spark, sf_dir):
+    """PRODUCT-QUANTIZATION codes (similarity.pq_codes — Jégou, Douze &
+    Schmid TPAMI'11, m=4 subspaces × k=8 clusters, 2 Lloyd rounds): the
+    compression step a 100 TB embedding corpus needs before ANN scans —
+    each 64-dim vector becomes 4 cluster ids (m·log2 k = 12 bits) plus
+    its exact integer quantization error.  All m subspace k-means run
+    SIMULTANEOUSLY: one corpus scan per round computes every argmin
+    row-locally, one exploded (subspace, cluster)-keyed aggregate
+    updates all m·k centroids, so PQ costs the job count of a single
+    k-means.  Exact integer arithmetic end to end (fixed-point floor
+    coords, truncated-div means) — the DuckDB oracle replays every
+    training round as unrolled MATERIALIZED CTEs, bit-for-bit."""
+    from recrun_spark.functions.similarity import pq_codes
+    return pq_codes(_t(spark, sf_dir, "embeddings"), m=4, k=8, iters=2)
+
+
+def ann_pq_topk(spark, sf_dir):
+    """ADC top-k over PQ codes (similarity.pq_topk): the search half of
+    product quantization — corpus vectors are compared through their
+    CODES (adc = Σ_s ‖q_s − cent[s][code_s]‖², exact int64) while
+    queries keep full coordinates (the asymmetry that preserves
+    accuracy).  The serving scan reads only the m code columns (column
+    pruning does the ~64× byte cut); centroid tables ride as one
+    foldable nested-array literal; top-k is a per-query window, never a
+    corpus-wide sort.  Training is shared with embeddings_pq_codes; the
+    oracle replays training AND the ADC scoring join."""
+    from recrun_spark.functions.similarity import pq_topk
+    return pq_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4],
+                   k=5, m=4, n_clusters=8, iters=2)
+
+
 def ann_srp_topk(spark, sf_dir):
     """Multi-table signed-random-projection (hyperplane) LSH top-k
     (similarity.srp_topk — Charikar STOC'02 random-hyperplane rounding,
@@ -2429,6 +2460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_2level": ann_ivf_topk_2level,
         "ann_srp_topk": ann_srp_topk,
         "embeddings_kmeans": embeddings_kmeans,
+        "embeddings_pq_codes": embeddings_pq_codes,
+        "ann_pq_topk": ann_pq_topk,
         "kg_negative_samples": kg_negative_samples,
         "documents_sim_pairs": documents_sim_pairs,
         "kg_adjacency": kg_adjacency,
@@ -2763,6 +2796,93 @@ c0 AS MATERIALIZED (
   FROM v ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC LIMIT {k}),
 {','.join(rounds)}
 SELECT vec_id, cluster, dist2 FROM a{iters}
+"""
+
+
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64,
+            mode: str = "codes", nq: int = 5, topk: int = 5) -> str:
+    """Product-quantization oracle: replays EVERY Lloyd round in EVERY
+    subspace — the (vec_id, s) exploded frame makes all m subspace
+    k-means one set of CTEs keyed by s (exactly the operator's exploded
+    update aggregate).  Same pinned arithmetic as _kmeans_sql: hash-
+    ordered init (the k smallest (md5(id), id) vectors, sliced per
+    subspace), exact-integer argmin (ties → lower cluster id),
+    truncated-div means (DuckDB `//`), empty-cluster carryover, rounds
+    MATERIALIZED (the BPE exponential-inlining lesson).  mode='codes'
+    emits (vec_id, code, qerr); mode='topk' additionally replays the
+    ADC scoring join (query slices vs the centroids of each neighbor's
+    code) and the per-query top-k window."""
+    sub = dim // m
+    d2 = (f"list_sum(list_transform(range(0,{sub}), i -> "
+          f"(v.qs[i+1] - c.c[i+1]) * (v.qs[i+1] - c.c[i+1])))")
+    rounds = []
+    for r in range(iters + 1):
+        rounds.append(f"""
+a{r} AS MATERIALIZED (
+  SELECT vec_id, s, qs, j AS cluster, dist2 FROM (
+    SELECT v.vec_id, v.s, v.qs, c.j, CAST({d2} AS BIGINT) AS dist2,
+           row_number() OVER (PARTITION BY v.vec_id, v.s
+                              ORDER BY CAST({d2} AS BIGINT) ASC,
+                                       c.j ASC) AS rnk
+    FROM sv v JOIN c{r} c ON c.s = v.s) WHERE rnk = 1)""")
+        if r == iters:
+            break
+        rounds.append(f"""
+s{r} AS MATERIALIZED (
+  SELECT s, cluster, i, CAST(sum(qv) AS BIGINT) AS sm,
+         count(*)::BIGINT AS n
+  FROM (SELECT a.s, a.cluster, t.i, a.qs[t.i + 1] AS qv
+        FROM a{r} a, (SELECT unnest(range(0, {sub})) AS i) t)
+  GROUP BY 1, 2, 3),
+m{r} AS MATERIALIZED (
+  SELECT s, cluster AS j, list(sm // n ORDER BY i) AS vec
+  FROM s{r} GROUP BY 1, 2),
+c{r + 1} AS MATERIALIZED (
+  SELECT p.s, p.j, coalesce(mm.vec, p.c) AS c
+  FROM c{r} p LEFT JOIN m{r} mm ON mm.s = p.s AND mm.j = p.j)""")
+    train = f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1048576.0)::BIGINT) AS q
+  FROM embeddings),
+ss AS (SELECT unnest(range(0, {m})) AS s),
+sv AS MATERIALIZED (
+  SELECT vec_id, ss.s,
+         list_slice(q, ss.s * {sub} + 1, ss.s * {sub} + {sub}) AS qs
+  FROM v, ss),
+c0 AS MATERIALIZED (
+  SELECT ss.s, i.j,
+         list_slice(i.q, ss.s * {sub} + 1, ss.s * {sub} + {sub}) AS c
+  FROM (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC,
+                                  vec_id ASC) - 1 AS j, q
+        FROM v ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
+        LIMIT {k}) i, ss),
+{','.join(rounds)}"""
+    if mode == "codes":
+        return f"""{train}
+SELECT vec_id,
+       string_agg(cluster::VARCHAR, ',' ORDER BY s) AS code,
+       CAST(sum(dist2) AS BIGINT) AS qerr
+FROM a{iters} GROUP BY vec_id
+"""
+    return f"""{train},
+qrs AS (SELECT vec_id AS query_id, s, qs FROM sv WHERE vec_id < {nq}),
+adc AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id,
+         CAST(sum(list_sum(list_transform(range(0, {sub}), i ->
+              (q.qs[i+1] - c.c[i+1]) * (q.qs[i+1] - c.c[i+1]))))
+              AS BIGINT) AS adc_dist2
+  FROM qrs q
+  JOIN a{iters} x ON x.s = q.s AND x.vec_id <> q.query_id
+  JOIN c{iters} c ON c.s = x.s AND c.j = x.cluster
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rank, adc_dist2 FROM (
+  SELECT query_id, neighbor_id, adc_dist2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist2 ASC,
+                                     neighbor_id ASC) AS rank
+  FROM adc) WHERE rank <= {topk}
 """
 
 
@@ -3781,6 +3901,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_2level": _IVF2_SQL,
         "ann_srp_topk": _srp_sql(),
         "embeddings_kmeans": _kmeans_sql(),
+        "embeddings_pq_codes": _pq_sql(mode="codes"),
+        "ann_pq_topk": _pq_sql(mode="topk"),
         "kg_hits": _hits_sql(),
         "events_user_walks": _walks_sql(),
         "documents_bpe_vocab": _bpe_sql(),

@@ -269,7 +269,8 @@ def main():
                  "events_decayed_counts", "documents_profile",
                  "documents_snapshot_diff", "events_ema",
                  "events_user_scc", "embeddings_kmeans", "events_trend",
-                 "events_spatial_pairs", "kg_hits", "events_user_walks"):
+                 "events_spatial_pairs", "kg_hits", "events_user_walks",
+                 "embeddings_pq_codes", "ann_pq_topk"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -565,3 +565,175 @@ def kmeans_quantized(embeddings: DataFrame, k: int = 8, iters: int = 4,
     out = out.localCheckpoint(eager=True)
     q.unpersist()
     return out
+
+
+def _pq_quantized(embeddings: DataFrame, id_col: str, vec_col: str,
+                  scale: int) -> DataFrame:
+    """(_id, q, _h) frame with floor(x·scale) int64 coordinates — the same
+    fixed-pointing as kmeans_quantized/srp_topk (float32→double exact,
+    power-of-two scale exact)."""
+    return embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(float(scale)))).alias("q"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"))
+
+
+def _pq_train(q: DataFrame, m: int, k: int, iters: int):
+    """Shared product-quantization trainer (Jégou, Douze & Schmid,
+    TPAMI 2011): the vector space is split into ``m`` contiguous
+    subspaces of dim/m coordinates each, and an independent integer
+    k-means (the kmeans_quantized arithmetic: exact squared-distance
+    argmin with ties → lower id, truncated-div centroid means) runs in
+    every subspace SIMULTANEOUSLY — one corpus scan per round computes
+    all m argmins row-locally, and ONE keyed aggregate over the exploded
+    (subspace, cluster) key updates all m·k centroids together, so PQ
+    training costs the same number of Spark jobs as a single k-means.
+    Init per subspace = the slices of the k hash-smallest (md5(id), id)
+    vectors — the same representative-regardless-of-id-order rule as
+    kmeans_quantized, shared across subspaces.
+
+    Returns ``(cents, assigned)``: ``cents[s][j]`` is the final integer
+    centroid of cluster j in subspace s, and ``assigned`` carries
+    (_id, q, c0..c{m-1}, e0..e{m-1}) — per-subspace code and exact
+    integer squared quantization error under the FINAL centroids."""
+    init = (q.orderBy(F.col("_h").asc(), F.col("_id").asc()).limit(k)
+            .select("q").collect())
+    if len(init) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    dim = len(init[0]["q"])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    cents = [[list(r["q"])[s * sub:(s + 1) * sub] for r in init]
+             for s in range(m)]            # m × k × sub driver-side ints
+
+    def sdist(s, cvec):
+        return F.aggregate(
+            F.zip_with(F.slice(F.col("q"), s * sub + 1, sub), F.lit(cvec),
+                       lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"), lambda a, v: a + v)
+
+    assigned = None
+    for it in range(iters + 1):   # final extra pass = assignment output
+        d = q.select("_id", "q",
+                     *[sdist(s, cents[s][j]).alias(f"d_{s}_{j}")
+                       for s in range(m) for j in range(k)])
+        cols = ["_id", "q"]
+        for s in range(m):
+            best = F.lit(0)
+            bestd = F.col(f"d_{s}_0")
+            for j in range(1, k):
+                cond = F.col(f"d_{s}_{j}") < bestd
+                best = F.when(cond, F.lit(j)).otherwise(best)
+                bestd = F.when(cond, F.col(f"d_{s}_{j}")).otherwise(bestd)
+            cols.append(best.alias(f"c{s}"))
+            cols.append(bestd.alias(f"e{s}"))
+        assigned = d.select(*cols)
+        if it == iters:
+            break
+        stacked = assigned.select(F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.col(f"c{s}").alias("cluster"),
+                     F.slice(F.col("q"), s * sub + 1, sub).alias("qs"))
+            for s in range(m)])).alias("x")).select("x.*")
+        sums = (stacked.groupBy("s", "cluster")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.get(F.col("qs"), i)).alias(f"sm{i}")
+                       for i in range(sub)])
+                .collect())                # m·k rows — metadata-scale
+        by_key = {(r["s"], r["cluster"]): r for r in sums}
+
+        def tdiv(sm, n):                   # truncate toward zero (SQL div)
+            return sm // n if sm >= 0 else -((-sm) // n)
+
+        cents = [[([tdiv(int(r[f"sm{i}"]), int(r["n"])) for i in range(sub)]
+                   if (r := by_key.get((s, j))) is not None else cents[s][j])
+                  for j in range(k)] for s in range(m)]
+    return cents, assigned
+
+
+def pq_codes(embeddings: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             scale: int = SRP_SCALE) -> DataFrame:
+    """PRODUCT QUANTIZATION codes (Jégou et al. TPAMI 2011) — the
+    embedding-compression step a 100 TB vector corpus needs before it
+    can be scanned cheaply: each vector is represented by m cluster ids
+    (m·log2(k) bits, e.g. 4 bytes at m=4,k=256 vs 256 bytes of float32
+    at dim=64), chosen per subspace by exact integer k-means.
+
+    Returns (vec_id, code, qerr): ``code`` is the comma-joined per-
+    subspace cluster ids (subspace order) and ``qerr`` the exact integer
+    total squared quantization error — both pure functions of the
+    corpus, so a DuckDB oracle replays training round-for-round.
+
+    100 TB shape: per training round ONE corpus scan (m·k·(dim/m) =
+    k·dim literal multiplies, the same expression budget as one k-means)
+    plus one m·k-group map-side-combinable aggregate; the codes output
+    is a narrow (id, string, long) projection.  Centroids ride the
+    driver between rounds (m·k·dim/m = k·dim ints — the 1-row-probe
+    convention, not data)."""
+    q = _pq_quantized(embeddings, id_col, vec_col, scale).persist()
+    try:
+        _, assigned = _pq_train(q, m, k, iters)
+        qerr = F.col("e0")
+        for s in range(1, m):
+            qerr = qerr + F.col(f"e{s}")
+        out = assigned.select(
+            F.col("_id").alias(id_col),
+            F.concat_ws(",", *[F.col(f"c{s}").cast("string")
+                               for s in range(m)]).alias("code"),
+            qerr.cast("long").alias("qerr"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        q.unpersist()
+
+
+def pq_topk(embeddings: DataFrame, query_ids, k: int = 5, m: int = 4,
+            n_clusters: int = 8, iters: int = 2, id_col: str = "vec_id",
+            vec_col: str = "embedding", scale: int = SRP_SCALE) -> DataFrame:
+    """ADC (asymmetric-distance) top-k over PQ codes — the search half of
+    product quantization: the corpus is reduced to its m-byte codes once,
+    and each query is compared against CENTROIDS, not raw vectors:
+    adc(q, x) = Σ_s ‖q_s − cent[s][code_s(x)]‖², computed here in exact
+    int64 so ranks value-hash across engines.  Queries keep their full
+    quantized coordinates (the asymmetry — only the corpus side is
+    compressed, which is what preserves accuracy at the same code size).
+
+    Returns (query_id, neighbor_id, rank, adc_dist2); self-pairs are
+    excluded, ties break on neighbor id.
+
+    100 TB shape: after training (see pq_codes), the scan that serves
+    queries reads ONLY the m small code columns (column pruning does the
+    64× byte reduction); the m centroid tables ride as k·dim-int nested-
+    array literals (F.lit once — foldable, not rebuilt per row) and each
+    query's coordinates broadcast with the query frame.  The final top-k
+    is a per-query window over pre-scored rows — no corpus-wide sort."""
+    q = _pq_quantized(embeddings, id_col, vec_col, scale).persist()
+    try:
+        cents, assigned = _pq_train(q, m, n_clusters, iters)
+        sub = len(cents[0][0])
+        codes = assigned.select("_id", *[f"c{s}" for s in range(m)])
+        qq = (q.where(F.col("_id").isin(list(query_ids)))
+              .select(F.col("_id").alias("query_id"),
+                      F.col("q").alias("qv")))
+        pairs = codes.crossJoin(F.broadcast(qq)).where(
+            F.col("_id") != F.col("query_id"))
+        adc = F.lit(0).cast("long")
+        for s in range(m):
+            adc = adc + F.aggregate(
+                F.zip_with(F.slice(F.col("qv"), s * sub + 1, sub),
+                           F.get(F.lit(cents[s]), F.col(f"c{s}")),
+                           lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("long"), lambda a, v: a + v)
+        scored = pairs.select("query_id",
+                              F.col("_id").alias("neighbor_id"),
+                              adc.alias("adc_dist2"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist2").asc(), F.col("neighbor_id").asc())
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k)
+               .select("query_id", "neighbor_id", "rank", "adc_dist2"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        q.unpersist()

@@ -2648,6 +2648,80 @@ def test_kmeans_quantized_semantics(spark):
     assert len(t) == 5 and all(r["dist2"] >= 0 for r in t)
 
 
+def test_pq_codes_and_adc_semantics(spark):
+    """Product-quantization pins: (1) subspace independence — the PQ code
+    in every subspace bit-matches kmeans_quantized run alone on that
+    coordinate slice (same init rule, same rounds), and qerr is exactly
+    the sum of the per-slice distortions; (2) ADC exactness — pq_topk
+    ranks equal a driver-side brute-force recomputation from the trained
+    centroids and codes, tie-break included; (3) a neighbor sharing the
+    query's full code scores exactly the query's own qerr; (4) non-
+    divisible dim raises; (5) deterministic across runs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from recrun_spark.functions.similarity import (
+        _pq_quantized, _pq_train, kmeans_quantized, pq_codes, pq_topk)
+    emb = _blob_corpus(spark)                       # 8 blobs × 50, dim 16
+    m, k, iters = 4, 4, 1
+    codes = pq_codes(emb, m=m, k=k, iters=iters).collect()
+    got = {r["vec_id"]: r for r in codes}
+    assert len(got) == 400
+    # (1) per-subspace parity vs a standalone k-means on the slice
+    sub = 16 // m
+    slice_err = {i: 0 for i in got}
+    for s in range(m):
+        sl = emb.select("vec_id", F.slice(F.col("embedding"),
+                                          s * sub + 1, sub).alias("embedding"))
+        km = {r["vec_id"]: r
+              for r in kmeans_quantized(sl, k=k, iters=iters).collect()}
+        for i, r in got.items():
+            assert int(r["code"].split(",")[s]) == km[i]["cluster"], (s, i)
+            slice_err[i] += km[i]["dist2"]
+    assert all(got[i]["qerr"] == slice_err[i] for i in got)
+    # (2) ADC brute-force parity from the trained centroids
+    q = _pq_quantized(emb, "vec_id", "embedding", 1 << 20).persist()
+    cents, assigned = _pq_train(q, m, k, iters)
+    rows = assigned.collect()
+    q.unpersist()
+    byid = {r["_id"]: r for r in rows}
+    queries = [0, 77, 399]
+    topk = pq_topk(emb, queries, k=5, m=m, n_clusters=k, iters=iters)
+    out = [(r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist2"])
+           for r in topk.collect()]
+    expect = []
+    for qid in queries:
+        qv = list(byid[qid]["q"])
+        scored = []
+        for nid, r in byid.items():
+            if nid == qid:
+                continue
+            adc = 0
+            for s in range(m):
+                c = cents[s][r[f"c{s}"]]
+                adc += sum((qv[s * sub + i] - c[i]) ** 2
+                           for i in range(sub))
+            scored.append((adc, nid))
+        scored.sort()
+        expect += [(qid, rk + 1, nid, adc)
+                   for rk, (adc, nid) in enumerate(scored[:5])]
+    assert sorted(out) == sorted(expect)
+    # (3) a same-code neighbor's ADC distance IS the query's qerr
+    code0 = got[0]["code"]
+    twins = [i for i, r in got.items() if r["code"] == code0 and i != 0]
+    if twins:   # blob corpus: the query's blob shares its code
+        d = {(r["query_id"], r["neighbor_id"]): r["adc_dist2"]
+             for r in topk.collect() if r["query_id"] == 0}
+        hit = [v for (qq, nn), v in d.items() if nn in twins]
+        assert hit and all(v == got[0]["qerr"] for v in hit)
+    # (4) dim not divisible by m
+    with pytest.raises(ValueError):
+        pq_codes(emb, m=3, k=4, iters=0).collect()
+    # (5) determinism
+    again = pq_codes(emb, m=m, k=k, iters=iters).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
+
+
 def test_grid_distance_join_exactness(spark):
     """Grid blocking pins: result equals the brute-force distance join
     (pairs at, inside, and just outside the radius; pairs straddling a

@@ -887,6 +887,43 @@ def main():
         ("no python UDF", lambda p: "BatchEvalPython" not in p),
     ])
 
+    # product quantization (r5): training rounds run eagerly (kmeans
+    # discipline), so the returned frames are checkpoint-truncated; the
+    # ADC scoring plan is audited un-checkpointed below — the corpus
+    # side must stay a narrow code projection joined against a BROADCAST
+    # query frame (the cosine_topk-sanctioned tiny-side BNLJ), with the
+    # centroid tables riding as one foldable nested-array literal
+    audit("embeddings_pq_codes_result",
+          qs["embeddings_pq_codes"](spark, SF_DIR), [
+              ("final read is checkpoint-truncated",
+               lambda p: "Scan ExistingRDD" in p
+               or "LocalTableScan" in p),
+          ])
+    pq_codes_df = spark.createDataFrame(
+        [(i, i % 4, (i * 3) % 4) for i in range(100)],
+        "_id bigint, c0 int, c1 int")
+    pq_q = spark.createDataFrame(
+        [(0, [1] * 8), (1, [2] * 8)], "query_id bigint, qv array<bigint>")
+    pq_cents = [[[j] * 4 for j in range(4)] for _ in range(2)]
+    pq_adc = F.lit(0).cast("long")
+    for s in range(2):
+        pq_adc = pq_adc + F.aggregate(
+            F.zip_with(F.slice(F.col("qv"), s * 4 + 1, 4),
+                       F.get(F.lit(pq_cents[s]), F.col(f"c{s}")),
+                       lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"), lambda a, v: a + v)
+    pq_scored = (pq_codes_df.crossJoin(F.broadcast(pq_q))
+                 .where(F.col("_id") != F.col("query_id"))
+                 .select("query_id", F.col("_id").alias("neighbor_id"),
+                         pq_adc.alias("adc_dist2")))
+    audit("pq_adc_scoring", pq_scored, [
+        ("query side broadcasts (tiny-side BNLJ, the cosine_topk shape)",
+         lambda p: "BroadcastNestedLoopJoin" in p),
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # grid distance self-join (r5): cell-keyed equi-join, never a
     # cartesian over the points
     audit("events_spatial_pairs", qs["events_spatial_pairs"](spark, SF_DIR), [
