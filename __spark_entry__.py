@@ -1386,6 +1386,97 @@ def documents_bpe_vocab(spark, sf_dir):
     return out
 
 
+def documents_bpe_tokens(spark, sf_dir):
+    """BPE tokenizer APPLICATION (text.bpe_encode): the vocabulary is
+    trained on the English slice only (8 merges) and then applied to the
+    WHOLE corpus — the train-on-a-sample / tokenize-everything split of a
+    real LLM data pipeline, with OOV words handled by the inference rule
+    (start character-split, apply each merge where its pair occurs).
+    Per-doc token counts are computed over DISTINCT words (vocab ≪
+    corpus); the merge chain is ONE projection of 8 chained replaces
+    (the merges are known literals — no per-round jobs, unlike
+    learning), then one word-keyed join + one per-doc sum.  The oracle
+    re-learns the merges on the same slice and replays the application
+    chain, count-exact."""
+    from recrun_spark.functions.text import bpe_encode, bpe_learn
+    docs = _t(spark, sf_dir, "documents")
+    _, merges = bpe_learn(docs.where(F.col("lang") == "en"), n_merges=8)
+    return bpe_encode(docs, merges)
+
+
+def customer_blocking_pairs(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (dedup.sorted_neighborhood_pairs —
+    Hernández & Stolfo SIGMOD'95) over customer names: sort by the
+    blocking key, slide a window of 4, verify every in-window pair with
+    exact Levenshtein — n·3 candidates instead of the n² cross join,
+    the third classic candidate-generation strategy in the repo after
+    SymSpell deletion variants (documents_fuzzy_aliases) and LSH
+    banding.  The global sort position comes from the two-phase prefix-
+    offset rank (operators.global_rank) — NO single-partition window;
+    the slide is a row-local explode + one integer equi-join.  Oracle:
+    row_number + rank-difference self-join + levenshtein, row-exact."""
+    from recrun_spark.functions.dedup import sorted_neighborhood_pairs
+    cust = _t(spark, sf_dir, "customer")
+    return _finalize(sorted_neighborhood_pairs(
+        cust, key_col="c_name", id_col="c_custkey", window=4))
+
+
+_BLOCKING_SQL = """
+WITH r AS (
+  SELECT c_custkey, c_name,
+         row_number() OVER (ORDER BY c_name ASC) - 1 AS rank
+  FROM customer WHERE c_name IS NOT NULL)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS key_a, b.c_name AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 3
+"""
+
+
+def events_markov(spark, sf_dir):
+    """First-order MARKOV transition model over per-user event sequences
+    — the 'what happens next' table sequence miners and session
+    recommenders consume: for every (from_type → to_type) pair, the
+    transition count and the conditional probability in integer BASIS
+    POINTS ((10⁴·n) div Σ_b n — exact cross-engine, where a float ratio
+    can't be value-hashed).  Shape: ONE user-keyed window (lead over
+    (ts, event_id) — the repo's pinned event order) + ONE map-side-
+    combinable pair aggregate; the per-from denominator is a window over
+    the AGGREGATED pair table (|types|² rows — metadata-scale), never
+    over raw events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    seq = ev.select("user_id", "event_type",
+                    F.lead("event_type").over(w).alias("nxt"))
+    pairs = (seq.where(F.col("nxt").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("nxt").alias("to_type"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    wf = Window.partitionBy("from_type")
+    return (pairs
+            .withColumn("from_total", F.sum("n").over(wf))
+            .select("from_type", "to_type", "n",
+                    F.expr("10000 * n div from_total").cast("long")
+                    .alias("conf_bp")))
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM events),
+pairs AS (
+  SELECT event_type AS from_type, nxt AS to_type, count(*)::BIGINT AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       CAST(10000 * n // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS conf_bp
+FROM pairs
+"""
+
+
 def events_outliers_mad(spark, sf_dir):
     """Robust per-type outlier detection — the Hampel filter
     (events.mad_outliers): flag events whose deviation from the type
@@ -2467,6 +2558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency": kg_adjacency,
         "events_outliers_mad": events_outliers_mad,
         "documents_bpe_vocab": documents_bpe_vocab,
+        "documents_bpe_tokens": documents_bpe_tokens,
+        "events_markov": events_markov,
+        "customer_blocking_pairs": customer_blocking_pairs,
         "documents_source_nucleus": documents_source_nucleus,
         "events_decayed_counts": events_decayed_counts,
         "documents_profile": documents_profile,
@@ -2670,6 +2764,78 @@ SELECT word, freq,
        array_to_string(string_split(trim(wrapped, {s}), {ss}), ' ')
          AS tokens
 FROM v{n_merges}
+"""
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """BPE-encode oracle: re-learns the merge table on the English slice
+    (the same unrolled rounds as _bpe_sql, with the training WHERE), then
+    APPLIES each round's winning pair to the distinct words of the WHOLE
+    corpus (tv rounds — the same boundary-fenced replace, LEFT JOIN ON
+    TRUE no-op when a round exhausted), and aggregates per-doc word and
+    token counts."""
+    s = "chr(31)"          # BPE_SEP
+    ss = f"{s} || {s}"
+    rounds = []
+    for r in range(1, n_merges + 1):
+        rounds.append(f"""
+px{r} AS MATERIALIZED (
+  SELECT freq,
+         unnest(list_transform(range(1, len(s)),
+                               i -> {{'x': s[i], 'y': s[i + 1]}})) AS p
+  FROM (SELECT freq, string_split(trim(wrapped, {s}), {ss}) AS s
+        FROM v{r - 1})),
+p{r} AS (SELECT p.x AS x, p.y AS y, sum(freq) AS c
+         FROM px{r} GROUP BY 1, 2),
+b{r} AS (SELECT x, y FROM p{r} ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+v{r} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN b.x IS NULL THEN wrapped
+              ELSE replace(wrapped, {s} || b.x || {ss} || b.y || {s},
+                           {s} || b.x || b.y || {s}) END AS wrapped
+  FROM v{r - 1} LEFT JOIN b{r} b ON TRUE),
+tv{r} AS MATERIALIZED (
+  SELECT word, CASE WHEN b.x IS NULL THEN wrapped
+               ELSE replace(wrapped, {s} || b.x || {ss} || b.y || {s},
+                            {s} || b.x || b.y || {s}) END AS wrapped
+  FROM tv{r - 1} LEFT JOIN b{r} b ON TRUE)""")
+    return f"""
+WITH words AS (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+          AS word
+        FROM documents
+        WHERE doc_id IS NOT NULL AND trim(text) <> '' AND lang = 'en')
+  WHERE word <> '' AND NOT contains(word, {s})
+  GROUP BY 1),
+v0 AS (
+  SELECT word, freq,
+         {s} || array_to_string(
+           list_filter(string_split_regex(word, ''), c -> c <> ''),
+           {ss}) || {s} AS wrapped
+  FROM words),
+wc AS MATERIALIZED (
+  SELECT doc_id, word, count(*)::BIGINT AS k
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS word
+        FROM documents
+        WHERE doc_id IS NOT NULL AND trim(text) <> '')
+  WHERE word <> '' AND NOT contains(word, {s})
+  GROUP BY 1, 2),
+tv0 AS (
+  SELECT word,
+         {s} || array_to_string(
+           list_filter(string_split_regex(word, ''), c -> c <> ''),
+           {ss}) || {s} AS wrapped
+  FROM (SELECT DISTINCT word FROM wc)),
+{','.join(rounds)}
+SELECT wc.doc_id,
+       CAST(sum(wc.k) AS BIGINT) AS n_words,
+       CAST(sum(wc.k * len(string_split(trim(t.wrapped, {s}), {ss})))
+            AS BIGINT) AS n_tokens
+FROM wc JOIN tv{n_merges} t ON t.word = wc.word
+GROUP BY 1
 """
 
 
@@ -3906,6 +4072,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _hits_sql(),
         "events_user_walks": _walks_sql(),
         "documents_bpe_vocab": _bpe_sql(),
+        "documents_bpe_tokens": _bpe_encode_sql(),
+        "events_markov": _MARKOV_SQL,
+        "customer_blocking_pairs": _BLOCKING_SQL,
         "events_user_scc": """
             WITH RECURSIVE d AS (
               SELECT event_id, ts, user_id, event_type,

@@ -270,7 +270,9 @@ def main():
                  "documents_snapshot_diff", "events_ema",
                  "events_user_scc", "embeddings_kmeans", "events_trend",
                  "events_spatial_pairs", "kg_hits", "events_user_walks",
-                 "embeddings_pq_codes", "ann_pq_topk"):
+                 "embeddings_pq_codes", "ann_pq_topk",
+                 "documents_bpe_tokens", "events_markov",
+                 "customer_blocking_pairs"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

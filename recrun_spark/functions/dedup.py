@@ -593,3 +593,54 @@ def jaccard_pairs_prefix(documents: DataFrame, threshold: float = 0.6,
     out = _jaccard_of_pairs(cand, sh, threshold, restrict=False)
     out._recrun_caches = [pos] + list(getattr(out, "_jp_caches", []))
     return out
+
+
+def sorted_neighborhood_pairs(records: DataFrame, key_col: str,
+                              id_col: str = "id", window: int = 4,
+                              max_dist: int | None = None) -> DataFrame:
+    """SORTED-NEIGHBORHOOD entity-resolution blocking (Hernández &
+    Stolfo, SIGMOD 1995): sort the corpus by a blocking key, slide a
+    window of size ``window`` over the sorted order, and emit every
+    in-window pair as a candidate — n·(window−1) candidates instead of
+    the n² cross join, the classic cheap blocking when near-duplicates
+    sort near each other (names, normalized addresses, alias surfaces).
+    Candidates are verified with exact Levenshtein distance; pass
+    ``max_dist`` to keep only matches (None emits all candidates with
+    their distances — the blocking-quality audit view).
+
+    The global sort position comes from operators.global_rank — the
+    two-phase prefix pattern (per-bucket counts to the driver, exclusive
+    offsets broadcast back, in-bucket windows PARTITIONED by bucket), so
+    there is NO single-partition window at any scale.  The window slide
+    is a row-local explode of (rank+1 … rank+window−1) joined back on
+    the target rank — one equi-join on an integer key.
+
+    Keys must be non-null and UNIQUE per row (the pack_blocks/
+    global_rank contract — duplicate keys would tie nondeterministically;
+    callers append a unique suffix such as the id).  Returns
+    (id_a, id_b, key_a, key_b, dist) with rank(id_a) < rank(id_b).
+
+    Reference analog: none — recrun has no ER blocking; this generalizes
+    the alias-matching family (linking.py, fuzzy_token_match) with the
+    third classic candidate-generation strategy after deletion-variant
+    equi-joins (SymSpell) and LSH banding."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from recrun_spark.operators import global_rank
+
+    ranked = global_rank(
+        records.select(F.col(id_col), F.col(key_col)), key_col)
+    left = ranked.select(
+        F.col(id_col).alias("id_a"), F.col(key_col).alias("key_a"),
+        F.explode(F.sequence(F.col("rank") + 1,
+                             F.col("rank") + window - 1)).alias("trank"))
+    right = ranked.select(
+        F.col(id_col).alias("id_b"), F.col(key_col).alias("key_b"),
+        F.col("rank").alias("trank"))
+    out = (left.join(right, "trank")
+           .select("id_a", "id_b", "key_a", "key_b",
+                   F.levenshtein("key_a", "key_b").alias("dist")))
+    if max_dist is not None:
+        out = out.where(F.col("dist") <= max_dist)
+    out._recrun_caches = list(getattr(ranked, "_recrun_caches", []))
+    return out

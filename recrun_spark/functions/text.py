@@ -657,3 +657,50 @@ def bpe_learn(documents: DataFrame, n_merges: int = 8,
                        F.size(syms).cast("int").alias("n_tokens"),
                        F.array_join(syms, " ").alias("tokens"))
     return out, merges
+
+
+def bpe_encode(documents: DataFrame, merges,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a LEARNED merge list to a corpus — the tokenizer-APPLICATION
+    half of BPE (bpe_learn trains; this tokenizes, typically with a
+    vocabulary trained on a different/smaller slice).  OOV handling falls
+    out of the construction: an unseen word starts fully character-split
+    and each merge rewrites it only where the pair occurs, exactly the
+    inference rule of Sennrich ACL'16 word-level BPE.
+
+    ``merges`` is bpe_learn's merge table ((round, x, y, count) or bare
+    (x, y) pairs), applied IN ORDER.  Returns (doc_id, n_words,
+    n_tokens): whitespace word count and post-BPE token count per
+    document (documents with no tokenizable words produce no row,
+    mirroring bpe_learn's word filter).
+
+    100 TB shape: token lengths are computed over DISTINCT words (vocab ≪
+    corpus, reduced by one groupBy), and — unlike learning, which is
+    inherently one job per round — the whole merge chain is ONE
+    projection of len(merges) chained replaces, because the merges are
+    already known literals.  One word-keyed join back to the per-doc word
+    counts (AQE broadcasts the vocab side) and one per-doc sum finish it;
+    per-doc token counts never materialize the token strings."""
+    wcounts = (documents
+               .where(F.col(id_col).isNotNull())
+               .select(F.col(id_col).alias("_doc"),
+                       F.explode(tokens_col(F.lower(F.col(text_col))))
+                       .alias("word"))
+               .where((F.col("word") != "")
+                      & ~F.col("word").contains(BPE_SEP))
+               .groupBy("_doc", "word")
+               .agg(F.count(F.lit(1)).cast("long").alias("k")))
+    wrapped = _bpe_wrap(F.col("word"))
+    for m in merges:
+        x, y = (m[1], m[2]) if len(m) == 4 else (m[0], m[1])
+        wrapped = F.replace(
+            wrapped, F.lit(f"{BPE_SEP}{x}{BPE_SEP}{BPE_SEP}{y}{BPE_SEP}"),
+            F.lit(f"{BPE_SEP}{x}{y}{BPE_SEP}"))
+    toks = (wcounts.select("word").distinct()
+            .select("word", F.size(_bpe_syms(wrapped)).cast("long")
+                    .alias("nt")))
+    return (wcounts.join(toks, "word")
+            .groupBy(F.col("_doc").alias(id_col))
+            .agg(F.sum("k").cast("long").alias("n_words"),
+                 F.sum(F.col("k") * F.col("nt")).cast("long")
+                 .alias("n_tokens")))

@@ -2544,6 +2544,89 @@ def test_bpe_learn_merge_semantics(spark):
     assert out3.collect()[0]["tokens"] == "x"
 
 
+def test_sorted_neighborhood_pairs_semantics(spark):
+    """Sorted-neighborhood blocking pins: candidates are EXACTLY the
+    in-window pairs of the sorted key order (brute-force parity,
+    distances included); window=2 emits adjacent pairs only; max_dist
+    filters on exact Levenshtein; window < 2 raises."""
+    import pytest
+
+    from recrun_spark.functions.dedup import sorted_neighborhood_pairs
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+
+    rows = [(1, "alpha"), (2, "alphb"), (3, "beta"), (4, "betta"),
+            (5, "gamma"), (6, "gbmma"), (7, "zeta")]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+
+    def brute(w, md=None):
+        srt = sorted(rows, key=lambda r: r[1])
+        out = set()
+        for i, (ia, ka) in enumerate(srt):
+            for j in range(i + 1, min(i + w, len(srt))):
+                ib, kb = srt[j]
+                d = lev(ka, kb)
+                if md is None or d <= md:
+                    out.add((ia, ib, ka, kb, d))
+        return out
+
+    for w in (2, 3, 5):
+        got = {tuple(r) for r in
+               sorted_neighborhood_pairs(df, "key", "id", window=w)
+               .collect()}
+        assert got == brute(w), w
+    got_f = {tuple(r) for r in
+             sorted_neighborhood_pairs(df, "key", "id", window=3,
+                                       max_dist=1).collect()}
+    assert got_f == brute(3, md=1)
+    assert any(d == 1 for *_, d in got_f)          # fixture sanity
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "key", "id", window=1)
+
+
+def test_bpe_encode_application_semantics(spark):
+    """BPE application pins: (1) encoding the TRAINING corpus reproduces
+    bpe_learn's own per-word token counts exactly (apply ∘ learn =
+    learn's tokenization); (2) OOV inference — a word never seen in
+    training is tokenized by applying the merges where they fit
+    ('lowest' under merges (l,o),(lo,w) → low|e|s|t = 4 tokens);
+    (3) empty merge list degrades to character counts; (4) merge ORDER
+    matters and is respected."""
+    from recrun_spark.functions.text import bpe_encode, bpe_learn
+
+    train = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "low wit")],
+        "doc_id bigint, text string")
+    vocab, merges = bpe_learn(train, n_merges=2)
+    assert [(m[1], m[2]) for m in merges] == [("l", "o"), ("lo", "w")]
+    # (1) self-encoding parity with the learned vocabulary
+    enc = {r["doc_id"]: r for r in bpe_encode(train, merges).collect()}
+    per_word = {r["word"]: r["n_tokens"] for r in vocab.collect()}
+    assert enc[1]["n_words"] == 4
+    assert enc[1]["n_tokens"] == 3 * per_word["low"] + per_word["lower"]
+    assert enc[2]["n_words"] == 2
+    assert enc[2]["n_tokens"] == per_word["low"] + per_word["wit"]
+    # (2) OOV word: 'lowest' → low|e|s|t (both merges fire), 'ow' → o|w
+    # (neither fires: 'l,o' needs an l; 'lo,w' needs the merged lo)
+    oov = spark.createDataFrame([(7, "lowest ow")],
+                                "doc_id bigint, text string")
+    got = bpe_encode(oov, merges).collect()[0]
+    assert (got["n_words"], got["n_tokens"]) == (2, 4 + 2)
+    # (3) no merges → characters
+    got0 = bpe_encode(oov, []).collect()[0]
+    assert (got0["n_words"], got0["n_tokens"]) == (2, 6 + 2)
+    # (4) order respected: (lo,w) before (l,o) can never fire on 'low'
+    got_rev = bpe_encode(oov, [("lo", "w"), ("l", "o")]).collect()[0]
+    assert got_rev["n_tokens"] == 5 + 2   # lowest → lo|w|e|s|t, ow → o|w
+
+
 def test_scc_fwbw_vs_tarjan(spark):
     """Distributed FW-BW SCC pins: cycle+tail, chained 2-cycles (forces
     one outer recursion per locally-non-minimal SCC), and a differential

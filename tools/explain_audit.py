@@ -887,6 +887,50 @@ def main():
         ("no python UDF", lambda p: "BatchEvalPython" not in p),
     ])
 
+    # BPE application (r5): the merge chain must be a pure projection
+    # (chained replaces — no per-round jobs), with one word-keyed join
+    # and a map-side-combinable per-doc sum
+    audit("documents_bpe_tokens", qs["documents_bpe_tokens"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("partial aggregation before the doc shuffle",
+         lambda p: "partial" in p.lower()),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ])
+
+    # Markov transitions (r5): lead window keyed by user; the per-from
+    # denominator window runs over the aggregated pair table only
+    audit("events_markov", qs["events_markov"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("pair counts partial-aggregate map-side",
+         lambda p: "partial" in p.lower()),
+        ("no single-reducer exchange (both windows are keyed)",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
+    # sorted-neighborhood blocking (r5): the global rank is the two-phase
+    # prefix pattern (bucket-partitioned window + broadcast offsets) and
+    # the window slide is an explode + ONE integer equi-join — audit the
+    # un-checkpointed operator plan (the entry _finalizes)
+    from recrun_spark.functions.dedup import sorted_neighborhood_pairs
+    snm_df = sorted_neighborhood_pairs(
+        spark.read.parquet(f"{SF_DIR}/customer.parquet"),
+        key_col="c_name", id_col="c_custkey", window=4)
+    audit("customer_blocking_pairs_operator", snm_df, [
+        ("no single-partition window (two-phase prefix rank)",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("window slide is a row-local generator",
+         lambda p: "Generate" in p),
+        ("prefix offsets ride a broadcast join",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian/BNLJ over the corpus",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ])
+    from recrun_spark.operators import release_caches
+    release_caches(snm_df)
+
     # product quantization (r5): training rounds run eagerly (kmeans
     # discipline), so the returned frames are checkpoint-truncated; the
     # ADC scoring plan is audited un-checkpointed below — the corpus
