@@ -286,6 +286,26 @@ def kg_entity_pagerank(spark, sf_dir):
     return _finalize(pagerank(edges, iterations=10))
 
 
+def kg_entity_ppr(spark, sf_dir):
+    """PERSONALIZED PageRank from the seed entity E_SPARK over the same
+    bipartite mention graph (operators.personalized_pagerank — random
+    walk with restart, Jeh & Widom WWW'03): teleport mass lands only on
+    the seed, so ranks decay with distance and the top non-seed nodes
+    are the seed's most-related docs/entities — the related-entity
+    recommendation primitive, vs kg_entity_pagerank's global importance.
+    Integer recurrence end to end (bit-exact); 4 rounds; the oracle
+    unrolls the identical recurrence with the seed-gated teleport."""
+    from recrun_spark.operators import personalized_pagerank
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    de = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"))
+    edges = de.union(de.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    return _finalize(personalized_pagerank(edges, ["E_SPARK"],
+                                           iterations=4))
+
+
 def kg_label_prop(spark, sf_dir):
     """Community detection over the doc↔entity mention graph
     (operators.label_propagation — synchronous deterministic LPA,
@@ -353,6 +373,42 @@ def _pagerank_sql(iters: int = 10, damping_pct: int = 85,
         rounds.append(f"""r{i} AS (
               SELECT n.node,
                      CAST({base} + ({damping_pct} * coalesce(c.s, 0)) // 100
+                          AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(p.rank // d.out_deg) AS s
+                FROM r{i - 1} p
+                JOIN edges e ON e.src = p.node
+                JOIN deg d ON d.src = p.node
+                GROUP BY 1) c ON c.node = n.node)""")
+    return f"""
+        WITH {_MENTIONS_CTE},
+        m AS (SELECT DISTINCT doc_id, entity FROM ments),
+        de AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                      entity AS dst FROM m),
+        edges AS (SELECT src, dst FROM de
+                  UNION SELECT dst AS src, src AS dst FROM de),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+        {','.join(rounds)}
+        SELECT node, rank FROM r{iters}
+    """
+
+
+def _ppr_sql(iters: int = 4, damping_pct: int = 85,
+             scale: int = 10 ** 12, seed: str = "E_SPARK") -> str:
+    """Personalized-pagerank oracle: the pagerank rounds with the seed-
+    gated teleport (base only where node = seed) and the seed-only
+    initial mass — unrolled chained CTEs, trajectory-equal."""
+    base = (scale * (100 - damping_pct)) // 100
+    rounds = [f"r0 AS (SELECT node, CAST(CASE WHEN node = '{seed}' "
+              f"THEN {scale} ELSE 0 END AS BIGINT) AS rank FROM nodes)"]
+    for i in range(1, iters + 1):
+        rounds.append(f"""r{i} AS (
+              SELECT n.node,
+                     CAST(CASE WHEN n.node = '{seed}' THEN {base}
+                          ELSE 0 END
+                          + ({damping_pct} * coalesce(c.s, 0)) // 100
                           AS BIGINT) AS rank
               FROM nodes n LEFT JOIN (
                 SELECT e.dst AS node, sum(p.rank // d.out_deg) AS s
@@ -451,6 +507,115 @@ def kg_triangles(spark, sf_dir):
         .where(F.col("dst") <= 500)
         .select(F.col("u").alias("src"), "dst"))
     return _finalize(triangle_counts(edges))
+
+
+def kg_clustering_coeff(spark, sf_dir):
+    """LOCAL CLUSTERING COEFFICIENT per node — how interconnected each
+    node's neighborhood is (the triangle-closure ratio Watts & Strogatz
+    1998), composed from operators.triangle_counts (degree-ordered
+    orientation — the skew-proof wedge join) plus one degree aggregate:
+    cc_bp = (10⁴·2·T) div (deg·(deg−1)) in integer basis points (exact
+    cross-engine; the float ratio can't value-hash), 0 for degree < 2.
+    Same ring-with-chords graph as kg_triangles, so interior nodes read
+    high closure and boundary nodes low — verifiable non-uniform values."""
+    from recrun_spark.operators import triangle_counts
+    cust = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") <= 500)
+            .select(F.col("c_custkey").alias("u")))
+    edges = (cust.select(
+        "u", F.explode(F.array(*[F.col("u") + d for d in (1, 2, 3)]))
+        .alias("dst"))
+        .where(F.col("dst") <= 500)
+        .select(F.col("u").alias("src"), "dst"))
+    tri = triangle_counts(edges)
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    sym = (sym.union(sym.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+           .where(F.col("a") != F.col("b")).distinct())
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))
+    out = (tri.join(deg, "node")
+           .select("node", "n_triangles", "degree",
+                   F.when(F.col("degree") >= 2,
+                          F.expr("10000 * 2 * n_triangles "
+                                 "div (degree * (degree - 1))"))
+                   .otherwise(F.lit(0)).cast("long").alias("cc_bp")))
+    return _finalize(out)
+
+
+def documents_keywords_textrank(spark, sf_dir):
+    """TEXTRANK keyword extraction (Mihalcea & Tarau EMNLP'04): integer
+    PageRank over the corpus-wide word co-occurrence graph — adjacent
+    words (window 2) become symmetric edges, 5 damped rounds rank the
+    words, top-20 by (rank desc, word asc).  Reuses operators.pagerank
+    verbatim, so the whole trajectory is bit-exact and the oracle
+    unrolls the identical rounds over the same word graph.  Scale shape:
+    the graph build is one row-local adjacent-pair explode + a distinct
+    (edges ≪ corpus tokens); each round is one equi-join + one keyed
+    sum; the final top-20 is sort+limit (TakeOrderedAndProject)."""
+    from recrun_spark.functions.text import tokens_col
+    from recrun_spark.operators import pagerank
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.filter(tokens_col(F.lower(F.col("text"))),
+                   lambda w: w != "")
+    pairs = (docs.where(F.col("doc_id").isNotNull())
+             .select(arr.alias("a"))
+             .where(F.size("a") >= 2)
+             .select(F.explode(F.transform(
+                 F.sequence(F.lit(0), F.size("a") - 2),
+                 lambda i: F.struct(F.get(F.col("a"), i).alias("x"),
+                                    F.get(F.col("a"), i + 1).alias("y"))))
+                 .alias("p"))
+             .where(F.col("p.x") != F.col("p.y")))
+    de = pairs.select(F.col("p.x").alias("src"), F.col("p.y").alias("dst"))
+    edges = de.union(de.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    pr = pagerank(edges, iterations=5)
+    return _finalize(pr.orderBy(F.col("rank").desc(),
+                                F.col("node").asc())
+                     .limit(20)
+                     .select(F.col("node").alias("word"), "rank"))
+
+
+def _textrank_sql(iters: int = 5, damping_pct: int = 85,
+                  scale: int = 10 ** 12, topk: int = 20) -> str:
+    """TextRank oracle: the word co-occurrence graph (adjacent lowered
+    whitespace tokens, self-pairs dropped, symmetrized + dedup'd) and
+    the identical unrolled pagerank rounds, then top-k by
+    (rank desc, word asc)."""
+    base = (scale * (100 - damping_pct)) // 100
+    rounds = [f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank "
+              "FROM nodes)"]
+    for i in range(1, iters + 1):
+        rounds.append(f"""r{i} AS (
+              SELECT n.node,
+                     CAST({base} + ({damping_pct} * coalesce(c.s, 0)) // 100
+                          AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(p.rank // d.out_deg) AS s
+                FROM r{i - 1} p
+                JOIN edges e ON e.src = p.node
+                JOIN deg d ON d.src = p.node
+                GROUP BY 1) c ON c.node = n.node)""")
+    return f"""
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> w <> '') AS a
+          FROM documents WHERE doc_id IS NOT NULL),
+        prs AS (
+          SELECT unnest(list_transform(range(1, len(a)),
+                        i -> {{'x': a[i], 'y': a[i + 1]}})) AS p
+          FROM toks WHERE len(a) >= 2),
+        de AS (SELECT p.x AS src, p.y AS dst FROM prs WHERE p.x <> p.y),
+        edges AS (SELECT src, dst FROM de
+                  UNION SELECT dst AS src, src AS dst FROM de),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+        {','.join(rounds)}
+        SELECT node AS word, rank FROM r{iters}
+        ORDER BY rank DESC, word ASC LIMIT {topk}
+    """
 
 
 def kg_entity_jaccard(spark, sf_dir):
@@ -2495,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # artifact even if a per-round budget trims the tail of the dict
         "kg_triples_stream": kg_triples_stream,
         "kg_entity_pagerank": kg_entity_pagerank,
+        "kg_entity_ppr": kg_entity_ppr,
         "kg_label_prop": kg_label_prop,
         "documents_bm25_topk": documents_bm25_topk,
         "orders_skyline": orders_skyline,
@@ -2513,6 +2679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_interleave_mix": documents_interleave_mix,
         "kg_bfs_neighborhood": kg_bfs_neighborhood,
         "kg_triangles": kg_triangles,
+        "kg_clustering_coeff": kg_clustering_coeff,
+        "documents_keywords_textrank": documents_keywords_textrank,
         "kg_entity_jaccard": kg_entity_jaccard,
         "kg_entity_pmi": kg_entity_pmi,
         "kg_kcore": kg_kcore,
@@ -3495,6 +3663,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kg_entity_pagerank": _pagerank_sql(),
+        "kg_entity_ppr": _ppr_sql(),
         "kg_label_prop": _label_prop_sql(),
         "orders_sssp": _sssp_sql(),
         "join_size_estimate": f"""
@@ -3805,6 +3974,42 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT u AS node FROM sym) n
             LEFT JOIN counts c ON c.node = n.node
         """,
+        "kg_clustering_coeff": """
+            WITH base AS (SELECT c_custkey AS u FROM customer
+                          WHERE c_custkey <= 500),
+            raw(src, dst) AS (
+              SELECT u, u + d FROM base,
+                   (VALUES (1), (2), (3)) AS t(d)
+              WHERE u + d <= 500),
+            sym AS (SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+                    UNION SELECT dst, src FROM raw WHERE src <> dst),
+            deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1),
+            o AS (SELECT s.u, s.v, dv.d AS dv
+                  FROM sym s
+                  JOIN deg du ON du.u = s.u
+                  JOIN deg dv ON dv.u = s.v
+                  WHERE du.d < dv.d OR (du.d = dv.d AND s.u < s.v)),
+            wedges AS (SELECT o1.u, o1.v AS a, o2.v AS b
+                       FROM o o1 JOIN o o2 ON o1.u = o2.u
+                       WHERE o1.dv < o2.dv
+                          OR (o1.dv = o2.dv AND o1.v < o2.v)),
+            tri AS (SELECT w.u, w.a, w.b
+                    FROM wedges w JOIN o ON o.u = w.a AND o.v = w.b),
+            pts AS (SELECT u AS node FROM tri
+                    UNION ALL SELECT a FROM tri
+                    UNION ALL SELECT b FROM tri),
+            counts AS (SELECT node, count(*) AS n FROM pts GROUP BY 1)
+            SELECT n.node, coalesce(c.n, 0)::BIGINT AS n_triangles,
+                   d.d::BIGINT AS degree,
+                   CAST(CASE WHEN d.d >= 2
+                        THEN (10000 * 2 * coalesce(c.n, 0))
+                             // (d.d * (d.d - 1))
+                        ELSE 0 END AS BIGINT) AS cc_bp
+            FROM (SELECT DISTINCT u AS node FROM sym) n
+            JOIN deg d ON d.u = n.node
+            LEFT JOIN counts c ON c.node = n.node
+        """,
+        "documents_keywords_textrank": _textrank_sql(),
         "kg_entity_jaccard": f"""
             WITH {_MENTIONS_CTE},
             m AS (SELECT DISTINCT doc_id, entity FROM ments

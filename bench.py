@@ -272,7 +272,8 @@ def main():
                  "events_spatial_pairs", "kg_hits", "events_user_walks",
                  "embeddings_pq_codes", "ann_pq_topk",
                  "documents_bpe_tokens", "events_markov",
-                 "customer_blocking_pairs"):
+                 "customer_blocking_pairs", "kg_entity_ppr",
+                 "kg_clustering_coeff", "documents_keywords_textrank"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

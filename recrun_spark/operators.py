@@ -174,6 +174,58 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     return r
 
 
+def personalized_pagerank(edges: DataFrame, seeds, iterations: int = 3,
+                          damping_pct: int = 85, scale: int = 10 ** 12,
+                          src: str = "src", dst: str = "dst") -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart) — relatedness of
+    every node TO A SEED SET, the related-entity / recommendation
+    primitive (Page et al. 1999 §6 'personalized' vector; Jeh & Widom
+    WWW'03): identical integer recurrence to ``pagerank`` except the
+    teleport mass lands ONLY on the seeds — rank' = (seed ? base : 0) +
+    damping·(Σ_in rank div out_deg) div 100 — and the walk starts from
+    the seeds (rank₀ = scale on seeds, 0 elsewhere).  Ranks decay with
+    distance from the seed set, so the top non-seed nodes are the
+    'most related' entities.  All int64 (same bit-exactness and ANSI
+    headroom argument as pagerank: total mass ≤ |seeds|·scale·iters).
+
+    ``seeds`` is a small driver-side collection (the 1-row-probe
+    convention — it rides as an isin literal, never a join).  Scale
+    shape per round: ONE ranks×edges equi-join + one dst-keyed sum,
+    O(E·|active|/|V|) early rounds (only reached nodes carry rank),
+    localCheckpoint lineage discipline.  Returns (node, rank:long) for
+    every node of the graph (unreached nodes rank 0)."""
+    if not (0 < damping_pct < 100):
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    seeds = list(seeds)
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .persist())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e2 = e.join(deg, "src").persist()
+    base = (scale * (100 - damping_pct)) // 100
+    is_seed = F.col("node").isin(seeds)
+    r = nodes.select("node", F.when(is_seed, F.lit(scale))
+                     .otherwise(F.lit(0)).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (e2.join(r.withColumnRenamed("node", "src"), "src")
+                   .select("dst", F.expr("rank div out_deg").alias("c")))
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (nodes.join(agg, nodes["node"] == agg["dst"], "left")
+             .select("node",
+                     (F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                      .cast("long")
+                      + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100"))
+                     .cast("long").alias("rank"))
+             .localCheckpoint(eager=True))
+    r._recrun_caches = [e, nodes, e2]
+    return r
+
+
 def label_propagation(edges: DataFrame, iterations: int = 5,
                       src: str = "src", dst: str = "dst") -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan et al. 2007)

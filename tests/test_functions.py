@@ -949,6 +949,48 @@ def test_pagerank_integer_semantics(spark):
     release_caches(out)
 
 
+def test_personalized_pagerank_semantics(spark):
+    """PPR pins: teleport mass lands ONLY on seeds (non-seed nodes with
+    no path from a seed rank 0); ranks decay with distance from the seed
+    along a path; a symmetric two-seed graph ranks both seeds equally;
+    empty seeds raise; bit-exact under repartitioning."""
+    import pytest
+
+    from recrun_spark.operators import personalized_pagerank, release_caches
+    S = 10 ** 12
+    base = (S * 15) // 100
+    # path a→b→c→d plus an island x→y unreachable from the seed
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["src", "dst"])
+    # 6 rounds: enough for the initial seed pulse to wash off the 3-hop
+    # path (node at distance k stabilizes at round k+1; after only 3
+    # rounds the pulse itself still sits on d and decay does NOT hold)
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(path, ["a"], iterations=6)
+           .collect()}
+    assert got["x"] == 0 and got["y"] == 0          # teleport is seed-only
+    assert got["a"] == base                         # no in-edges: base only
+    assert got["a"] > got["b"] > got["c"] > got["d"] > 0
+    # exact steady state on the path (out_deg 1 everywhere): each hop
+    # damps the previous node's stable rank by 85%
+    b = (85 * base) // 100
+    c = (85 * b) // 100
+    assert got["b"] == b and got["c"] == c and got["d"] == (85 * c) // 100
+    # symmetric two-seed square: a↔b, both seeded → equal ranks
+    square = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], ["src", "dst"])
+    two = {r["node"]: r["rank"]
+           for r in personalized_pagerank(square, ["a", "b"],
+                                          iterations=4).collect()}
+    assert two["a"] == two["b"] == S                # cycle fixed point
+    with pytest.raises(ValueError):
+        personalized_pagerank(path, [])
+    out = personalized_pagerank(path.repartition(5), ["a"], iterations=6)
+    again = {r["node"]: r["rank"] for r in out.collect()}
+    assert again == got
+    release_caches(out)
+
+
 def test_cap_per_group_exact_and_prefilter_agree(spark):
     """Domain caps: at most ``cap`` rows per group, chosen as the hash-
     smallest keys — deterministic across runs.  The opt-in mega-domain

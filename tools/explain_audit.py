@@ -887,6 +887,43 @@ def main():
         ("no python UDF", lambda p: "BatchEvalPython" not in p),
     ])
 
+    # personalized pagerank / clustering coefficient / TextRank (r5):
+    # iterative or _finalized results — checkpoint-truncated reads; the
+    # TextRank word-graph build is additionally audited un-checkpointed
+    # (row-local pair explode + distinct, no cartesian)
+    for nm in ("kg_entity_ppr", "kg_clustering_coeff",
+               "documents_keywords_textrank"):
+        audit(f"{nm}_result", qs[nm](spark, SF_DIR), [
+            ("final read is checkpoint-truncated",
+             lambda p: "Scan ExistingRDD" in p or "LocalTableScan" in p),
+        ])
+    from recrun_spark.functions.text import tokens_col
+    tr_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tr_arr = F.filter(tokens_col(F.lower(F.col("text"))),
+                      lambda w: w != "")
+    tr_pairs = (tr_docs.where(F.col("doc_id").isNotNull())
+                .select(tr_arr.alias("a"))
+                .where(F.size("a") >= 2)
+                .select(F.explode(F.transform(
+                    F.sequence(F.lit(0), F.size("a") - 2),
+                    lambda i: F.struct(F.get(F.col("a"), i).alias("x"),
+                                       F.get(F.col("a"), i + 1)
+                                       .alias("y")))).alias("p"))
+                .where(F.col("p.x") != F.col("p.y"))
+                .select(F.col("p.x").alias("src"),
+                        F.col("p.y").alias("dst")).distinct())
+    audit("textrank_word_graph_build", tr_pairs, [
+        ("adjacent-pair fan-out is a row-local generator",
+         lambda p: "Generate" in p),
+        # a distinct prints no "partial_*" function name — the map-side
+        # combine shows as HashAggregate on BOTH sides of the exchange
+        ("edge dedup partial-aggregates map-side (agg-exchange-agg)",
+         lambda p: p.count("HashAggregate") >= 2 and "Exchange" in p),
+        ("no cartesian, no single-reducer exchange",
+         lambda p: "CartesianProduct" not in p
+         and "Exchange SinglePartition" not in p),
+    ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
