@@ -702,6 +702,154 @@ def _kcore_sql(k: int = 8, rounds: int = 4) -> str:
     """
 
 
+def kg_truss(spark, sf_dir):
+    """Community-backbone extraction (operators.ktruss — support peeling
+    to the maximal every-edge-in-≥k−2-triangles subgraph, the EDGE
+    analog of kg_kcore) over a derived clique graph: size-10 cliques
+    (custkey 1-100, in-clique edge support 8), size-5 cliques (101-200,
+    support 3), one bridge each (support 0 — endpoints share no
+    neighbor).  At k=6 (support ≥4) the small cliques and bridges peel
+    in round 1 and the big cliques survive on in-clique support alone —
+    no triangle spans components, so the construction is cascade-free
+    (the kg_kcore argument) and the oracle's 3 unrolled peel rounds
+    reproduce the fixpoint row-for-row."""
+    from recrun_spark.operators import ktruss
+    cust = (_t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("u")))
+    big = cust.where(F.col("u").between(1, 100))
+    small = cust.where(F.col("u").between(101, 200))
+
+    def clique(nodes, width):
+        a = nodes.select(F.col("u").alias("src"),
+                         F.expr(f"u div {width}").alias("_g"))
+        b = nodes.select(F.col("u").alias("dst"),
+                         F.expr(f"u div {width}").alias("_g"))
+        return (a.join(b, "_g")
+                .where(F.col("src") < F.col("dst"))
+                .select("src", "dst"))
+
+    bridges = big.select(F.col("u").alias("src"),
+                         (F.col("u") + 100).alias("dst"))
+    edges = clique(big, 10).union(clique(small, 5)).union(bridges)
+    return _finalize(ktruss(edges, k=6))
+
+
+def _ktruss_sql(k: int = 6, rounds: int = 3) -> str:
+    """The k-truss oracle: the peel recurrence unrolled — round i =
+    per-edge triangle support over round i-1's survivors (degree-ordered
+    orientation + wedge join + triangle→edge explode, the operator's own
+    shape) then keep support ≥ k−2.  Valid because the driver graph
+    converges within ``rounds`` (extra rounds are no-ops).  Support CTEs
+    MATERIALIZED — each round references the prior one several times and
+    plain CTE inlining goes exponential (the BPE lesson)."""
+    thr = k - 2
+    parts = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""sy{i} AS (SELECT u, v FROM e{p}
+                         UNION ALL SELECT v, u FROM e{p}),
+            dg{i} AS (SELECT u, count(*) AS c FROM sy{i} GROUP BY 1),
+            o{i} AS MATERIALIZED (
+              SELECT s.u, s.v, dv.c AS dv FROM sy{i} s
+              JOIN dg{i} du ON du.u = s.u
+              JOIN dg{i} dv ON dv.u = s.v
+              WHERE du.c < dv.c OR (du.c = dv.c AND s.u < s.v)),
+            w{i} AS (SELECT o1.u, o1.v AS a, o2.v AS b
+                     FROM o{i} o1 JOIN o{i} o2 ON o1.u = o2.u
+                     WHERE o1.dv < o2.dv
+                        OR (o1.dv = o2.dv AND o1.v < o2.v)),
+            t{i} AS (SELECT w.u, w.a, w.b FROM w{i} w
+                     JOIN o{i} o ON o.u = w.a AND o.v = w.b),
+            te{i} AS (SELECT least(u, a) AS x, greatest(u, a) AS y FROM t{i}
+                      UNION ALL
+                      SELECT least(u, b), greatest(u, b) FROM t{i}
+                      UNION ALL
+                      SELECT least(a, b), greatest(a, b) FROM t{i}),
+            s{i} AS MATERIALIZED (
+              SELECT e.u, e.v, coalesce(c.n, 0)::BIGINT AS support
+              FROM e{p} e LEFT JOIN (
+                SELECT x, y, count(*) AS n FROM te{i} GROUP BY 1, 2) c
+                ON c.x = e.u AND c.y = e.v),
+            e{i} AS MATERIALIZED (SELECT u, v FROM s{i}
+                                  WHERE support >= {thr})""")
+    return f"""
+        WITH cust AS (SELECT c_custkey AS u FROM customer),
+        big AS (SELECT u FROM cust WHERE u BETWEEN 1 AND 100),
+        small AS (SELECT u FROM cust WHERE u BETWEEN 101 AND 200),
+        raw(src, dst) AS (
+          SELECT a.u, b.u FROM big a JOIN big b
+            ON a.u // 10 = b.u // 10 AND a.u < b.u
+          UNION ALL
+          SELECT a.u, b.u FROM small a JOIN small b
+            ON a.u // 5 = b.u // 5 AND a.u < b.u
+          UNION ALL
+          SELECT u, u + 100 FROM big),
+        e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM raw WHERE src <> dst),
+        {','.join(parts)}
+        SELECT u AS src, v AS dst, support FROM s{rounds}
+        WHERE support >= {thr}
+    """
+
+
+def kg_entity_matching(spark, sf_dir):
+    """Degree-1 assignment over the doc↔entity mention graph
+    (operators.maximal_matching — Israeli-Itai locally-minimal-edge
+    rounds derandomized with md5 priorities): each round matches every
+    live edge that is the priority minimum at BOTH endpoints, then
+    removes the endpoints — the one-doc-per-entity pairing an eval-split
+    or ER merge round needs.  Exactly 3 rounds in both engines (the
+    fixed-prefix oracle mode), so the trajectory — including round
+    numbers — is replayed by the unrolled SQL verbatim."""
+    from recrun_spark.operators import maximal_matching
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    de = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"))
+    return _finalize(maximal_matching(de, rounds=3))
+
+
+def _matching_sql(rounds: int = 3) -> str:
+    """Matching oracle: canonical (least, greatest) mention edges with
+    the md5 priority string (hash60 zero-padded + edge tie-break), then
+    ``rounds`` unrolled select-and-remove rounds; the result is the
+    union of every round's selections with its round number."""
+    pri = _ddb_hash60("u || '|' || v")
+    parts, sels = [], []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""mp{i} AS (
+              SELECT node, min(p) AS mp FROM (
+                SELECT u AS node, p FROM l{p}
+                UNION ALL SELECT v, p FROM l{p}) GROUP BY 1),
+            sel{i} AS MATERIALIZED (
+              SELECT l.u, l.v FROM l{p} l
+              JOIN mp{i} a ON a.node = l.u AND a.mp = l.p
+              JOIN mp{i} b ON b.node = l.v AND b.mp = l.p),
+            cov{i} AS (SELECT u AS node FROM sel{i}
+                       UNION SELECT v FROM sel{i}),
+            l{i} AS MATERIALIZED (
+              SELECT * FROM l{p}
+              WHERE u NOT IN (SELECT node FROM cov{i})
+                AND v NOT IN (SELECT node FROM cov{i}))""")
+        sels.append(f"SELECT u AS src, v AS dst, {i}::INTEGER AS "
+                    f"matched_round FROM sel{i}")
+    return f"""
+        WITH {_MENTIONS_CTE},
+        m AS (SELECT DISTINCT doc_id, entity FROM ments),
+        e0 AS (SELECT DISTINCT
+                 least('d' || CAST(doc_id AS VARCHAR), entity) AS u,
+                 greatest('d' || CAST(doc_id AS VARCHAR), entity) AS v
+               FROM m),
+        l0 AS MATERIALIZED (
+          SELECT u, v, lpad(CAST({pri} AS VARCHAR), 19, '0')
+                       || '|' || u || '|' || v AS p
+          FROM e0),
+        {','.join(parts)}
+        {' UNION ALL '.join(sels)}
+    """
+
+
 def dedup_jaccard_prefix(spark, sf_dir):
     """Exact Jaccard pairs by PREFIX FILTERING (functions.dedup.
     jaccard_pairs_prefix — AllPairs/PPJoin family): the guaranteed-
@@ -2684,6 +2832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_jaccard": kg_entity_jaccard,
         "kg_entity_pmi": kg_entity_pmi,
         "kg_kcore": kg_kcore,
+        "kg_truss": kg_truss,
+        "kg_entity_matching": kg_entity_matching,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "documents_tfidf_topk": documents_tfidf_topk,
         "documents_dup_spans": documents_dup_spans,
@@ -4037,6 +4187,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg db ON db.u = i.node_b
         """,
         "kg_kcore": _kcore_sql(),
+        "kg_truss": _ktruss_sql(),
+        "kg_entity_matching": _matching_sql(),
         "dedup_jaccard_prefix": f"""
             WITH norm AS (
               SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS toks

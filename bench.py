@@ -273,7 +273,8 @@ def main():
                  "embeddings_pq_codes", "ann_pq_topk",
                  "documents_bpe_tokens", "events_markov",
                  "customer_blocking_pairs", "kg_entity_ppr",
-                 "kg_clustering_coeff", "documents_keywords_textrank"):
+                 "kg_clustering_coeff", "documents_keywords_textrank",
+                 "kg_truss", "kg_entity_matching"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -850,6 +850,167 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 100,
             .select(F.col("u").alias("node"), "core_deg"))
 
 
+def _edge_support(e_canon: DataFrame) -> DataFrame:
+    """Per-EDGE triangle support over a canonical (u<v, distinct) simple
+    edge frame — the k-truss building block.  Same degree-ordered
+    orientation as ``triangle_counts`` (Suri & Vassilvitskii WWW'11:
+    out-degree bounded by O(√E) regardless of skew), but each triangle is
+    exploded back onto its THREE canonical edges instead of its corners.
+    All equi-joins; returns (u, v, support:long) for every input edge,
+    zeros included."""
+    sym = e_canon.union(e_canon.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select("u", F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    o = (sym.join(du, "u").join(dv, "v")
+         .where((F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+         .select("u", "v", "dv"))
+    w1 = o.select("u", F.col("v").alias("a"), F.col("dv").alias("da"))
+    w2 = o.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
+    wedges = (w1.join(w2, "u")
+              .where((F.col("da") < F.col("db"))
+                     | ((F.col("da") == F.col("db"))
+                        & (F.col("a") < F.col("b")))))
+    tri = wedges.join(
+        o.select(F.col("u").alias("a"), F.col("v").alias("b")), ["a", "b"])
+    tri_edges = (tri.select(F.explode(F.array(
+        F.struct(F.least("u", "a").alias("x"),
+                 F.greatest("u", "a").alias("y")),
+        F.struct(F.least("u", "b").alias("x"),
+                 F.greatest("u", "b").alias("y")),
+        F.struct(F.least("a", "b").alias("x"),
+                 F.greatest("a", "b").alias("y")))).alias("e"))
+        .select(F.col("e.x").alias("u"), F.col("e.y").alias("v")))
+    sup = tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("s"))
+    return (e_canon.join(sup, ["u", "v"], "left")
+            .select("u", "v", F.coalesce("s", F.lit(0))
+                    .cast("long").alias("support")))
+
+
+def ktruss(edges: DataFrame, k: int, max_iter: int = 50,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """K-TRUSS decomposition by support peeling (Cohen 2008, "Trusses:
+    cohesive subgraphs for social network analysis"): the maximal
+    subgraph in which EVERY EDGE participates in ≥ k−2 triangles — the
+    edge-strength analog of k-core (a k-core keeps well-connected NODES;
+    a k-truss keeps edges embedded in dense neighborhoods, the standard
+    strong-tie / community-backbone extractor for a KG co-mention graph).
+
+    Each round recomputes per-edge support over the SURVIVING subgraph
+    (``_edge_support`` — degree-ordered oriented triangle enumeration,
+    skew-proof, all equi-joins) and deletes edges below k−2; peeling only
+    deletes, so an unchanged edge count is the fixpoint (the kcore
+    convergence discipline: localCheckpoint per round, one count
+    aggregate as the convergence probe).  Round count is bounded by the
+    truss-degeneracy peel depth; ``max_iter`` is a backstop.
+
+    Pure set/count arithmetic → bit-exact cross-engine; a fixed-round
+    unrolled SQL oracle that over-runs convergence reproduces it
+    row-for-row on cascade-free constructions (the kg_kcore argument).
+
+    Returns (src, dst, support:long) with src < dst — the surviving
+    edges and their within-truss support (empty if no k-truss)."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a k-truss, got {k}")
+    thr = k - 2
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("u"),
+                 F.greatest("a", "b").alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    prev = e.count()
+    se = _edge_support(e)
+    for _ in range(max_iter):
+        if prev == 0:
+            break
+        e2 = (se.where(F.col("support") >= thr).select("u", "v")
+              .localCheckpoint(eager=True))
+        cnt = e2.count()
+        if cnt == prev:
+            break
+        e, prev = e2, cnt
+        se = _edge_support(e)
+    return (se.where(F.col("support") >= thr) if prev else se).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "support")
+
+
+def maximal_matching(edges: DataFrame, rounds: int | None = None,
+                     max_iter: int = 50, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Deterministic distributed MAXIMAL MATCHING (Israeli & Itai 1986 —
+    the locally-minimal-edge symmetry-breaking round, derandomized with
+    md5 hash priorities): each round selects every live edge whose
+    priority is the strict minimum among ALL live edges touching either
+    endpoint (such edges can never conflict, so they enter the matching
+    simultaneously), then removes both endpoints.  The globally minimal
+    live edge is always locally minimal, so every round makes progress
+    and the fixpoint is a maximal matching — the one greedy ordering by
+    priority would produce.  The matching primitive is the degree-1
+    constraint assigner (one doc per entity for eval splits, one
+    canonical pair per merge round in ER).
+
+    Priorities are md5-derived (``dedup._hash60`` over ``u|v``), zero-
+    padded to 19 digits and tie-broken by the edge itself — a strict
+    total order reproducible in any engine with md5, so a fixed-round
+    unrolled SQL oracle replays the trajectory exactly.  ``rounds`` runs
+    EXACTLY that many rounds (the oracle-facing mode — both engines stop
+    at the same prefix of the greedy trajectory whether or not it has
+    drained); ``rounds=None`` iterates to the maximal fixpoint (bounded
+    by ``max_iter``; O(log n) rounds expected under hashed priorities).
+
+    Per round: one endpoint-explode + min aggregate, two equi-joins, two
+    anti-joins — all map-side-combinable, no windows, localCheckpoint
+    lineage discipline.  Returns (src, dst, matched_round:int) with
+    src < dst."""
+    from recrun_spark.functions.dedup import _hash60
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("u"),
+                 F.greatest("a", "b").alias("v"))
+         .distinct())
+    us, vs = F.col("u").cast("string"), F.col("v").cast("string")
+    live = (e.select("u", "v", F.concat(
+        F.lpad(_hash60(F.concat(us, F.lit("|"), vs)).cast("string"),
+               19, "0"),
+        F.lit("|"), us, F.lit("|"), vs).alias("p"))
+        .localCheckpoint(eager=True))
+    matched = None
+    n_rounds = rounds if rounds is not None else max_iter
+    for r in range(1, n_rounds + 1):
+        if rounds is None and live.isEmpty():
+            break
+        mp = (live.select(F.explode(F.array("u", "v")).alias("node"), "p")
+              .groupBy("node").agg(F.min("p").alias("mp")))
+        sel = (live
+               .join(mp.select(F.col("node").alias("u"),
+                               F.col("mp").alias("mu")), "u")
+               .join(mp.select(F.col("node").alias("v"),
+                               F.col("mp").alias("mv")), "v")
+               .where((F.col("p") == F.col("mu"))
+                      & (F.col("p") == F.col("mv")))
+               .select("u", "v",
+                       F.lit(r).cast("int").alias("matched_round"))
+               .localCheckpoint(eager=True))
+        matched = sel if matched is None else matched.union(sel)
+        cov = (sel.select(F.col("u").alias("node"))
+               .union(sel.select(F.col("v").alias("node"))).distinct())
+        live = (live
+                .join(cov.select(F.col("node").alias("u")), "u",
+                      "left_anti")
+                .join(cov.select(F.col("node").alias("v")), "v",
+                      "left_anti")
+                .localCheckpoint(eager=True))
+    if matched is None:
+        matched = live.select("u", "v",
+                              F.lit(0).cast("int").alias("matched_round"))
+    return matched.select(F.col("u").alias("src"),
+                          F.col("v").alias("dst"), "matched_round")
+
+
 def scd2_merge(dim: DataFrame, updates: DataFrame, key_col: str,
                attr_cols: list[str], as_of_col: str = "as_of") -> DataFrame:
     """Slowly-changing-dimension TYPE-2 merge — the upsert a KG entity

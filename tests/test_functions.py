@@ -991,6 +991,121 @@ def test_personalized_pagerank_semantics(spark):
     release_caches(out)
 
 
+def _py_edge_support(edges):
+    """Reference per-edge triangle support: common-neighbor counting."""
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    return {(u, v): len(adj[u] & adj[v]) for u, v in edges}
+
+
+def _py_ktruss(edges, k):
+    """Reference k-truss peel: drop edges with support < k-2 to fixpoint."""
+    e = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    while True:
+        sup = _py_edge_support(e)
+        keep = {uv for uv in e if sup[uv] >= k - 2}
+        if keep == e:
+            return {(u, v, sup[(u, v)]) for u, v in keep}
+        e = keep
+
+
+def test_ktruss_semantics(spark):
+    """k-truss pins: a 5-clique with a pendant triangle and a tail at k=4
+    keeps exactly the clique (support 3 per edge); a triangle strip at
+    k=4 cascades to EMPTY (boundary edges peel, interiors follow) but is
+    its own 3-truss; brute-force differential on a hash-random graph;
+    k<3 raises; bit-exact under repartitioning."""
+    import hashlib
+
+    import pytest
+
+    from recrun_spark.operators import ktruss
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    graph = clique + [(1, 6), (6, 7), (1, 7), (7, 8)]
+    got = {(r["src"], r["dst"], r["support"])
+           for r in ktruss(spark.createDataFrame(graph, ["src", "dst"]),
+                           k=4).collect()}
+    assert got == {(u, v, 3) for u, v in clique}
+    strip = ([(i, i + 1) for i in range(1, 8)]
+             + [(i, i + 2) for i in range(1, 7)])
+    sdf = spark.createDataFrame(strip, ["src", "dst"])
+    assert ktruss(sdf, k=4).count() == 0          # full peel cascade
+    t3 = {(r["src"], r["dst"]) for r in ktruss(sdf, k=3).collect()}
+    assert t3 == set(strip)                       # every edge in a triangle
+    # hash-random 15-node graph, keep ~40% of pairs, differential vs the
+    # Python peel at k=4 and k=5
+    rnd = [(a, b) for a in range(15) for b in range(a + 1, 15)
+           if int(hashlib.md5(f"kt{a}|{b}".encode()).hexdigest(), 16)
+           % 10 < 4]
+    rdf = spark.createDataFrame(rnd, ["src", "dst"])
+    for k in (4, 5):
+        got = {(r["src"], r["dst"], r["support"])
+               for r in ktruss(rdf, k=k).collect()}
+        assert got == _py_ktruss(rnd, k)
+    with pytest.raises(ValueError):
+        ktruss(rdf, k=2)
+    again = {(r["src"], r["dst"], r["support"])
+             for r in ktruss(rdf.repartition(7), k=4).collect()}
+    assert again == _py_ktruss(rnd, 4)
+
+
+def _py_matching(edges, rounds=None):
+    """Reference replay of the Israeli-Itai rounds with md5 priorities."""
+    import hashlib
+
+    def pri(u, v):
+        h = int(hashlib.md5(f"{u}|{v}".encode()).hexdigest()[:15], 16)
+        return f"{h:019d}|{u}|{v}"
+
+    live = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    out, r = set(), 0
+    while live and (rounds is None or r < rounds):
+        r += 1
+        mp = {}
+        for u, v in live:
+            p = pri(u, v)
+            for n in (u, v):
+                mp[n] = min(mp.get(n, p), p)
+        sel = {(u, v) for u, v in live
+               if pri(u, v) == mp[u] and pri(u, v) == mp[v]}
+        out |= {(u, v, r) for u, v in sel}
+        cov = {n for uv in sel for n in uv}
+        live = {(u, v) for u, v in live if u not in cov and v not in cov}
+    return out
+
+
+def test_maximal_matching_semantics(spark):
+    """Matching pins: no endpoint repeats (validity); at the fixpoint
+    every original edge touches a matched node (maximality); the
+    trajectory — including round numbers — equals the Python replay of
+    the same md5-priority rounds; rounds=N stops at the same prefix;
+    bit-exact under repartitioning."""
+    import hashlib
+
+    from recrun_spark.operators import maximal_matching
+    rnd = [(f"n{a}", f"n{b}") for a in range(20) for b in range(a + 1, 20)
+           if int(hashlib.md5(f"mm{a}|{b}".encode()).hexdigest(), 16)
+           % 10 < 3]
+    df = spark.createDataFrame(rnd, ["src", "dst"])
+    got = {(r["src"], r["dst"], r["matched_round"])
+           for r in maximal_matching(df).collect()}
+    assert got == _py_matching(rnd)
+    nodes = [n for u, v, _ in got for n in (u, v)]
+    assert len(nodes) == len(set(nodes))          # validity
+    matched_nodes = set(nodes)
+    for u, v in rnd:                               # maximality
+        assert u in matched_nodes or v in matched_nodes
+    one = {(r["src"], r["dst"], r["matched_round"])
+           for r in maximal_matching(df, rounds=1).collect()}
+    assert one == _py_matching(rnd, rounds=1) and one <= got
+    again = {(r["src"], r["dst"], r["matched_round"])
+             for r in maximal_matching(df.repartition(9)).collect()}
+    assert again == got
+
+
 def test_cap_per_group_exact_and_prefilter_agree(spark):
     """Domain caps: at most ``cap`` rows per group, chosen as the hash-
     smallest keys — deterministic across runs.  The opt-in mega-domain

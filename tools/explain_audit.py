@@ -924,6 +924,57 @@ def main():
          and "Exchange SinglePartition" not in p),
     ])
 
+    # k-truss / maximal matching (r5): final reads are checkpoint-
+    # truncated; the per-round building blocks are audited un-checkpointed
+    for nm in ("kg_truss", "kg_entity_matching"):
+        audit(f"{nm}_result", qs[nm](spark, SF_DIR), [
+            ("final read is checkpoint-truncated",
+             lambda p: "Scan ExistingRDD" in p or "LocalTableScan" in p),
+        ])
+    from recrun_spark.operators import _edge_support
+    ks_edges = (spark.range(1, 101)
+                .select(F.col("id").alias("src"),
+                        (F.col("id") + 1).alias("dst"))
+                .union(spark.range(1, 100)
+                       .select(F.col("id").alias("src"),
+                               (F.col("id") + 2).alias("dst"))))
+    ks_canon = (ks_edges.select(F.least("src", "dst").alias("u"),
+                                F.greatest("src", "dst").alias("v"))
+                .distinct())
+    audit("ktruss_support_round", _edge_support(ks_canon), [
+        ("triangle close + support are equi-joins (no cartesian)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("triangle→edge explode is a row-local generator",
+         lambda p: "Generate" in p),
+    ])
+    from recrun_spark.functions.dedup import _hash60
+    mm_us = F.col("u").cast("string")
+    mm_vs = F.col("v").cast("string")
+    mm_live = ks_canon.select("u", "v", F.concat(
+        F.lpad(_hash60(F.concat(mm_us, F.lit("|"), mm_vs)).cast("string"),
+               19, "0"), F.lit("|"), mm_us, F.lit("|"), mm_vs).alias("p"))
+    mm_mp = (mm_live.select(F.explode(F.array("u", "v")).alias("node"), "p")
+             .groupBy("node").agg(F.min("p").alias("mp")))
+    mm_sel = (mm_live
+              .join(mm_mp.select(F.col("node").alias("u"),
+                                 F.col("mp").alias("mu")), "u")
+              .join(mm_mp.select(F.col("node").alias("v"),
+                                 F.col("mp").alias("mv")), "v")
+              .where((F.col("p") == F.col("mu"))
+                     & (F.col("p") == F.col("mv"))))
+    audit("matching_select_round", mm_sel, [
+        ("endpoint min-priority partial-aggregates map-side",
+         lambda p: "partial_min" in p),
+        ("selection is equi-joins only (no cartesian)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
