@@ -2359,6 +2359,30 @@ def events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def events_bursts(spark, sf_dir):
+    """Trailing-window burst detection per event type (functions.events.
+    hourly_bursts — the Kleinberg burst problem in its monitoring form):
+    an hour bursts when its count reaches 2× the trailing 3-hour
+    average, with the ratio kept as the exact integer
+    (10⁴·3·n) div trail_n so it value-hashes.  The RANGE window runs on
+    calendar hour ids over the ALREADY-AGGREGATED (type, hour) table —
+    silent hours shrink the trailing mass rather than being skipped."""
+    from recrun_spark.functions.events import hourly_bursts
+    return hourly_bursts(_t(spark, sf_dir, "events"))
+
+
+def documents_containment(spark, sf_dir):
+    """Directed quote/subset detection (functions.dedup.containment_pairs
+    — Broder's containment, the asymmetric companion of the Jaccard
+    resemblance ops): docs whose kept-shingle set is ≥50% inside another
+    doc's, via the same inverted-index co-occurrence join + df-cut as
+    dedup_jaccard but scored against the SOURCE size only — the
+    pretraining catch for small docs embedded in larger hosts, where
+    Jaccard stays under every dedup threshold."""
+    from recrun_spark.functions.dedup import containment_pairs
+    return _finalize(containment_pairs(_t(spark, sf_dir, "documents")))
+
+
 def events_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: a user reaches a stage only
     via an event STRICTLY AFTER a qualifying event of the previous stage
@@ -2920,6 +2944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": events_sessionized,
         "events_hourly": events_hourly,
         "events_funnel": events_funnel,
+        "events_bursts": events_bursts,
+        "documents_containment": documents_containment,
         "events_retention_cohorts": events_retention_cohorts,
         "events_type_pivot": events_type_pivot,
         "simhash_sigs": simhash_sigs,
@@ -4392,6 +4418,34 @@ def oracle_sql() -> dict[str, str]:
             FROM ts t JOIN best b ON b.fp_md5 = t.fp_md5
         """,
         "dedup_jaccard": _JACCARD_SQL,
+        "documents_containment": f"""
+            WITH {_SHINGLE_CTE},
+            ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*)::BIGINT AS n_common
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT doc_a, doc_b, n_common, s.n_sh::BIGINT AS size_a,
+                   ((10000 * n_common) // s.n_sh)::BIGINT AS containment_bp
+            FROM ic JOIN sizes s ON s.doc_id = doc_a
+            WHERE 10000 * n_common >= 5000 * s.n_sh
+        """,
+        "events_bursts": """
+            WITH c AS (SELECT event_type,
+                              epoch_us(ts) // 3600000000 AS hour_id,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type, hour_id, n,
+                         sum(n) OVER (PARTITION BY event_type
+                                      ORDER BY hour_id
+                                      RANGE BETWEEN 3 PRECEDING
+                                            AND 1 PRECEDING) AS trail_n
+                  FROM c)
+            SELECT event_type, hour_id, n, trail_n::BIGINT AS trail_n,
+                   ((30000 * n) // trail_n)::BIGINT AS burst_bp,
+                   (30000 * n) // trail_n >= 20000 AS is_burst
+            FROM t WHERE trail_n > 0
+        """,
         "dedup_minhash_lsh": _JACCARD_SQL,  # LSH must not lose pairs here
         # pairs -> transitive closure -> min doc_id per component; docs
         # with no near-dup map to themselves

@@ -274,7 +274,8 @@ def main():
                  "documents_bpe_tokens", "events_markov",
                  "customer_blocking_pairs", "kg_entity_ppr",
                  "kg_clustering_coeff", "documents_keywords_textrank",
-                 "kg_truss", "kg_entity_matching"):
+                 "kg_truss", "kg_entity_matching",
+                 "events_bursts", "documents_containment"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -174,6 +174,51 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.6,
     return out
 
 
+def containment_pairs(documents: DataFrame,
+                      min_containment_bp: int = 5000, n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_shingle_freq: int = 1000,
+                      min_intersection: int = 2) -> DataFrame:
+    """ASYMMETRIC shingle containment C(A→B) = |S_A ∩ S_B| / |S_A|
+    (Broder 1997 — *containment*, the directional companion of the
+    resemblance the Jaccard ops compute): detects docs QUOTED OR
+    EMBEDDED in a larger doc, where Jaccard stays low because the host's
+    extra content inflates the union.  The standard quote/subset catch
+    in pretraining dedup (a small doc fully contained in a big one).
+
+    Same inverted-index shape as ``jaccard_pairs`` (co-occurrence join on
+    the shared shingle over the df-cut universe — never all-pairs; the
+    df-cut bounds the per-shingle fan-out) but DIRECTED: each ordered
+    pair is scored against the SOURCE's shingle count only.  The ratio is
+    integer basis points and the threshold is the exact cross-multiplied
+    rational 10⁴·common ≥ bp·|S_A| — no float anywhere, value-hashable
+    cross-engine.
+
+    Returns (doc_a, doc_b, n_common:long, size_a:long,
+    containment_bp:long): doc_a's kept shingles are ≥ bp/10⁴ contained
+    in doc_b's."""
+    sh = _kept_shingles(documents, n, text_col, id_col,
+                        max_shingle_freq).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size_a"))
+    m1 = sh.select("shingle", F.col("doc_id").alias("doc_a"))
+    m2 = sh.select("shingle", F.col("doc_id").alias("doc_b"))
+    inter = (m1.join(m2, "shingle")
+             .where(F.col("doc_a") != F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_common"))
+             .where(F.col("n_common") >= min_intersection))
+    out = (inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+           .where(F.lit(10000) * F.col("n_common")
+                  >= F.lit(min_containment_bp) * F.col("size_a"))
+           .select("doc_a", "doc_b",
+                   F.col("n_common").cast("long").alias("n_common"),
+                   F.col("size_a").cast("long").alias("size_a"),
+                   F.expr("10000 * n_common div size_a")
+                   .cast("long").alias("containment_bp")))
+    out._recrun_caches = [sh]
+    return out
+
+
 def _signatures_from_shingles(sh: DataFrame, k: int, seed: int) -> DataFrame:
     params = _mh_params(k, seed)
     h = sh.select("doc_id",

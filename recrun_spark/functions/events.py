@@ -215,3 +215,44 @@ def mad_outliers(df, group_col="event_type", val_col="value",
             .where(F.col("dev") * F.lit(k_den) > F.col("mad") * F.lit(k_num))
             .select(F.col("_id").alias(id_col), F.col("_g").alias(group_col),
                     "cents", "dev", "med", "mad"))
+
+
+def hourly_bursts(df, trail_hours: int = 3, burst_ratio_bp: int = 20000,
+                  type_col: str = "event_type", ts_col: str = "ts"):
+    """BURST DETECTION per event type (the Kleinberg'02 problem reduced to
+    its production form — trailing-window rate ratio, as in monitoring /
+    trending pipelines): an hour is a burst when its count reaches
+    ``burst_ratio_bp``/10⁴ × the trailing ``trail_hours``-hour average.
+
+    Everything is integer: hour_id = epoch-µs div 3600000000 (NTZ-safe —
+    the zorder/decayed-counts convention), and the ratio is kept as
+    (10⁴·trail_hours·n) div trail_n basis points, so the float average
+    never exists and the value hashes cross-engine.  The trailing sum is
+    a RANGE window on hour_id (calendar hours, not present rows — silent
+    hours shrink the trailing mass instead of being skipped), emitted
+    only where trailing history exists.
+
+    Scale shape: events reduce to the (type, hour) count table FIRST
+    (map-side combinable — the events_markov denominator discipline), so
+    the window runs over |types|·|hours| rows, never raw events; one
+    Exchange on type, one sort, zero joins.
+
+    Returns (event_type, hour_id:long, n:long, trail_n:long,
+    burst_bp:long, is_burst:boolean) for hours with trail_n > 0."""
+    if trail_hours < 1:
+        raise ValueError(f"trail_hours must be >= 1, got {trail_hours}")
+    us = (f"cast(timestampdiff(MICROSECOND, "
+          f"timestamp'1970-01-01 00:00:00', {ts_col}) as bigint)")
+    c = (df.groupBy(F.col(type_col).alias("event_type"),
+                    F.expr(f"({us}) div 3600000000").alias("hour_id"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("hour_id")
+         .rangeBetween(-trail_hours, -1))
+    t = c.withColumn("trail_n", F.sum("n").over(w))
+    return (t.where(F.col("trail_n") > 0)
+            .select("event_type", "hour_id", "n",
+                    F.col("trail_n").cast("long").alias("trail_n"),
+                    F.expr(f"10000 * {trail_hours} * n div trail_n")
+                    .cast("long").alias("burst_bp"))
+            .withColumn("is_burst",
+                        F.col("burst_bp") >= F.lit(burst_ratio_bp)))

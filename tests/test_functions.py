@@ -1106,6 +1106,75 @@ def test_maximal_matching_semantics(spark):
     assert again == got
 
 
+def test_hourly_bursts_semantics(spark):
+    """Burst pins: the trailing window is CALENDAR hours (a silent hour
+    shrinks the trailing mass — it is not skipped); hours with no
+    trailing history are absent; the ratio is exact integer basis
+    points; the 2× threshold is inclusive; trail_hours<1 raises."""
+    import datetime as dt
+
+    import pytest
+
+    from recrun_spark.functions.events import hourly_bursts
+    h = lambda k, n: [(f"e{k}{i}",
+                       dt.datetime(2024, 1, 1, k, 0, 5)) for i in range(n)]
+    # type A: hours 0,1,2 have 2,2,2 then hour 3 has 12 (burst 6x),
+    # hour 5 has 4 — hour 4 SILENT, so trail(5) = n(3)+n(4)+n(2)=12+0+2
+    rows = [(t, ts, "A") for k, n in [(0, 2), (1, 2), (2, 2), (3, 12),
+                                      (5, 4)]
+            for t, ts in h(k, n)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    got = {r["hour_id"] % 24: (r["n"], r["trail_n"], r["burst_bp"],
+                               r["is_burst"])
+           for r in hourly_bursts(df).collect()}
+    # hour 0 has no trailing history -> absent; keys are hours 1,2,3,5
+    assert set(got) == {1, 2, 3, 5}
+    # trail(1) = n(0) = 2 only -> bp = 10000*3*2 // 2 = 30000: sparse
+    # history INFLATES the ratio by design (mass model, documented)
+    assert got[1] == (2, 2, 30000, True)
+    assert got[2] == (2, 4, 15000, False)         # 2 vs trailing 2+2
+    assert got[3] == (12, 6, 60000, True)         # 12 vs 2+2+2
+    assert got[5] == (4, 14, 8571, False)         # silent hour 4 counted
+    with pytest.raises(ValueError):
+        hourly_bursts(df, trail_hours=0)
+
+
+def test_containment_pairs_semantics(spark):
+    """Containment pins: a doc verbatim inside a larger host scores
+    10000 one-way (and the host scores low the other way — asymmetry);
+    the threshold is the exact cross-multiplied rational; disjoint docs
+    never pair; brute-force differential over the kept-shingle sets."""
+    from recrun_spark.functions.dedup import (_kept_shingles,
+                                              containment_pairs)
+    from recrun_spark.operators import release_caches
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = quote + " eta theta iota kappa " + "lam mu nu xi omicron pi"
+    other = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host), (3, other)], ["doc_id", "text"])
+    out = containment_pairs(docs, min_containment_bp=5000)
+    got = {(r["doc_a"], r["doc_b"]): (r["n_common"], r["size_a"],
+                                      r["containment_bp"])
+           for r in out.collect()}
+    # brute force over the same kept-shingle universe
+    sh = {}
+    for r in _kept_shingles(docs, 3, "text", "doc_id", 1000).collect():
+        sh.setdefault(r["doc_id"], set()).add(r["shingle"])
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a == b:
+                continue
+            c = len(sh[a] & sh[b])
+            if c >= 2 and 10000 * c >= 5000 * len(sh[a]):
+                want[(a, b)] = (c, len(sh[a]), 10000 * c // len(sh[a]))
+    assert got == want
+    assert got[(1, 2)][2] == 10000                # quote fully contained
+    assert (2, 1) not in got                      # host is NOT contained
+    assert not any(3 in k for k in got)           # disjoint never pairs
+    release_caches(out)
+
+
 def test_cap_per_group_exact_and_prefilter_agree(spark):
     """Domain caps: at most ``cap`` rows per group, chosen as the hash-
     smallest keys — deterministic across runs.  The opt-in mega-domain

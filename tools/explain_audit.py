@@ -975,6 +975,36 @@ def main():
          lambda p: "Exchange SinglePartition" not in p),
     ])
 
+    # burst detection (r5): the RANGE window must run over the already-
+    # aggregated (type, hour) table, partitioned by type — never a
+    # single-partition window, never raw events under the window
+    audit("events_bursts", qs["events_bursts"](spark, SF_DIR), [
+        ("count aggregate reduces BEFORE the window (partial map-side)",
+         lambda p: "partial_count" in p),
+        ("window is partitioned (no single-reducer exchange)",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("scan prunes to ts + event_type",
+         lambda p: "ReadSchema" in p and "user_id" not in p),
+    ])
+
+    # containment (r5): inverted-index equi-join on the shared shingle —
+    # no cartesian, candidate volume bounded by the df-cut (audited
+    # un-finalized: the entry's localCheckpoint truncates the plan)
+    from recrun_spark.functions.dedup import containment_pairs
+    ct_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ct_out = containment_pairs(ct_docs)
+    audit("documents_containment_operator", ct_out, [
+        ("co-occurrence is an equi-join (no cartesian)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("shingle explode is a row-local generator",
+         lambda p: "Generate" in p),
+    ])
+    from recrun_spark.operators import release_caches as _ct_release
+    _ct_release(ct_out)
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
