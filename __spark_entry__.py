@@ -618,6 +618,59 @@ def _textrank_sql(iters: int = 5, damping_pct: int = 85,
     """
 
 
+def kg_neighborhood_hll(spark, sf_dir):
+    """HYPERBALL 3-ball register tables over the mention graph
+    (operators.hyperball — Boldi & Vigna ICDMW'13): every node's HLL
+    table of its ≤3-hop neighborhood, the neighborhood-function /
+    effective-diameter / closeness primitive at the scale where exact
+    multi-source BFS state is infeasible but |V|·2^p registers is
+    linear.  Registers are md5-portable (the events_user_hll scheme at
+    p=4), so the oracle replays the identical max-merge rounds and the
+    final table matches cell-for-cell — the ESTIMATES are sketch-exact
+    by construction once the registers are."""
+    from recrun_spark.operators import hyperball
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    de = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"))
+    return _finalize(hyperball(de, rounds=3, p=4))
+
+
+def _hyperball_sql(rounds: int = 3, p: int = 4) -> str:
+    """HyperBall oracle: the initial per-node register (md5 hash60, low
+    ``p`` bits = register, bit-rank of the rest = rho) then ``rounds``
+    max-merge rounds along the symmetrized edges, unrolled as
+    MATERIALIZED CTEs — cell-for-cell equal to the operator."""
+    m = 1 << p
+    zrho = 60 - p + 1
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""s{i} AS MATERIALIZED (
+              SELECT node, reg, max(rho)::INT AS rho FROM (
+                SELECT node, reg, rho FROM s{i - 1}
+                UNION ALL
+                SELECT e.dst AS node, s.reg, s.rho
+                FROM s{i - 1} s JOIN edges e ON e.src = s.node)
+              GROUP BY 1, 2)""")
+    return f"""
+        WITH {_MENTIONS_CTE},
+        m AS (SELECT DISTINCT doc_id, entity FROM ments),
+        de AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                      entity AS dst FROM m),
+        edges AS (SELECT src, dst FROM de
+                  UNION SELECT dst AS src, src AS dst FROM de),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        s0 AS MATERIALIZED (
+          SELECT node, (h % {m})::INT AS reg,
+                 (CASE WHEN h // {m} = 0 THEN {zrho}
+                       ELSE {zrho} - length(bin(h // {m})) END)::INT AS rho
+          FROM (SELECT node, ({_ddb_hash60("node")}) AS h FROM nodes)),
+        {','.join(parts)}
+        SELECT node, reg, rho AS max_rho FROM s{rounds}
+    """
+
+
 def kg_entity_jaccard(spark, sf_dir):
     """Structural same-as candidates (operators.neighborhood_jaccard —
     inverted-index join on the shared neighbor, never all-pairs): Jaccard
@@ -2858,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": kg_kcore,
         "kg_truss": kg_truss,
         "kg_entity_matching": kg_entity_matching,
+        "kg_neighborhood_hll": kg_neighborhood_hll,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "documents_tfidf_topk": documents_tfidf_topk,
         "documents_dup_spans": documents_dup_spans,
@@ -4215,6 +4269,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _kcore_sql(),
         "kg_truss": _ktruss_sql(),
         "kg_entity_matching": _matching_sql(),
+        "kg_neighborhood_hll": _hyperball_sql(),
         "dedup_jaccard_prefix": f"""
             WITH norm AS (
               SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS toks

@@ -275,7 +275,8 @@ def main():
                  "customer_blocking_pairs", "kg_entity_ppr",
                  "kg_clustering_coeff", "documents_keywords_textrank",
                  "kg_truss", "kg_entity_matching",
-                 "events_bursts", "documents_containment"):
+                 "events_bursts", "documents_containment",
+                 "kg_neighborhood_hll"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -1011,6 +1011,63 @@ def maximal_matching(edges: DataFrame, rounds: int | None = None,
                           F.col("v").alias("dst"), "matched_round")
 
 
+def hyperball(edges: DataFrame, rounds: int = 3, p: int = 4,
+              src: str = "src", dst: str = "dst") -> DataFrame:
+    """HYPERBALL (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", ICDMW'13): every node carries an HLL
+    register table of its r-BALL (the set of nodes within distance r);
+    each round max-merges every node's table into its neighbors', so
+    after ``rounds`` rounds node v's table is EXACTLY the HLL table of
+    B(v, rounds) — max-merge over all ≤r-step paths is max over the ball
+    members, path multiplicity invisible to an idempotent max.  The
+    per-node ball estimates (``sketch.hll_estimate`` per node) are the
+    neighborhood function / effective-diameter / closeness-centrality
+    primitive — THE way to ask "how big is everyone's 3-hop
+    neighborhood" on a graph where exact multi-source BFS state
+    (|V|·|ball|) is infeasible but |V|·2^p registers is linear.
+
+    Registers use the portable md5 scheme shared with the HLL sketch
+    (``dedup._hash60``: reg = low ``p`` bits, rho = integer bit-rank of
+    the rest — no float log2), so a SQL engine replays the identical
+    rounds and the driver oracle checks the final table cell-for-cell.
+    Scale shape per round: ONE state×edges equi-join + one
+    (node, reg)-keyed max aggregate (map-side combinable), state bounded
+    at |V|·2^p rows, localCheckpoint lineage discipline.
+
+    Returns (node, reg:int, max_rho:int) — the r-ball register table;
+    absent (node, reg) cells are zero registers."""
+    from recrun_spark.functions.dedup import _hash60
+    if not (1 <= p <= 16):
+        raise ValueError(f"p must be in [1, 16], got {p}")
+    wbits = 60 - p
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    sym = (sym.union(sym.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+           .where(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=True))
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    h = _hash60(F.col("node").cast("string"))
+    w = F.shiftright(h, p)
+    rho = (F.when(w == 0, F.lit(wbits + 1))
+           .otherwise(F.lit(wbits + 1)
+                      - F.length(F.conv(w.cast("string"), 10, 2))))
+    state = (nodes.select("node",
+                          h.bitwiseAND(F.lit((1 << p) - 1))
+                          .cast("int").alias("reg"),
+                          rho.cast("int").alias("rho"))
+             .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        contrib = (state.join(sym.select(F.col("u").alias("node"), "v"),
+                              "node")
+                   .select(F.col("v").alias("node"), "reg", "rho"))
+        state = (state.union(contrib)
+                 .groupBy("node", "reg")
+                 .agg(F.max("rho").cast("int").alias("rho"))
+                 .localCheckpoint(eager=True))
+    return state.select("node", "reg", F.col("rho").alias("max_rho"))
+
+
 def scd2_merge(dim: DataFrame, updates: DataFrame, key_col: str,
                attr_cols: list[str], as_of_col: str = "as_of") -> DataFrame:
     """Slowly-changing-dimension TYPE-2 merge — the upsert a KG entity

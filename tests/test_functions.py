@@ -1175,6 +1175,67 @@ def test_containment_pairs_semantics(spark):
     release_caches(out)
 
 
+def test_hyperball_semantics(spark):
+    """HyperBall pin: after r rounds, node v's register table is EXACTLY
+    the HLL table of its r-ball (max-merge over paths = max over
+    members) — checked by Python BFS + md5 register replay for every
+    node at r=1 and r=2 on a hash-random graph; estimates from the
+    collected tables land near the true ball sizes; p out of range
+    raises; bit-exact under repartitioning."""
+    import hashlib
+
+    import pytest
+
+    from recrun_spark.functions.sketch import hll_estimate
+    from recrun_spark.operators import hyperball
+    P, WB = 4, 56
+
+    def regcell(x):
+        h = int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+        w = h >> P
+        return h & 15, (WB + 1) if w == 0 else (WB + 1 - w.bit_length())
+
+    rnd = [(a, b) for a in range(30) for b in range(a + 1, 30)
+           if int(hashlib.md5(f"hb{a}|{b}".encode()).hexdigest(), 16)
+           % 100 < 8]
+    adj = {}
+    for a, b in rnd:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def ball(v, r):
+        cur, seen = {v}, {v}
+        for _ in range(r):
+            cur = {w for u in cur for w in adj.get(u, ())} - seen
+            seen |= cur
+        return seen
+
+    df = spark.createDataFrame(rnd, ["src", "dst"])
+    for r in (1, 2):
+        got = {}
+        for row in hyperball(df, rounds=r, p=P).collect():
+            got.setdefault(row["node"], {})[row["reg"]] = row["max_rho"]
+        want = {}
+        for v in adj:
+            regs = {}
+            for m in ball(v, r):
+                reg, rho = regcell(m)
+                regs[reg] = max(regs.get(reg, 0), rho)
+            want[v] = regs
+        assert got == want
+    # estimates: mean relative error over all 2-balls well inside the
+    # p=4 error regime (1.04/sqrt(16) ~ 26% std err per node)
+    errs = [abs(hll_estimate(got[v].items(), p=P) - len(ball(v, 2)))
+            / len(ball(v, 2)) for v in adj]
+    assert sum(errs) / len(errs) < 0.35
+    with pytest.raises(ValueError):
+        hyperball(df, p=0)
+    again = {(r["node"], r["reg"], r["max_rho"])
+             for r in hyperball(df.repartition(7), rounds=2, p=P).collect()}
+    assert again == {(v, g, m) for v, regs in got.items()
+                     for g, m in regs.items()}
+
+
 def test_cap_per_group_exact_and_prefilter_agree(spark):
     """Domain caps: at most ``cap`` rows per group, chosen as the hash-
     smallest keys — deterministic across runs.  The opt-in mega-domain

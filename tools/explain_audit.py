@@ -1005,6 +1005,42 @@ def main():
     from recrun_spark.operators import release_caches as _ct_release
     _ct_release(ct_out)
 
+    # HyperBall (r5): final read checkpoint-truncated; one merge round
+    # audited un-checkpointed — equi-join + map-side-combinable max
+    audit("kg_neighborhood_hll_result",
+          qs["kg_neighborhood_hll"](spark, SF_DIR), [
+              ("final read is checkpoint-truncated",
+               lambda p: "Scan ExistingRDD" in p
+               or "LocalTableScan" in p),
+          ])
+    from recrun_spark.functions.dedup import _hash60 as _hb_h60
+    hb_sym = ks_canon.select(F.col("u").cast("string").alias("u"),
+                             F.col("v").cast("string").alias("v"))
+    hb_sym = hb_sym.union(hb_sym.select(F.col("v").alias("u"),
+                                        F.col("u").alias("v")))
+    hb_h = _hb_h60(F.col("node"))
+    hb_w = F.shiftright(hb_h, 4)
+    hb_state = (hb_sym.select(F.col("u").alias("node")).distinct()
+                .select("node",
+                        hb_h.bitwiseAND(F.lit(15)).cast("int").alias("reg"),
+                        (F.when(hb_w == 0, F.lit(57))
+                         .otherwise(F.lit(57) - F.length(
+                             F.conv(hb_w.cast("string"), 10, 2))))
+                        .cast("int").alias("rho")))
+    hb_next = (hb_state.union(
+        hb_state.join(hb_sym.select(F.col("u").alias("node"), "v"), "node")
+        .select(F.col("v").alias("node"), "reg", "rho"))
+        .groupBy("node", "reg").agg(F.max("rho").alias("rho")))
+    audit("hyperball_merge_round", hb_next, [
+        ("register max-merge partial-aggregates map-side",
+         lambda p: "partial_max" in p),
+        ("neighbor push is an equi-join (no cartesian)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
