@@ -903,6 +903,45 @@ def _matching_sql(rounds: int = 3) -> str:
     """
 
 
+def _phonetic_sql() -> str:
+    """Soundex oracle: the identical translate + RE2 regexp chain (h/w
+    removed from the tail, digit-class translate, per-class run
+    collapse — no backreferences — zero strip, first-code drop, pad),
+    character-for-character equal to text.phonetic_key."""
+    from recrun_spark.functions.text import _SOUNDEX_TO
+    d = "translate(first || tail, 'abcdefghijklmnopqrstuvwxyz', " \
+        f"'{_SOUNDEX_TO}')"
+    for c in "0123456":
+        d = f"regexp_replace({d}, '{c}{{2,}}', '{c}', 'g')"
+    d = f"replace({d}, '0', '')"
+    return f"""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                       '\\s+'),
+                        t -> t <> '')) AS raw
+          FROM documents),
+        w AS (SELECT DISTINCT regexp_replace(raw, '[^a-z]', '', 'g')
+                     AS word FROM toks),
+        w2 AS (SELECT word, substr(word, 1, 1) AS first,
+                      regexp_replace(substr(word, 2), '[hw]', '', 'g')
+                      AS tail
+               FROM w WHERE word <> ''),
+        c AS (SELECT word, first, {d} AS d,
+                     translate(first, 'abcdefghijklmnopqrstuvwxyz',
+                               '{_SOUNDEX_TO}') AS fc
+              FROM w2),
+        coded AS (SELECT word,
+                    upper(first) || substr(
+                      (CASE WHEN fc = '0' THEN d ELSE substr(d, 2) END)
+                      || '000', 1, 3) AS code
+                  FROM c),
+        sizes AS (SELECT code, count(*)::BIGINT AS block_n FROM coded
+                  GROUP BY 1)
+        SELECT coded.word, coded.code, sizes.block_n
+        FROM coded JOIN sizes USING (code)
+    """
+
+
 def dedup_jaccard_prefix(spark, sf_dir):
     """Exact Jaccard pairs by PREFIX FILTERING (functions.dedup.
     jaccard_pairs_prefix — AllPairs/PPJoin family): the guaranteed-
@@ -2436,6 +2475,48 @@ def documents_containment(spark, sf_dir):
     return _finalize(containment_pairs(_t(spark, sf_dir, "documents")))
 
 
+def documents_phonetic_keys(spark, sf_dir):
+    """Phonetic ER blocking over the corpus vocabulary (text.
+    phonetic_blocks — classic American Soundex built from translate +
+    anchored Java∩RE2 regexp chains, NO backreferences, so DuckDB
+    reproduces every code character-for-character): distinct words keyed
+    by sound-alike class with block sizes — spelling-variant candidates
+    without any pair join, the fourth blocking strategy in the repo
+    after SymSpell deletions, LSH bands, and sorted neighborhoods."""
+    from recrun_spark.functions.text import phonetic_blocks
+    return phonetic_blocks(_t(spark, sf_dir, "documents"))
+
+
+def events_equidepth_bins(spark, sf_dir):
+    """Exact EQUI-DEPTH histogram of event values (16 bins): bin =
+    rank·16 div n over the exact global value order — the feature-
+    bucketization / percentile-binning primitive, positional so ties
+    split deterministically (event_id tiebreak).  The rank comes from
+    operators.global_rank (two-phase prefix offsets — NO single-
+    partition window at any scale; the zero-padded cents+id key makes
+    string order = numeric order); n is one count aggregate (the 1-row
+    probe convention).  All integer output: per bin its row count and
+    inclusive cents bounds."""
+    from recrun_spark.operators import global_rank
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_id",
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents"))
+    keyed = d.withColumn("_k", F.concat(
+        F.lpad(F.col("cents").cast("string"), 8, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0")))
+    n = keyed.count()
+    ranked = global_rank(keyed, "_k", bucket_prefix_len=3)
+    out = (ranked.select("cents",
+                         F.expr(f"rank * 16 div {n}").cast("int")
+                         .alias("bin"))
+           .groupBy("bin")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("cents").alias("lo_cents"),
+                F.max("cents").alias("hi_cents")))
+    return _finalize(out)
+
+
 def events_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: a user reaches a stage only
     via an event STRICTLY AFTER a qualifying event of the previous stage
@@ -3000,6 +3081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "events_bursts": events_bursts,
         "documents_containment": documents_containment,
+        "documents_phonetic_keys": documents_phonetic_keys,
+        "events_equidepth_bins": events_equidepth_bins,
         "events_retention_cohorts": events_retention_cohorts,
         "events_type_pivot": events_type_pivot,
         "simhash_sigs": simhash_sigs,
@@ -4484,6 +4567,20 @@ def oracle_sql() -> dict[str, str]:
                    ((10000 * n_common) // s.n_sh)::BIGINT AS containment_bp
             FROM ic JOIN sizes s ON s.doc_id = doc_a
             WHERE 10000 * n_common >= 5000 * s.n_sh
+        """,
+        "documents_phonetic_keys": _phonetic_sql(),
+        "events_equidepth_bins": """
+            WITH r AS (SELECT round(value * 100)::BIGINT AS cents,
+                              row_number() OVER (
+                                ORDER BY round(value * 100)::BIGINT,
+                                         event_id) - 1 AS rank
+                       FROM events),
+            n AS (SELECT count(*) AS n FROM events)
+            SELECT ((rank * 16) // n.n)::INT AS bin,
+                   count(*)::BIGINT AS n,
+                   min(cents)::BIGINT AS lo_cents,
+                   max(cents)::BIGINT AS hi_cents
+            FROM r, n GROUP BY 1
         """,
         "events_bursts": """
             WITH c AS (SELECT event_type,

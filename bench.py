@@ -276,7 +276,8 @@ def main():
                  "kg_clustering_coeff", "documents_keywords_textrank",
                  "kg_truss", "kg_entity_matching",
                  "events_bursts", "documents_containment",
-                 "kg_neighborhood_hll"):
+                 "kg_neighborhood_hll", "documents_phonetic_keys",
+                 "events_equidepth_bins"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -704,3 +704,56 @@ def bpe_encode(documents: DataFrame, merges,
             .agg(F.sum("k").cast("long").alias("n_words"),
                  F.sum(F.col("k") * F.col("nt")).cast("long")
                  .alias("n_tokens")))
+
+
+_SOUNDEX_TO = "01230120022455012623010202"  # a..z -> digit class
+
+
+def phonetic_key(word: Column) -> Column:
+    """SOUNDEX-family phonetic blocking code (Russell/Odell; the classic
+    ER blocking key for names and noisy surface forms): first letter +
+    three consonant-class digits.  Classic American Soundex semantics —
+    h/w are transparent (removed from the tail BEFORE coding, so letters
+    they separate still merge: ashcraft→A261), vowels separate (tymczak
+    →T522), and letters coded like the first letter collapse into it
+    (pfister→P236).
+
+    Built from translate + anchored regexp_replace chains in the
+    Java∩RE2 dialect (NO backreferences — run-collapse is one replace
+    per digit class), so a SQL engine reproduces the code CHARACTER FOR
+    CHARACTER (the pii_scrub portability discipline).  Words with no
+    letters code to NULL."""
+    w = F.regexp_replace(F.lower(word), "[^a-z]", "")
+    first = F.substring(w, 1, 1)
+    tail = F.regexp_replace(F.substring(w, 2, 1 << 20), "[hw]", "")
+    d = F.translate(F.concat(first, tail), "abcdefghijklmnopqrstuvwxyz",
+                    _SOUNDEX_TO)
+    for c in "0123456":
+        d = F.regexp_replace(d, c + "{2,}", c)
+    d = F.regexp_replace(d, "0", "")
+    fc = F.translate(first, "abcdefghijklmnopqrstuvwxyz", _SOUNDEX_TO)
+    digits = F.when(fc == "0", d).otherwise(F.substring(d, 2, 1 << 20))
+    return F.when(w == "", F.lit(None).cast("string")).otherwise(
+        F.concat(F.upper(first), F.substring(F.concat(digits, F.lit("000")),
+                                             1, 3)))
+
+
+def phonetic_blocks(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Phonetic ER blocking over the corpus VOCABULARY: every distinct
+    word (lowered, letters only) keyed by its ``phonetic_key``, with the
+    size of its block — the sound-alike candidate structure (words in
+    one block are spelling-variant candidates without any pair join).
+    The corpus reduces to distinct words FIRST (vocab ≪ tokens — the
+    BPE discipline), the code is a pure projection, and the block size
+    is one code-keyed count joined back.  Returns (word, code,
+    block_n:long)."""
+    words = (documents
+             .select(F.explode(tokens_col(F.lower(F.col(text_col))))
+                     .alias("raw"))
+             .select(F.regexp_replace("raw", "[^a-z]", "").alias("word"))
+             .where(F.col("word") != "").distinct())
+    coded = words.select("word", phonetic_key(F.col("word")).alias("code"))
+    sizes = coded.groupBy("code").agg(F.count(F.lit(1)).alias("block_n"))
+    return (coded.join(sizes, "code")
+            .select("word", "code", F.col("block_n").cast("long")
+                    .alias("block_n")))

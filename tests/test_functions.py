@@ -1236,6 +1236,51 @@ def test_hyperball_semantics(spark):
                      for g, m in regs.items()}
 
 
+def test_phonetic_key_semantics(spark):
+    """Soundex pins: the classic reference vectors (including the h/w
+    transparency and first-code-collapse cases), sound-alikes landing in
+    one block, no-letter tokens coding NULL, and block sizes counted
+    over the distinct vocabulary."""
+    from recrun_spark.functions.text import phonetic_blocks, phonetic_key
+    vectors = {"robert": "R163", "rupert": "R163", "ashcraft": "A261",
+               "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+               "honeyman": "H555", "hugo": "H200", "a": "A000",
+               "jackson": "J250", "smith": "S530", "smyth": "S530"}
+    df = spark.createDataFrame([(w,) for w in vectors], ["w"])
+    got = {r["w"]: r["code"]
+           for r in df.select("w", phonetic_key(F.col("w"))
+                              .alias("code")).collect()}
+    assert got == vectors
+    assert df.select(phonetic_key(F.lit("123"))
+                     .alias("c")).first()["c"] is None
+    docs = spark.createDataFrame(
+        [(1, "Smith and Smyth met Robert"), (2, "rupert 42 smith!")],
+        ["doc_id", "text"])
+    blocks = {(r["word"], r["code"]): r["block_n"]
+              for r in phonetic_blocks(docs).collect()}
+    # vocabulary: and/met + the names; 42 strips to nothing; "smith!"
+    # strips to smith (already present)
+    assert blocks[("smith", "S530")] == 2 and blocks[("smyth", "S530")] == 2
+    assert blocks[("robert", "R163")] == 2 and blocks[("rupert", "R163")] == 2
+    assert ("", None) not in blocks and not any(w == "42" for w, _ in blocks)
+
+
+def test_equidepth_bins_property(spark):
+    """Equi-depth pins: 16 bins whose counts differ by at most 1, counts
+    sum to the corpus, and bin bounds are non-overlapping and ordered."""
+    import os
+    sf = os.environ.get("RECRUN_TEST_SF_DIR", "/root/testdata/sf0.01")
+    import __spark_entry__ as entry
+    rows = sorted(entry.queries()["events_equidepth_bins"](spark, sf)
+                  .collect(), key=lambda r: r["bin"])
+    assert [r["bin"] for r in rows] == list(range(16))
+    counts = [r["n"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    assert sum(counts) == 10000
+    for a, b in zip(rows, rows[1:]):
+        assert a["lo_cents"] <= a["hi_cents"] <= b["lo_cents"]
+
+
 def test_cap_per_group_exact_and_prefilter_agree(spark):
     """Domain caps: at most ``cap`` rows per group, chosen as the hash-
     smallest keys — deterministic across runs.  The opt-in mega-domain

@@ -1041,6 +1041,50 @@ def main():
          lambda p: "Exchange SinglePartition" not in p),
     ])
 
+    # phonetic blocking (r5): code is a pure projection over the distinct
+    # vocab; block sizes are one keyed count — no windows, no cartesian
+    audit("documents_phonetic_keys",
+          qs["documents_phonetic_keys"](spark, SF_DIR), [
+              ("no python UDF", lambda p: "BatchEvalPython" not in p),
+              ("vocab explode is a row-local generator",
+               lambda p: "Generate" in p),
+              ("block-size count partial-aggregates map-side",
+               lambda p: "partial_count" in p),
+              ("no cartesian, no single-reducer exchange",
+               lambda p: "CartesianProduct" not in p
+               and "Exchange SinglePartition" not in p),
+          ])
+
+    # equi-depth bins (r5): the rank must come from the two-phase prefix
+    # pattern — bucket-PARTITIONED window + broadcast offsets, never a
+    # global single-partition window (audited un-finalized: the entry's
+    # localCheckpoint truncates the plan)
+    from recrun_spark.operators import global_rank
+    eb_ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    eb_keyed = (eb_ev.select("event_id",
+                             F.round(F.col("value") * 100, 0).cast("long")
+                             .alias("cents"))
+                .withColumn("_k", F.concat(
+                    F.lpad(F.col("cents").cast("string"), 8, "0"),
+                    F.lpad(F.col("event_id").cast("string"), 12, "0"))))
+    eb_n = eb_keyed.count()
+    eb_ranked = global_rank(eb_keyed, "_k", bucket_prefix_len=3)
+    eb_out = (eb_ranked.select(
+        "cents", F.expr(f"rank * 16 div {eb_n}").cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min("cents").alias("lo_cents"),
+             F.max("cents").alias("hi_cents")))
+    audit("events_equidepth_bins_operator", eb_out, [
+        ("no single-reducer exchange (two-phase prefix rank)",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("offsets ride a broadcast join",
+         lambda p: "BroadcastHashJoin" in p),
+        ("final histogram partial-aggregates map-side",
+         lambda p: "partial_count" in p or "partial_min" in p),
+    ])
+    _ct_release(eb_ranked)
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
