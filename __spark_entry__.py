@@ -903,6 +903,40 @@ def _matching_sql(rounds: int = 3) -> str:
     """
 
 
+def customer_mst(spark, sf_dir):
+    """Minimum spanning forest (operators.boruvka_mst — Borůvka rounds,
+    every component grabs its min outgoing edge, O(log V) rounds) over a
+    derived weighted graph with a PROVABLE closed-form MST: 20 blocks of
+    10 customers, intra-block cliques weighted w(u,v) = v·1000+u (all
+    distinct; within a block every vertex's cheapest edge goes to the
+    block minimum b0, and by the cut/Kruskal argument the block MST is
+    exactly the star on b0), plus ONE bridge per consecutive block pair
+    (weights 10⁷−k·1000, far above any intra weight; a unique connector
+    is in every spanning forest).  MST = the 180 star edges + the 19
+    bridges — the oracle states that closed form; the ALGORITHM's
+    general correctness is Kruskal-differential-tested in
+    test_boruvka_mst_semantics.  The decreasing bridge weights force a
+    19-deep contraction chain in round 2 (block k's min outgoing is
+    bridge k→k+1), exercising the min-label contraction far from the
+    trivial star case."""
+    from recrun_spark.operators import boruvka_mst
+    cust = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey").between(1, 200))
+            .select(F.col("c_custkey").alias("u")))
+    g = cust.withColumn("_g", F.expr("(u - 1) div 10"))
+    a = g.select(F.col("u").alias("src"), "_g")
+    b = g.select(F.col("u").alias("dst"), "_g")
+    intra = (a.join(b, "_g").where(F.col("src") < F.col("dst"))
+             .select("src", "dst",
+                     (F.col("dst") * 1000 + F.col("src")).alias("weight")))
+    bridges = (cust.where((F.col("u") % 10 == 0) & (F.col("u") < 200))
+               .select(F.col("u").alias("src"),
+                       (F.col("u") + 1).alias("dst"),
+                       (F.lit(10000000)
+                        - (F.expr("u div 10") - 1) * 1000).alias("weight")))
+    return _finalize(boruvka_mst(intra.union(bridges)))
+
+
 def _phonetic_sql() -> str:
     """Soundex oracle: the identical translate + RE2 regexp chain (h/w
     removed from the tail, digit-class translate, per-class run
@@ -2993,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_truss": kg_truss,
         "kg_entity_matching": kg_entity_matching,
         "kg_neighborhood_hll": kg_neighborhood_hll,
+        "customer_mst": customer_mst,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "documents_tfidf_topk": documents_tfidf_topk,
         "documents_dup_spans": documents_dup_spans,
@@ -4353,6 +4388,23 @@ def oracle_sql() -> dict[str, str]:
         "kg_truss": _ktruss_sql(),
         "kg_entity_matching": _matching_sql(),
         "kg_neighborhood_hll": _hyperball_sql(),
+        # the MST oracle is the CLOSED FORM of the unique minimum forest
+        # of the constructed graph (cut property: per-block star on the
+        # block min + every unique bridge), not an algorithm replay —
+        # the operator's general path is Kruskal-differential-tested
+        "customer_mst": """
+            WITH n AS (SELECT c_custkey AS v FROM customer
+                       WHERE c_custkey BETWEEN 1 AND 200),
+            stars AS (SELECT ((v - 1) // 10) * 10 + 1 AS src, v AS dst,
+                             v * 1000 + ((v - 1) // 10) * 10 + 1 AS weight
+                      FROM n WHERE v % 10 <> 1),
+            bridges AS (SELECT v AS src, v + 1 AS dst,
+                               10000000 - (v // 10 - 1) * 1000 AS weight
+                        FROM n WHERE v % 10 = 0 AND v < 200)
+            SELECT src, dst, weight::BIGINT AS weight FROM stars
+            UNION ALL
+            SELECT src, dst, weight::BIGINT AS weight FROM bridges
+        """,
         "dedup_jaccard_prefix": f"""
             WITH norm AS (
               SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS toks

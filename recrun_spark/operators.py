@@ -1197,6 +1197,83 @@ def negative_samples(positives: DataFrame, items: DataFrame, k: int = 4,
                       F.col("sample_i").cast("int").alias("sample_i"))
 
 
+def boruvka_mst(edges: DataFrame, src: str = "src", dst: str = "dst",
+                weight: str = "weight", max_rounds: int = 25,
+                max_inner: int = 50) -> DataFrame:
+    """Minimum spanning FOREST by Borůvka's algorithm (Borůvka 1926; the
+    canonical distributed MST — each round EVERY component picks its
+    minimum outgoing edge simultaneously, components at least halve, so
+    O(log V) rounds): the single-linkage clustering primitive (cut the
+    MST at a distance threshold and the pieces are exactly the
+    single-linkage clusters — the hierarchical companion of the flat
+    near-dup CC), and the cheapest-backbone extractor for a weighted KG.
+
+    Determinism: edge priority is the total order (weight, src, dst)
+    encoded as a zero-padded string, so the MST is the UNIQUE minimum
+    forest under that order even with weight ties — any correct MST
+    algorithm (the Kruskal differential in tests, a closed-form oracle)
+    must produce the identical edge set.  Parallel edges reduce to their
+    min weight first; weights must be non-negative int64 (1-row probe).
+
+    Scale shape per round: two label equi-joins + one per-component min
+    aggregate (map-side combinable — the priority string makes min an
+    argmin) + a min-label relaxation over the CHOSEN-edge graph only
+    (components, not vertices; ``_min_label_fixpoint``, the SCC helper),
+    localCheckpoint lineage discipline throughout.  Returns
+    (src, dst, weight:long) with src < dst — the spanning forest."""
+    us, vs = F.col("u").cast("string"), F.col("v").cast("string")
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                      F.col(weight).cast("long").alias("w"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & F.col("w").isNotNull() & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("u"),
+                 F.greatest("a", "b").alias("v"), "w")
+         .groupBy("u", "v").agg(F.min("w").alias("w"))
+         .select("u", "v", "w", F.concat(
+             F.lpad(F.col("w").cast("string"), 19, "0"), F.lit("|"),
+             us, F.lit("|"), vs).alias("p"))
+         .localCheckpoint(eager=True))
+    probe = e.agg(F.min("w").alias("m")).first()["m"]
+    if probe is not None and probe < 0:
+        raise ValueError(f"weights must be non-negative, got min {probe}")
+    lab = (e.select(F.col("u").alias("node"))
+           .union(e.select(F.col("v").alias("node"))).distinct()
+           .select("node", F.col("node").alias("comp"))
+           .localCheckpoint(eager=True))
+    mst = None
+    for _ in range(max_rounds):
+        e2 = (e.join(lab.select(F.col("node").alias("u"),
+                                F.col("comp").alias("cu")), "u")
+              .join(lab.select(F.col("node").alias("v"),
+                               F.col("comp").alias("cv")), "v")
+              .where(F.col("cu") != F.col("cv"))
+              .localCheckpoint(eager=True))
+        if e2.isEmpty():
+            break
+        cand = (e2.select(F.col("cu").alias("c"), "p")
+                .union(e2.select(F.col("cv").alias("c"), "p")))
+        chosen = (cand.groupBy("c").agg(F.min("p").alias("p"))
+                  .select("p").distinct())
+        sel = e2.join(chosen, "p").localCheckpoint(eager=True)
+        add = sel.select("u", "v", "w")
+        mst = add if mst is None else mst.union(add)
+        m = sel.select(F.col("cu").alias("s"), F.col("cv").alias("d"))
+        msym = m.union(m.select(F.col("d").alias("s"),
+                                F.col("s").alias("d")))
+        comps = lab.select(F.col("comp").alias("n")).distinct()
+        newlab = _min_label_fixpoint(comps, msym, reverse=False,
+                                     max_inner=max_inner)
+        lab = (lab.join(newlab.withColumnRenamed("n", "comp"), "comp")
+               .select("node", F.col("lbl").alias("comp"))
+               .localCheckpoint(eager=True))
+    if mst is None:
+        return e.select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                        F.col("w").alias("weight")).where(F.lit(False))
+    return (mst.select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                       F.col("w").alias("weight"))
+            .localCheckpoint(eager=True))
+
+
 def _min_label_fixpoint(nodes: DataFrame, edges: DataFrame,
                         reverse: bool, max_inner: int) -> DataFrame:
     """(n, lbl): lbl = min node id reachable FROM n along edge direction

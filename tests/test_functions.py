@@ -1281,6 +1281,77 @@ def test_equidepth_bins_property(spark):
         assert a["lo_cents"] <= a["hi_cents"] <= b["lo_cents"]
 
 
+def _py_kruskal(edges):
+    """Reference MST under the (weight, src, dst) total order: Kruskal
+    with union-find over canonical deduped min-weight edges."""
+    best = {}
+    for a, b, w in edges:
+        if a == b:
+            continue
+        u, v = min(a, b), max(a, b)
+        best[(u, v)] = min(best.get((u, v), w), w)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for (u, v), w in sorted(best.items(),
+                            key=lambda kv: (kv[1], str(kv[0][0]),
+                                            str(kv[0][1]))):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.add((u, v, w))
+    return out
+
+
+def test_boruvka_mst_semantics(spark):
+    """MST pins: Kruskal differential on a hash-random weighted graph
+    (with deliberate weight ties and parallel edges — the (weight, src,
+    dst) total order makes the forest unique); a ring drops exactly its
+    max edge; a disconnected graph yields a spanning FOREST; negative
+    weights raise; bit-exact under repartitioning."""
+    import hashlib
+
+    import pytest
+
+    from recrun_spark.operators import boruvka_mst
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest(), 16)
+
+    rnd = [(a, b, h(f"w{a}|{b}") % 40)          # dense tie space
+           for a in range(22) for b in range(a + 1, 22)
+           if h(f"mst{a}|{b}") % 10 < 3]
+    rnd += [(b, a, w + 7) for a, b, w in rnd[:5]]   # parallel, heavier
+    df = spark.createDataFrame(rnd, ["src", "dst", "weight"])
+    got = {(r["src"], r["dst"], r["weight"])
+           for r in boruvka_mst(df).collect()}
+    assert got == _py_kruskal(rnd)
+    ring = [(i, (i + 1) % 10, 100 + i) for i in range(10)]
+    rmst = {(r["src"], r["dst"], r["weight"])
+            for r in boruvka_mst(spark.createDataFrame(
+                ring, ["src", "dst", "weight"])).collect()}
+    assert rmst == _py_kruskal(ring) and len(rmst) == 9
+    assert not any(w == 109 for _, _, w in rmst)   # max ring edge dropped
+    two = rnd + [(100, 101, 1), (101, 102, 2), (100, 102, 3)]
+    forest = {(r["src"], r["dst"], r["weight"])
+              for r in boruvka_mst(spark.createDataFrame(
+                  two, ["src", "dst", "weight"])).collect()}
+    assert forest == _py_kruskal(two)              # spanning forest
+    with pytest.raises(ValueError):
+        boruvka_mst(spark.createDataFrame([(1, 2, -5)],
+                                          ["src", "dst", "weight"]))
+    again = {(r["src"], r["dst"], r["weight"])
+             for r in boruvka_mst(df.repartition(9)).collect()}
+    assert again == got
+
+
 def test_cap_per_group_exact_and_prefilter_agree(spark):
     """Domain caps: at most ``cap`` rows per group, chosen as the hash-
     smallest keys — deterministic across runs.  The opt-in mega-domain

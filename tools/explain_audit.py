@@ -1085,6 +1085,41 @@ def main():
     ])
     _ct_release(eb_ranked)
 
+    # Borůvka MST (r5): final read checkpoint-truncated; the per-round
+    # min-outgoing selection audited un-checkpointed over a live graph
+    audit("customer_mst_result", qs["customer_mst"](spark, SF_DIR), [
+        ("final read is checkpoint-truncated",
+         lambda p: "Scan ExistingRDD" in p or "LocalTableScan" in p),
+    ])
+    bm_e = ks_canon.select("u", "v", (F.col("u") * 7 + F.col("v"))
+                           .alias("w"))
+    bm_p = bm_e.select("u", "v", "w", F.concat(
+        F.lpad(F.col("w").cast("string"), 19, "0"), F.lit("|"),
+        F.col("u").cast("string"), F.lit("|"),
+        F.col("v").cast("string")).alias("p"))
+    bm_lab = (bm_p.select(F.col("u").alias("node"))
+              .union(bm_p.select(F.col("v").alias("node"))).distinct()
+              .select("node", F.col("node").alias("comp")))
+    bm_e2 = (bm_p.join(bm_lab.select(F.col("node").alias("u"),
+                                     F.col("comp").alias("cu")), "u")
+             .join(bm_lab.select(F.col("node").alias("v"),
+                                 F.col("comp").alias("cv")), "v")
+             .where(F.col("cu") != F.col("cv")))
+    bm_sel = bm_e2.join(
+        bm_e2.select(F.col("cu").alias("c"), "p")
+        .union(bm_e2.select(F.col("cv").alias("c"), "p"))
+        .groupBy("c").agg(F.min("p").alias("p")).select("p").distinct(),
+        "p")
+    audit("boruvka_min_edge_round", bm_sel, [
+        ("per-component argmin partial-aggregates map-side",
+         lambda p: "partial_min" in p),
+        ("label attach + selection are equi-joins (no cartesian)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
