@@ -2551,6 +2551,58 @@ def events_equidepth_bins(spark, sf_dir):
     return _finalize(out)
 
 
+def events_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type — the diurnal
+    shape a monitoring/forecast baseline needs: per (type, hour-of-day)
+    its count, share of the type's traffic in exact integer basis
+    points, and a deterministic peak flag (max n, smallest hour on
+    ties).  hod = (epoch-µs div 3600000000) mod 24 (NTZ-safe); events
+    reduce to the ≤|types|·24 profile table FIRST, so the share/peak
+    windows run over 120 rows, never raw events."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    us = ("cast(timestampdiff(MICROSECOND, "
+          "timestamp'1970-01-01 00:00:00', ts) as bigint)")
+    c = (ev.groupBy(F.col("event_type"),
+                    F.expr(f"(({us}) div 3600000000) % 24").cast("int")
+                    .alias("hod"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(F.col("n").desc(),
+                                                  F.col("hod").asc())
+    return (c.withColumn("share_bp",
+                         F.expr("10000 * n div sum(n) over "
+                                "(partition by event_type)")
+                         .cast("long"))
+            .withColumn("is_peak", F.row_number().over(wr) == 1)
+            .select("event_type", "hod", "n", "share_bp", "is_peak"))
+
+
+def kg_walk_counts(spark, sf_dir):
+    """Exact length-3 WALK counts from the seed entity E_SPARK over the
+    mention graph — the adjacency-matrix power A³ row (walks, not simple
+    paths: revisits allowed — the Katz/graph-kernel building block,
+    integer-exact where simple-path enumeration is #P-hard).  Three
+    chained equi-joins, ONE final count aggregate: each join step
+    enumerates walk continuations, so the final per-endpoint count IS
+    the A³ entry.  All int64 (3-hop walk counts over this graph are
+    ≪ 2^63)."""
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    de = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"))
+    edges = (de.union(de.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst"))))
+    e1 = edges.where(F.col("src") == "E_SPARK").select(
+        F.col("dst").alias("n1"))
+    e2 = e1.join(edges.select(F.col("src").alias("n1"),
+                              F.col("dst").alias("n2")), "n1")
+    e3 = e2.join(edges.select(F.col("src").alias("n2"),
+                              F.col("dst").alias("n3")), "n2")
+    return (e3.groupBy(F.col("n3").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_walks")))
+
+
 def events_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: a user reaches a stage only
     via an event STRICTLY AFTER a qualifying event of the previous stage
@@ -3118,6 +3170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_containment": documents_containment,
         "documents_phonetic_keys": documents_phonetic_keys,
         "events_equidepth_bins": events_equidepth_bins,
+        "events_seasonality": events_seasonality,
+        "kg_walk_counts": kg_walk_counts,
         "events_retention_cohorts": events_retention_cohorts,
         "events_type_pivot": events_type_pivot,
         "simhash_sigs": simhash_sigs,
@@ -4633,6 +4687,35 @@ def oracle_sql() -> dict[str, str]:
                    min(cents)::BIGINT AS lo_cents,
                    max(cents)::BIGINT AS hi_cents
             FROM r, n GROUP BY 1
+        """,
+        "events_seasonality": """
+            WITH c AS (SELECT event_type,
+                              ((epoch_us(ts) // 3600000000) % 24)::INT
+                                AS hod,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT event_type, hod, n,
+                   ((10000 * n) // sum(n) OVER (PARTITION BY event_type))
+                     ::BIGINT AS share_bp,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY n DESC, hod ASC) = 1
+                     AS is_peak
+            FROM c
+        """,
+        "kg_walk_counts": f"""
+            WITH {_MENTIONS_CTE},
+            m AS (SELECT DISTINCT doc_id, entity FROM ments),
+            de AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                          entity AS dst FROM m),
+            edges AS (SELECT src, dst FROM de
+                      UNION ALL
+                      SELECT dst AS src, src AS dst FROM de)
+            SELECT e3.dst AS node, count(*)::BIGINT AS n_walks
+            FROM edges e1
+            JOIN edges e2 ON e2.src = e1.dst
+            JOIN edges e3 ON e3.src = e2.dst
+            WHERE e1.src = 'E_SPARK'
+            GROUP BY 1
         """,
         "events_bursts": """
             WITH c AS (SELECT event_type,

@@ -277,7 +277,8 @@ def main():
                  "kg_truss", "kg_entity_matching",
                  "events_bursts", "documents_containment",
                  "kg_neighborhood_hll", "documents_phonetic_keys",
-                 "events_equidepth_bins", "customer_mst"):
+                 "events_equidepth_bins", "customer_mst",
+                 "events_seasonality", "kg_walk_counts"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

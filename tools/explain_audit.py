@@ -1120,6 +1120,25 @@ def main():
          lambda p: "Exchange SinglePartition" not in p),
     ])
 
+    # seasonality + walk counts (r5): windows over the aggregated profile
+    # only; the A^3 row is equi-joins + one map-side-combinable count
+    audit("events_seasonality", qs["events_seasonality"](spark, SF_DIR), [
+        ("profile aggregate reduces BEFORE the windows",
+         lambda p: "partial_count" in p),
+        ("windows partitioned by type (no single-reducer exchange)",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("scan prunes to ts + event_type",
+         lambda p: "ReadSchema" in p and "user_id" not in p),
+    ])
+    audit("kg_walk_counts", qs["kg_walk_counts"](spark, SF_DIR), [
+        ("walk expansion is equi-joins only (no cartesian)",
+         lambda p: "CartesianProduct" not in p),
+        ("walk count partial-aggregates map-side",
+         lambda p: "partial_count" in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
