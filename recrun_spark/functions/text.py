@@ -747,9 +747,13 @@ def phonetic_blocks(documents: DataFrame, text_col: str = "text") -> DataFrame:
     BPE discipline), the code is a pure projection, and the block size
     is one code-keyed count joined back.  Returns (word, code,
     block_n:long)."""
+    # distinct the RAW tokens first so the regex strip runs over the raw
+    # vocabulary, not the token stream (|vocab| ≪ |tokens| — measured
+    # ~0.6× the entry wall at sf0.1); stripped forms re-distinct
     words = (documents
              .select(F.explode(tokens_col(F.lower(F.col(text_col))))
                      .alias("raw"))
+             .distinct()
              .select(F.regexp_replace("raw", "[^a-z]", "").alias("word"))
              .where(F.col("word") != "").distinct())
     coded = words.select("word", phonetic_key(F.col("word")).alias("code"))

@@ -1197,6 +1197,53 @@ def negative_samples(positives: DataFrame, items: DataFrame, k: int = 4,
                       F.col("sample_i").cast("int").alias("sample_i"))
 
 
+def _boruvka_contract(sel: DataFrame, max_inner: int) -> DataFrame:
+    """Merge-group labels for one Borůvka round by POINTER DOUBLING over
+    the chosen-edge FUNCTIONAL graph — O(log depth) rounds where plain
+    min-label relaxation walks a contraction chain one hop per job.
+
+    f(c) = the partner of component c's own argmin edge.  Chosen-edge
+    weights are non-increasing along f (c's min edge is incident to
+    f(c), so f(c)'s min is ≤ it), hence every cycle has constant weight
+    = the SAME edge: all cycles are 2-cycles (the classic Borůvka
+    invariant).  Every member of a merge group therefore reaches that
+    group's unique 2-cycle by following f, and min(p, f(p)) at the
+    converged pointer is one consistent label per group.  Doubling
+    p ← p∘p converges when p∘p == p∘p∘p... detected by an unchanged-
+    pointer count; ≤ ⌈log₂ depth⌉ + 1 rounds.
+
+    ``sel`` carries (cu, cv, p) — the selected edges with their priority
+    string; returns (n, lbl) for every participating component."""
+    own = (sel.select(F.col("cu").alias("c"), F.col("cv").alias("o"), "p")
+           .union(sel.select(F.col("cv").alias("c"),
+                             F.col("cu").alias("o"), "p")))
+    # a component may appear with several chosen edges (its own argmin
+    # plus edges chosen BY others) — its pointer is its OWN argmin
+    # (min_by on the unique priority string: map-side combinable)
+    f = (own.groupBy("c").agg(F.min_by("o", "p").alias("f"))
+         .localCheckpoint(eager=True))
+    ptr = f
+    for _ in range(max_inner):
+        hop = ptr.select(F.col("c").alias("f"), F.col("f").alias("f2"))
+        nxt = (ptr.join(hop, "f")
+               .select("c", F.col("f2").alias("f"))
+               .localCheckpoint(eager=True))
+        moved = (nxt.withColumnRenamed("f", "g").join(ptr, "c")
+                 .where(F.col("g") != F.col("f")).count())
+        ptr = nxt
+        if moved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"pointer doubling did not converge in {max_inner} rounds")
+    # at convergence the pointer sits on (or oscillates within) the
+    # 2-cycle: label = min(ptr, f(ptr)) is cycle-invariant
+    fin = ptr.join(f.select(F.col("c").alias("f"),
+                            F.col("f").alias("ff")), "f")
+    return fin.select(F.col("c").alias("n"),
+                      F.least("f", "ff").alias("lbl"))
+
+
 def boruvka_mst(edges: DataFrame, src: str = "src", dst: str = "dst",
                 weight: str = "weight", max_rounds: int = 25,
                 max_inner: int = 50) -> DataFrame:
@@ -1257,14 +1304,14 @@ def boruvka_mst(edges: DataFrame, src: str = "src", dst: str = "dst",
         sel = e2.join(chosen, "p").localCheckpoint(eager=True)
         add = sel.select("u", "v", "w")
         mst = add if mst is None else mst.union(add)
-        m = sel.select(F.col("cu").alias("s"), F.col("cv").alias("d"))
-        msym = m.union(m.select(F.col("d").alias("s"),
-                                F.col("s").alias("d")))
-        comps = lab.select(F.col("comp").alias("n")).distinct()
-        newlab = _min_label_fixpoint(comps, msym, reverse=False,
-                                     max_inner=max_inner)
-        lab = (lab.join(newlab.withColumnRenamed("n", "comp"), "comp")
-               .select("node", F.col("lbl").alias("comp"))
+        # contraction: pointer doubling over the chosen-edge functional
+        # graph (O(log depth) jobs — a relaxation walks deep contraction
+        # chains one hop per job); comps with no cross edge keep labels
+        newlab = _boruvka_contract(sel, max_inner)
+        lab = (lab.join(newlab.withColumnRenamed("n", "comp"), "comp",
+                        "left")
+               .select("node", F.coalesce("lbl", F.col("comp"))
+                       .alias("comp"))
                .localCheckpoint(eager=True))
     if mst is None:
         return e.select(F.col("u").alias("src"), F.col("v").alias("dst"),
