@@ -2603,6 +2603,70 @@ def kg_walk_counts(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_walks")))
 
 
+def kg_partition_plan(spark, sf_dir):
+    """VERTEX-CUT partition planning diagnostics (PowerGraph, Gonzalez
+    et al. OSDI'12): assign every mention-graph edge to a 4×4 GRID
+    partition — pid = (h(src) mod 4)·4 + (h(dst) mod 4) with the
+    portable md5 hash — and report per-partition load (edges) and
+    vertex replication (distinct incident vertices).  Grid (2D)
+    partitioning bounds any vertex's replication at R+C−1 = 7 of 16
+    partitions vs up-to-16 under random edge hashing — THE question a
+    1000-executor deployment asks of a skewed KG (hub entities touch
+    every partition under 1D hashing; under the grid they touch one
+    row + one column).  Σ n_vertices over partitions ÷ |V| is the
+    replication factor; all arithmetic integer and oracle-exact."""
+    from recrun_spark.functions.dedup import _hash60
+    ments = _mentions_df(spark, sf_dir).select("doc_id", "entity").distinct()
+    de = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"))
+    pid = (F.pmod(_hash60(F.col("src")), F.lit(4)) * 4
+           + F.pmod(_hash60(F.col("dst")), F.lit(4))).cast("int")
+    e = de.select("src", "dst", pid.alias("pid"))
+    loads = e.groupBy("pid").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_edges"))
+    verts = (e.select("pid", F.col("src").alias("vertex"))
+             .union(e.select("pid", F.col("dst").alias("vertex")))
+             .distinct()
+             .groupBy("pid").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_vertices")))
+    return loads.join(verts, "pid")
+
+
+def events_user_active_time(spark, sf_dir):
+    """GAPS-AND-ISLANDS interval coverage per user: each event opens a
+    5-minute activity interval [ts, ts+300s); overlapping or touching
+    intervals merge into islands (new island iff the start strictly
+    exceeds the running max end of everything before it — the classic
+    cumulative-max island rule), and the output is each user's total
+    covered time, island count, and event count — the
+    session-coverage/billing primitive, all epoch-µs integers.  The
+    only window is per-user (partitioned, never global); islands
+    aggregate by (user, island_id) before the final per-user rollup."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    us = ("cast(timestampdiff(MICROSECOND, "
+          "timestamp'1970-01-01 00:00:00', ts) as bigint)")
+    d = ev.select("user_id", F.expr(us).alias("s"),
+                  (F.expr(us) + F.lit(300_000_000)).alias("e"))
+    w = (Window.partitionBy("user_id").orderBy("s", "e")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = d.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w),
+                                       F.lit(-1)), 1).otherwise(0))
+    wi = (Window.partitionBy("user_id").orderBy("s", "e")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    isl = flagged.withColumn("island", F.sum("new_island").over(wi))
+    per_island = (isl.groupBy("user_id", "island")
+                  .agg((F.max("e") - F.min("s")).alias("covered"),
+                       F.count(F.lit(1)).alias("n")))
+    return (per_island.groupBy("user_id")
+            .agg(F.sum("covered").cast("long").alias("active_us"),
+                 F.count(F.lit(1)).cast("long").alias("n_islands"),
+                 F.sum("n").cast("long").alias("n_events")))
+
+
 def events_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: a user reaches a stage only
     via an event STRICTLY AFTER a qualifying event of the previous stage
@@ -3172,6 +3236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_equidepth_bins": events_equidepth_bins,
         "events_seasonality": events_seasonality,
         "kg_walk_counts": kg_walk_counts,
+        "kg_partition_plan": kg_partition_plan,
+        "events_user_active_time": events_user_active_time,
         "events_retention_cohorts": events_retention_cohorts,
         "events_type_pivot": events_type_pivot,
         "simhash_sigs": simhash_sigs,
@@ -4716,6 +4782,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN edges e3 ON e3.src = e2.dst
             WHERE e1.src = 'E_SPARK'
             GROUP BY 1
+        """,
+        "kg_partition_plan": f"""
+            WITH {_MENTIONS_CTE},
+            m AS (SELECT DISTINCT doc_id, entity FROM ments),
+            e AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                         entity AS dst FROM m),
+            p AS (SELECT src, dst,
+                         ((({_ddb_hash60('src')}) % 4) * 4
+                          + (({_ddb_hash60('dst')}) % 4))::INT AS pid
+                  FROM e),
+            loads AS (SELECT pid, count(*)::BIGINT AS n_edges FROM p
+                      GROUP BY 1),
+            verts AS (SELECT pid, count(*)::BIGINT AS n_vertices FROM (
+                        SELECT DISTINCT pid, vertex FROM (
+                          SELECT pid, src AS vertex FROM p
+                          UNION ALL SELECT pid, dst FROM p))
+                      GROUP BY 1)
+            SELECT loads.pid, n_edges, n_vertices
+            FROM loads JOIN verts USING (pid)
+        """,
+        "events_user_active_time": """
+            WITH d AS (SELECT user_id, epoch_us(ts) AS s,
+                              epoch_us(ts) + 300000000 AS e FROM events),
+            f AS (SELECT user_id, s, e,
+                         CASE WHEN s > coalesce(max(e) OVER (
+                                PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                              THEN 1 ELSE 0 END AS ni
+                  FROM d),
+            i AS (SELECT user_id, s, e,
+                         sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS island
+                  FROM f),
+            pi AS (SELECT user_id, island, max(e) - min(s) AS covered,
+                          count(*) AS n
+                   FROM i GROUP BY 1, 2)
+            SELECT user_id, sum(covered)::BIGINT AS active_us,
+                   count(*)::BIGINT AS n_islands,
+                   sum(n)::BIGINT AS n_events
+            FROM pi GROUP BY 1
         """,
         "events_bursts": """
             WITH c AS (SELECT event_type,

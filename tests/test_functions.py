@@ -1352,6 +1352,77 @@ def test_boruvka_mst_semantics(spark):
     assert again == got
 
 
+def test_partition_plan_properties(spark):
+    """Vertex-cut grid pins: per-partition edge loads sum to the edge
+    count; every vertex's replication is bounded by R+C−1 = 7 (the 2D
+    grid guarantee — a hub under 1D hashing would hit all 16); the
+    replication factor Σ n_vertices / |V| is derivable and ≥ 1."""
+    import os
+
+    import __spark_entry__ as entry
+    sf = os.environ.get("RECRUN_TEST_SF_DIR", "/root/testdata/sf0.01")
+    rows = entry.queries()["kg_partition_plan"](spark, sf).collect()
+    ments = entry._mentions_df(spark, sf).select("doc_id",
+                                                 "entity").distinct()
+    n_edges = ments.count()
+    n_verts = (ments.select(F.concat(F.lit("d"), F.col("doc_id")
+                                     .cast("string")).alias("v"))
+               .union(ments.select(F.col("entity").alias("v")))
+               .distinct().count())
+    assert sum(r["n_edges"] for r in rows) == n_edges
+    total_rep = sum(r["n_vertices"] for r in rows)
+    assert total_rep >= n_verts                    # replication >= 1
+    # per-vertex bound: recompute placements and check max spread
+    from recrun_spark.functions.dedup import _hash60
+    de = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"))
+    pid = (F.pmod(_hash60(F.col("src")), F.lit(4)) * 4
+           + F.pmod(_hash60(F.col("dst")), F.lit(4))).cast("int")
+    e = de.select("src", "dst", pid.alias("pid"))
+    spread = (e.select("pid", F.col("src").alias("v"))
+              .union(e.select("pid", F.col("dst").alias("v")))
+              .distinct().groupBy("v").count()
+              .agg(F.max("count")).first()[0])
+    assert spread <= 7
+
+
+def test_active_time_islands_semantics(spark):
+    """Gaps-and-islands pins: overlapping intervals merge; TOUCHING
+    intervals (next start == running max end) merge; a gap strictly
+    past the max end opens a new island; out-of-order events with an
+    early long interval swallowing later ones count as ONE island."""
+    import datetime as dt
+
+    from __spark_entry__ import events_user_active_time
+    import __spark_entry__ as entry
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, mins):
+        return (uid * 1000 + int(mins * 10), t0
+                + dt.timedelta(minutes=mins), uid, "view", 1.0, "{}")
+
+    rows = [ev(1, 0), ev(1, 3), ev(1, 5 + 3),      # overlap then touch
+            ev(1, 30),                              # gap -> new island
+            ev(2, 0), ev(2, 1), ev(2, 2),           # nested inside first
+            ev(3, 0)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    import os
+    import tempfile
+    d = tempfile.mkdtemp(prefix="recrun_active_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["user_id"]: (r["active_us"], r["n_islands"], r["n_events"])
+           for r in events_user_active_time(spark, d).collect()}
+    m = 60_000_000
+    # user 1: [0,5)∪[3,8)∪[8,13) = 13 min, then [30,35) -> 2 islands
+    assert got[1] == (18 * m, 2, 4)
+    # user 2: [0,5)∪[1,6)∪[2,7) = 7 min, 1 island
+    assert got[2] == (7 * m, 1, 3)
+    assert got[3] == (5 * m, 1, 1)
+
+
 def test_cap_per_group_exact_and_prefilter_agree(spark):
     """Domain caps: at most ``cap`` rows per group, chosen as the hash-
     smallest keys — deterministic across runs.  The opt-in mega-domain

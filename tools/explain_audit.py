@@ -1139,6 +1139,26 @@ def main():
          lambda p: "Exchange SinglePartition" not in p),
     ])
 
+    # partition plan + active time (r5): pure aggregates over projections
+    # (no cartesian); islands window is user-partitioned, never global
+    audit("kg_partition_plan", qs["kg_partition_plan"](spark, SF_DIR), [
+        ("no python UDF", lambda p: "BatchEvalPython" not in p),
+        ("loads/replication partial-aggregate map-side",
+         lambda p: "partial_count" in p),
+        ("no cartesian, no single-reducer exchange",
+         lambda p: "CartesianProduct" not in p
+         and "Exchange SinglePartition" not in p),
+    ])
+    audit("events_user_active_time",
+          qs["events_user_active_time"](spark, SF_DIR), [
+              ("islands window is user-partitioned (no single-reducer)",
+               lambda p: "Exchange SinglePartition" not in p),
+              ("final rollup partial-aggregates map-side",
+               lambda p: "partial_sum" in p or "partial_count" in p),
+              ("scan prunes to ts + user_id",
+               lambda p: "ReadSchema" in p and "event_type" not in p),
+          ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
