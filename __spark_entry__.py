@@ -2667,6 +2667,49 @@ def events_user_active_time(spark, sf_dir):
                  F.sum("n").cast("long").alias("n_events")))
 
 
+def orders_brand_rules(spark, sf_dir):
+    """MARKET-BASKET ASSOCIATION RULES over order contents (Agrawal &
+    Srikant VLDB'94, the support/confidence/lift triple in exact
+    integers): directed brand pairs co-occurring in ≥5 orders, with
+    confidence = 10⁴·n_ab div n_a basis points and lift = 10⁶·n_ab·N
+    div (n_a·n_b) ppm — the co-purchase affinity the PMI entry computes
+    for co-MENTIONS, here over the TPC-H basket structure.  Baskets
+    reduce to DISTINCT (order, brand) FIRST (the dimension join is a
+    broadcast — part is the small side), the pair join is keyed on the
+    shared order (inverted-index shape, per-order fan-out bounded by
+    the brand count), and N is a 1-row probe."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (li.join(F.broadcast(part),
+                  li["l_partkey"] == part["p_partkey"])
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("p_brand").alias("b")).distinct().persist())
+    n_orders = ob.select("o").distinct().count()
+    counts = ob.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    a = ob.select("o", F.col("b").alias("ante"))
+    c = ob.select("o", F.col("b").alias("cons"))
+    pairs = (a.join(c, "o").where(F.col("ante") != F.col("cons"))
+             .groupBy("ante", "cons")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= 5))
+    out = (pairs
+           .join(counts.select(F.col("b").alias("ante"),
+                               F.col("n").alias("n_a")), "ante")
+           .join(counts.select(F.col("b").alias("cons"),
+                               F.col("n").alias("n_c")), "cons")
+           .select("ante", "cons",
+                   F.col("n_ab").cast("long").alias("n_ab"),
+                   F.col("n_a").cast("long").alias("n_a"),
+                   F.col("n_c").cast("long").alias("n_c"),
+                   F.expr("10000 * n_ab div n_a").cast("long")
+                   .alias("conf_bp"),
+                   F.expr(f"1000000 * n_ab * {n_orders} "
+                          "div (n_a * n_c)").cast("long")
+                   .alias("lift_ppm")))
+    out._recrun_caches = [ob]
+    return _finalize(out)
+
+
 def events_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: a user reaches a stage only
     via an event STRICTLY AFTER a qualifying event of the previous stage
@@ -3238,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walk_counts": kg_walk_counts,
         "kg_partition_plan": kg_partition_plan,
         "events_user_active_time": events_user_active_time,
+        "orders_brand_rules": orders_brand_rules,
         "events_retention_cohorts": events_retention_cohorts,
         "events_type_pivot": events_type_pivot,
         "simhash_sigs": simhash_sigs,
@@ -4782,6 +4826,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN edges e3 ON e3.src = e2.dst
             WHERE e1.src = 'E_SPARK'
             GROUP BY 1
+        """,
+        "orders_brand_rules": """
+            WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+                        FROM lineitem JOIN part
+                          ON p_partkey = l_partkey),
+            nn AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+            counts AS (SELECT b, count(*) AS n FROM ob GROUP BY 1),
+            pairs AS (SELECT a.b AS ante, c.b AS cons,
+                             count(*)::BIGINT AS n_ab
+                      FROM ob a JOIN ob c
+                        ON a.o = c.o AND a.b <> c.b
+                      GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT ante, cons, n_ab,
+                   ca.n::BIGINT AS n_a, cc.n::BIGINT AS n_c,
+                   ((10000 * n_ab) // ca.n)::BIGINT AS conf_bp,
+                   ((1000000 * n_ab * nn.n_orders)
+                    // (ca.n * cc.n))::BIGINT AS lift_ppm
+            FROM pairs
+            JOIN counts ca ON ca.b = ante
+            JOIN counts cc ON cc.b = cons
+            CROSS JOIN nn
         """,
         "kg_partition_plan": f"""
             WITH {_MENTIONS_CTE},

@@ -279,7 +279,8 @@ def main():
                  "kg_neighborhood_hll", "documents_phonetic_keys",
                  "events_equidepth_bins", "customer_mst",
                  "events_seasonality", "kg_walk_counts",
-                 "kg_partition_plan", "events_user_active_time"):
+                 "kg_partition_plan", "events_user_active_time",
+                 "orders_brand_rules"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

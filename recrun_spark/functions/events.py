@@ -241,11 +241,28 @@ def hourly_bursts(df, trail_hours: int = 3, burst_ratio_bp: int = 20000,
     burst_bp:long, is_burst:boolean) for hours with trail_n > 0."""
     if trail_hours < 1:
         raise ValueError(f"trail_hours must be >= 1, got {trail_hours}")
+    return bursts_from_hour_counts(hour_counts(df, type_col, ts_col),
+                                   trail_hours, burst_ratio_bp)
+
+
+def hour_counts(df, type_col: str = "event_type", ts_col: str = "ts"):
+    """(event_type, hour_id, n) — the per-type hourly count table
+    (hour_id = epoch-µs div 3600000000).  Counts MERGE by cell-wise sum,
+    so per-micro-batch tables written idempotently and summed by a
+    reader equal the batch table — the streaming-bursts building block
+    (the CMS merge discipline, streaming/freq.py)."""
     us = (f"cast(timestampdiff(MICROSECOND, "
           f"timestamp'1970-01-01 00:00:00', {ts_col}) as bigint)")
-    c = (df.groupBy(F.col(type_col).alias("event_type"),
-                    F.expr(f"({us}) div 3600000000").alias("hour_id"))
-         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return (df.groupBy(F.col(type_col).alias("event_type"),
+                       F.expr(f"({us}) div 3600000000").alias("hour_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def bursts_from_hour_counts(c, trail_hours: int = 3,
+                            burst_ratio_bp: int = 20000):
+    """Burst flags from an (event_type, hour_id, n) count table — the
+    window stage of ``hourly_bursts``, shared by the batch entry and the
+    streaming reader so their semantics cannot drift."""
     w = (Window.partitionBy("event_type").orderBy("hour_id")
          .rangeBetween(-trail_hours, -1))
     t = c.withColumn("trail_n", F.sum("n").over(w))

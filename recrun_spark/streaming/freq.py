@@ -132,3 +132,45 @@ def read_hdr(spark: SparkSession, hist_root: str,
             .groupBy(*gcols, "bucket")
             .agg(F.min("lo").alias("lo"), F.min("hi").alias("hi"),
                  F.sum("cnt").alias("cnt")))
+
+
+def run_hour_counts_available_now(spark: SparkSession, input_dir: str,
+                                  out_dir: str, schema,
+                                  max_files_per_trigger: int = 1) -> str:
+    """Drain available input files, writing each micro-batch's
+    (event_type, hour_id, n) count table to ``counts/batch=<id>/``
+    (idempotent per batchId — the CMS exactly-once recipe); returns the
+    counts root.  Counts merge by cell-wise SUM, so the reader's merged
+    table equals the batch table of everything ingested regardless of
+    how events split across micro-batches or arrive out of order —
+    burst detection needs no state store and no watermark."""
+    import recrun_spark.functions.events as ev
+    root = os.path.join(out_dir, "counts")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (ev.hour_counts(batch_df)
+         .write.mode("overwrite")
+         .parquet(os.path.join(root, f"batch={batch_id}")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return root
+
+
+def read_bursts(spark: SparkSession, counts_root: str,
+                trail_hours: int = 3,
+                burst_ratio_bp: int = 20000) -> DataFrame:
+    """Merge all per-batch hour-count cells (cell-wise sum) and run the
+    SAME burst window as the batch entry (events.bursts_from_hour_counts
+    — shared code, semantics cannot drift)."""
+    import recrun_spark.functions.events as ev
+    merged = (spark.read.parquet(os.path.join(counts_root, "batch=*"))
+              .groupBy("event_type", "hour_id")
+              .agg(F.sum("n").cast("long").alias("n")))
+    return ev.bursts_from_hour_counts(merged, trail_hours, burst_ratio_bp)

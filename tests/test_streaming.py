@@ -810,3 +810,49 @@ def test_incremental_hdr_stream_equals_batch(spark, tmpdir_path):
     assert got4 == cells_of(hdr_histogram(spark.read.parquet(events),
                                           "value",
                                           group_cols=["event_type"]))
+
+
+def test_incremental_bursts_stream_equals_batch(spark, tmpdir_path):
+    """Streaming burst detection: 3 micro-batches of events produce
+    per-batch (type, hour) count cells that merge (cell-wise sum) into
+    EXACTLY the batch hourly_bursts output over the same files — and a
+    late 4th file restores equality with the full corpus.  Shared
+    window code (bursts_from_hour_counts) makes drift impossible; the
+    count-cell state is bounded at |types|x|hours| per batch with no
+    state store and no watermark."""
+    import shutil
+
+    from recrun_spark.functions.events import hourly_bursts
+    from recrun_spark.streaming.freq import (read_bursts,
+                                             run_hour_counts_available_now)
+    from recrun_spark.streaming.sessions import prepare_ranged_events
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    staging = prepare_ranged_events(events,
+                                    os.path.join(tmpdir_path, "staging"), 4)
+    files = sorted(os.listdir(staging))
+    src = os.path.join(tmpdir_path, "in")
+    os.makedirs(src)
+    for f in files[:3]:
+        shutil.copy2(os.path.join(staging, f), os.path.join(src, f))
+    schema = spark.read.parquet(events).schema
+    out_dir = os.path.join(tmpdir_path, "bursts")
+
+    def rows_of(df):
+        return {(r["event_type"], r["hour_id"]):
+                (r["n"], r["trail_n"], r["burst_bp"], r["is_burst"])
+                for r in df.collect()}
+
+    root = run_hour_counts_available_now(spark, src, out_dir, schema)
+    assert len([d for d in os.listdir(root)
+                if d.startswith("batch=")]) == 3
+    got3 = rows_of(read_bursts(spark, root))
+    assert got3 == rows_of(hourly_bursts(spark.read.parquet(src)))
+    assert any(v[3] for v in got3.values())        # bursts really fire
+
+    shutil.copy2(os.path.join(staging, files[3]),
+                 os.path.join(src, files[3]))
+    run_hour_counts_available_now(spark, src, out_dir, schema)
+    got4 = rows_of(read_bursts(spark, root))
+    assert got4 == rows_of(hourly_bursts(spark.read.parquet(events)))
+    assert got4 != got3

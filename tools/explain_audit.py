@@ -1159,6 +1159,36 @@ def main():
                lambda p: "ReadSchema" in p and "event_type" not in p),
           ])
 
+    # association rules (r5): dimension join broadcast, basket pair join
+    # keyed on the shared order, everything partial-aggregated
+    audit("orders_brand_rules", qs["orders_brand_rules"](spark, SF_DIR), [
+        ("final read is checkpoint-truncated",
+         lambda p: "Scan ExistingRDD" in p or "LocalTableScan" in p),
+    ])
+    br_li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey")
+    br_pt = spark.read.parquet(f"{SF_DIR}/part.parquet") \
+        .select("p_partkey", "p_brand")
+    br_ob = (br_li.join(F.broadcast(br_pt),
+                        br_li["l_partkey"] == br_pt["p_partkey"])
+             .select(F.col("l_orderkey").alias("o"),
+                     F.col("p_brand").alias("b")).distinct())
+    br_pairs = (br_ob.select("o", F.col("b").alias("ante"))
+                .join(br_ob.select("o", F.col("b").alias("cons")), "o")
+                .where(F.col("ante") != F.col("cons"))
+                .groupBy("ante", "cons")
+                .agg(F.count(F.lit(1)).alias("n_ab")))
+    audit("brand_rules_operator", br_pairs, [
+        ("dimension join is broadcast",
+         lambda p: "BroadcastHashJoin" in p),
+        ("pair join is keyed on the shared order (no cartesian)",
+         lambda p: "CartesianProduct" not in p),
+        ("pair count partial-aggregates map-side",
+         lambda p: "partial_count" in p),
+        ("no single-reducer exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+    ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
