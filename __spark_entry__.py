@@ -2710,6 +2710,75 @@ def orders_brand_rules(spark, sf_dir):
     return _finalize(out)
 
 
+def documents_dup_evidence(spark, sf_dir):
+    """EVIDENCE table for near-dup pairs — the explainability view a
+    production dedup reviewer needs: for every exact-Jaccard pair at the
+    dedup_jaccard threshold, its 3 RAREST shared shingles (df asc,
+    shingle asc — rare shingles are the distinctive evidence; common
+    ones are boilerplate).  One persisted kept-shingle frame feeds the
+    pair generation AND the evidence join (the LSH one-cache
+    discipline); the rank window is partitioned per pair."""
+    from pyspark.sql import Window
+
+    from recrun_spark.functions.dedup import (_jaccard_of_pairs,
+                                              _kept_shingles)
+    docs = _t(spark, sf_dir, "documents")
+    sh = _kept_shingles(docs, 3, "text", "doc_id", 1000).persist()
+    pairs = (_jaccard_of_pairs(None, sh, 0.30)
+             .select("doc_a", "doc_b"))
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    shared = (pairs
+              .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"),
+                    "doc_a")
+              .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                    ["doc_b", "shingle"]))
+    w = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.col("df").asc(), F.col("shingle").asc())
+    out = (shared.join(df_tbl, "shingle")
+           .withColumn("ev_rank", F.row_number().over(w))
+           .where(F.col("ev_rank") <= 3)
+           .select("doc_a", "doc_b", "shingle",
+                   F.col("df").cast("long").alias("df"),
+                   F.col("ev_rank").cast("int").alias("ev_rank")))
+    out._recrun_caches = [sh]
+    return _finalize(out)
+
+
+def events_skew_report(spark, sf_dir):
+    """JOIN-SKEW ADVISOR — the one-row report that decides whether a
+    user-keyed shuffle needs salting (the salted_join operator's sizing
+    input): per-key counts reduce to a COUNT-OF-COUNTS table (≤ distinct
+    count values — tiny by construction, the mad_outliers discipline),
+    exact p50/p99 come from the rank rule over its cumulative sums
+    (percentile_disc semantics: smallest value whose cumulative count
+    reaches the quantile), and the recommendation is
+    salt_buckets = ⌈max div p99⌉ in pure integers.  The only windows
+    run over the count-of-counts table."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    cc = c.groupBy("n").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cc.withColumn("cum", F.sum("k").over(w))
+    tot = cum.agg(F.max("cum").alias("n_keys"),
+                  F.max("n").alias("max_n"))
+    q = (cum.crossJoin(F.broadcast(tot))
+         .agg(F.min(F.when(2 * F.col("cum") >= F.col("n_keys"),
+                           F.col("n"))).alias("median_n"),
+              F.min(F.when(100 * F.col("cum") >= 99 * F.col("n_keys"),
+                           F.col("n"))).alias("p99_n"),
+              F.max("n_keys").alias("n_keys"),
+              F.max("max_n").alias("max_n")))
+    return (q.select(F.col("n_keys").cast("long").alias("n_keys"),
+                     F.col("median_n").cast("long").alias("median_n"),
+                     F.col("p99_n").cast("long").alias("p99_n"),
+                     F.col("max_n").cast("long").alias("max_n"),
+                     F.expr("10000 * max_n div median_n").cast("long")
+                     .alias("skew_ratio_bp"),
+                     F.expr("(max_n + p99_n - 1) div p99_n").cast("long")
+                     .alias("salt_buckets")))
+
+
 def events_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: a user reaches a stage only
     via an event STRICTLY AFTER a qualifying event of the previous stage
@@ -3282,6 +3351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_partition_plan": kg_partition_plan,
         "events_user_active_time": events_user_active_time,
         "orders_brand_rules": orders_brand_rules,
+        "documents_dup_evidence": documents_dup_evidence,
+        "events_skew_report": events_skew_report,
         "events_retention_cohorts": events_retention_cohorts,
         "events_type_pivot": events_type_pivot,
         "simhash_sigs": simhash_sigs,
@@ -4826,6 +4897,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN edges e3 ON e3.src = e2.dst
             WHERE e1.src = 'E_SPARK'
             GROUP BY 1
+        """,
+        "documents_dup_evidence": f"""
+            WITH {_SHINGLE_CTE},
+            pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.30),
+            dfx AS (SELECT shingle, count(*)::BIGINT AS df FROM sh
+                    GROUP BY 1),
+            shared AS (SELECT p.doc_a, p.doc_b, a.shingle
+                       FROM pairs p
+                       JOIN sh a ON a.doc_id = p.doc_a
+                       JOIN sh b ON b.doc_id = p.doc_b
+                              AND b.shingle = a.shingle),
+            ranked AS (SELECT s.doc_a, s.doc_b, s.shingle, dfx.df,
+                              row_number() OVER (
+                                PARTITION BY s.doc_a, s.doc_b
+                                ORDER BY dfx.df ASC, s.shingle ASC)
+                                AS ev_rank
+                       FROM shared s JOIN dfx USING (shingle))
+            SELECT doc_a, doc_b, shingle, df, ev_rank::INT AS ev_rank
+            FROM ranked WHERE ev_rank <= 3
+        """,
+        "events_skew_report": """
+            WITH c AS (SELECT user_id, count(*) AS n FROM events
+                       GROUP BY 1),
+            cc AS (SELECT n, count(*) AS k FROM c GROUP BY 1),
+            cum AS (SELECT n, sum(k) OVER (ORDER BY n
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+                    FROM cc),
+            tot AS (SELECT max(cum) AS n_keys, max(n) AS max_n FROM cum),
+            q AS (SELECT min(CASE WHEN 2 * cum >= t.n_keys THEN n END)
+                           AS median_n,
+                         min(CASE WHEN 100 * cum >= 99 * t.n_keys THEN n
+                             END) AS p99_n,
+                         max(t.n_keys) AS n_keys, max(t.max_n) AS max_n
+                  FROM cum, tot t)
+            SELECT n_keys::BIGINT AS n_keys, median_n::BIGINT AS median_n,
+                   p99_n::BIGINT AS p99_n, max_n::BIGINT AS max_n,
+                   ((10000 * max_n) // median_n)::BIGINT AS skew_ratio_bp,
+                   ((max_n + p99_n - 1) // p99_n)::BIGINT AS salt_buckets
+            FROM q
         """,
         "orders_brand_rules": """
             WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b

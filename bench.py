@@ -280,7 +280,8 @@ def main():
                  "events_equidepth_bins", "customer_mst",
                  "events_seasonality", "kg_walk_counts",
                  "kg_partition_plan", "events_user_active_time",
-                 "orders_brand_rules"):
+                 "orders_brand_rules", "documents_dup_evidence",
+                 "events_skew_report"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -1189,6 +1189,26 @@ def main():
          lambda p: "Exchange SinglePartition" not in p),
     ])
 
+    # dup evidence + skew report (r5): final reads checkpoint-truncated /
+    # tiny-by-construction; the skew report's windows run over the
+    # count-of-counts table ONLY (a global window over a tiny frame —
+    # documented, the mad_outliers discipline)
+    audit("documents_dup_evidence_result",
+          qs["documents_dup_evidence"](spark, SF_DIR), [
+              ("final read is checkpoint-truncated",
+               lambda p: "Scan ExistingRDD" in p
+               or "LocalTableScan" in p),
+          ])
+    audit("events_skew_report", qs["events_skew_report"](spark, SF_DIR), [
+        ("per-key and count-of-count aggregates partial map-side",
+         lambda p: "partial_count" in p),
+        ("no cartesian over corpus-scale frames",
+         lambda p: "CartesianProduct" not in p),
+        ("scan prunes to user_id only",
+         lambda p: "ReadSchema" in p and "event_type" not in p
+         and "value" not in p),
+    ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
