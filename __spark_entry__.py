@@ -306,6 +306,105 @@ def kg_entity_ppr(spark, sf_dir):
                                            iterations=4))
 
 
+def kg_entity_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED entity PageRank (operators.weighted_pagerank — out-link
+    mass splits by edge weight): the mention graph weighted by MENTION
+    COUNT instead of mere incidence, so an entity mentioned ten times in
+    a doc pulls ten times the mass of a passing reference — the ranking
+    the flat kg_entity_pagerank approximates.  4 rounds at scale 10⁹
+    (rank·w headroom — see the operator docstring); the oracle unrolls
+    the identical per-edge-divided recurrence."""
+    from recrun_spark.operators import weighted_pagerank
+    ments = (_mentions_df(spark, sf_dir)
+             .groupBy("doc_id", "entity")
+             .agg(F.count(F.lit(1)).alias("w")))
+    de = ments.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity").alias("dst"), "w")
+    edges = de.union(de.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"), "w"))
+    return _finalize(weighted_pagerank(edges, iterations=4, weight="w"))
+
+
+def _wpagerank_sql(iters: int = 4, damping_pct: int = 85,
+                   scale: int = 10 ** 9) -> str:
+    """Weighted-pagerank oracle: mention-count edge weights, per-source
+    out-weight totals, and the per-edge-divided recurrence
+    rank·w // sw — unrolled chained CTEs, trajectory-equal."""
+    base = (scale * (100 - damping_pct)) // 100
+    rounds = [f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank "
+              "FROM nodes)"]
+    for i in range(1, iters + 1):
+        rounds.append(f"""r{i} AS (
+              SELECT n.node,
+                     CAST({base} + ({damping_pct} * coalesce(c.s, 0)) // 100
+                          AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum((p.rank * e.w) // sw.s) AS s
+                FROM r{i - 1} p
+                JOIN edges e ON e.src = p.node
+                JOIN sw ON sw.src = p.node
+                GROUP BY 1) c ON c.node = n.node)""")
+    return f"""
+        WITH {_MENTIONS_CTE},
+        m AS (SELECT doc_id, entity, count(*)::BIGINT AS w FROM ments
+              GROUP BY 1, 2),
+        de AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                      entity AS dst, w FROM m),
+        edges AS (SELECT src, dst, w FROM de
+                  UNION ALL SELECT dst AS src, src AS dst, w FROM de),
+        sw AS (SELECT src, sum(w) AS s FROM edges GROUP BY 1),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        {','.join(rounds)}
+        SELECT node, rank FROM r{iters}
+    """
+
+
+def orders_dim_asof(spark, sf_dir):
+    """BITEMPORAL LOOKUP — every order joined to the SCD2 customer
+    dimension version VALID AT its order date (valid_from ≤ od < valid_to,
+    null-open current versions): the point-in-time enrichment every
+    versioned warehouse does after a type-2 merge, and the consumer side
+    of customer_dim_scd2 (same dim construction, shared semantics: the
+    half-open intervals mean an order ON the version boundary reads the
+    NEW version).  Equality join on the customer key + interval filter —
+    the dim is versions-per-key small, so the join stays keyed; exactly
+    one version matches per order by SCD2 interval disjointness."""
+    from pyspark.sql import Window
+
+    from recrun_spark.operators import scd2_merge
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("NONE").alias("priority"),
+        F.expr("TIMESTAMP_NTZ '1990-01-01 00:00:00'").alias("valid_from"),
+        F.expr("CAST(NULL AS TIMESTAMP_NTZ)").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    orders = _t(spark, sf_dir, "orders")
+    upd = (orders
+           .withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1)
+           .select(F.col("o_custkey").alias("custkey"),
+                   F.col("o_orderpriority").alias("priority"),
+                   F.col("o_orderdate").alias("as_of")))
+    versions = scd2_merge(dim, upd, "custkey", ["priority"], "as_of")
+    out = (orders.select("o_orderkey",
+                         F.col("o_custkey").alias("custkey"),
+                         F.col("o_orderdate").alias("od"))
+           .join(versions, "custkey")
+           .where((F.col("valid_from") <= F.col("od").cast("timestamp_ntz"))
+                  & (F.col("valid_to").isNull()
+                     | (F.col("od").cast("timestamp_ntz")
+                        < F.col("valid_to"))))
+           .select("o_orderkey", "custkey",
+                   F.col("priority").alias("priority_at_order"),
+                   "valid_from"))
+    return out
+
+
 def kg_label_prop(spark, sf_dir):
     """Community detection over the doc↔entity mention graph
     (operators.label_propagation — synchronous deterministic LPA,
@@ -3228,7 +3327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # artifact even if a per-round budget trims the tail of the dict
         "kg_triples_stream": kg_triples_stream,
         "kg_entity_pagerank": kg_entity_pagerank,
+        "kg_entity_pagerank_weighted": kg_entity_pagerank_weighted,
         "kg_entity_ppr": kg_entity_ppr,
+        "orders_dim_asof": orders_dim_asof,
         "kg_label_prop": kg_label_prop,
         "documents_bm25_topk": documents_bm25_topk,
         "orders_skyline": orders_skyline,
@@ -4246,7 +4347,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kg_entity_pagerank": _pagerank_sql(),
+        "kg_entity_pagerank_weighted": _wpagerank_sql(),
         "kg_entity_ppr": _ppr_sql(),
+        "orders_dim_asof": """
+            WITH latest AS (
+              SELECT o_custkey AS custkey,
+                     o_orderpriority AS priority,
+                     o_orderdate AS as_of,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders),
+            upd AS (SELECT custkey, priority, as_of
+                    FROM latest WHERE rn = 1),
+            base AS (
+              SELECT c_custkey AS custkey, 'NONE' AS priority,
+                     TIMESTAMP '1990-01-01' AS valid_from,
+                     CAST(NULL AS TIMESTAMP) AS valid_to
+              FROM customer),
+            dim AS (
+              SELECT b.custkey, b.priority, b.valid_from,
+                     u.as_of AS valid_to
+              FROM base b JOIN upd u USING (custkey)
+              WHERE u.priority IS DISTINCT FROM b.priority
+              UNION ALL
+              SELECT b.custkey, u.priority, u.as_of,
+                     CAST(NULL AS TIMESTAMP)
+              FROM base b JOIN upd u USING (custkey)
+              WHERE u.priority IS DISTINCT FROM b.priority
+              UNION ALL
+              SELECT b.custkey, b.priority, b.valid_from, b.valid_to
+              FROM base b LEFT JOIN upd u USING (custkey)
+              WHERE u.custkey IS NULL
+                 OR u.priority IS NOT DISTINCT FROM b.priority)
+            SELECT o.o_orderkey, o.o_custkey AS custkey,
+                   d.priority AS priority_at_order, d.valid_from
+            FROM orders o JOIN dim d ON d.custkey = o.o_custkey
+            WHERE d.valid_from <= o.o_orderdate
+              AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        """,
         "kg_label_prop": _label_prop_sql(),
         "orders_sssp": _sssp_sql(),
         "join_size_estimate": f"""

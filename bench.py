@@ -281,7 +281,8 @@ def main():
                  "events_seasonality", "kg_walk_counts",
                  "kg_partition_plan", "events_user_active_time",
                  "orders_brand_rules", "documents_dup_evidence",
-                 "events_skew_report"):
+                 "events_skew_report", "kg_entity_pagerank_weighted",
+                 "orders_dim_asof"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -226,6 +226,54 @@ def personalized_pagerank(edges: DataFrame, seeds, iterations: int = 3,
     return r
 
 
+def weighted_pagerank(edges: DataFrame, iterations: int = 4,
+                      damping_pct: int = 85, scale: int = 10 ** 9,
+                      src: str = "src", dst: str = "dst",
+                      weight: str = "weight") -> DataFrame:
+    """PageRank over a WEIGHTED graph (Page et al. 1999 §2.6 — the
+    out-link mass splits proportionally to edge weight, the natural
+    model when the mention graph carries mention COUNTS instead of mere
+    incidence): rank' = base + damping·(Σ_in rank·w div sw) div 100
+    where sw = the source's total out-weight.  Same all-int64 discipline
+    as ``pagerank`` — per-edge division BEFORE the sum, so the oracle
+    replays the trajectory bit-for-bit — with one extra headroom term:
+    rank·w ≤ total_mass·w_max, so pick ``scale`` such that
+    V·scale·w_max < 2⁶³ (the default 10⁹ carries V·w_max up to ~9·10⁹;
+    drop a decade per decade of graph growth, the pagerank discipline).
+    Parallel edges combine by weight sum; weights must be positive.
+
+    Scale shape per round: ONE ranks×edges equi-join + one dst-keyed
+    sum (map-side combinable), localCheckpoint lineage discipline.
+    Returns (node, rank:long)."""
+    if not (0 < damping_pct < 100):
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      F.col(weight).cast("long").alias("w"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & (F.col("w") > 0))
+         .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+         .persist())
+    sw = e.groupBy("src").agg(F.sum("w").alias("sw"))
+    e2 = e.join(sw, "src").persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .persist())
+    base = (scale * (100 - damping_pct)) // 100
+    r = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (e2.join(r.withColumnRenamed("node", "src"), "src")
+                   .select("dst", F.expr("rank * w div sw").alias("c")))
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (nodes.join(agg, nodes["node"] == agg["dst"], "left")
+             .select("node",
+                     (F.lit(base)
+                      + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100"))
+                     .cast("long").alias("rank"))
+             .localCheckpoint(eager=True))
+    r._recrun_caches = [e, e2, nodes]
+    return r
+
+
 def label_propagation(edges: DataFrame, iterations: int = 5,
                       src: str = "src", dst: str = "dst") -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan et al. 2007)

@@ -1423,6 +1423,47 @@ def test_active_time_islands_semantics(spark):
     assert got[3] == (5 * m, 1, 1)
 
 
+def test_weighted_pagerank_semantics(spark):
+    """Weighted-pagerank pins: with UNIFORM weights the trajectory
+    equals plain pagerank at the same scale (w/sw = 1/out_deg exactly);
+    unequal weights shift mass proportionally (the heavy target of a
+    2-edge source outranks the light one by exactly the per-edge
+    division); non-positive weights are dropped; parallel edges combine
+    by weight sum; bit-exact under repartitioning."""
+    from recrun_spark.operators import (pagerank, release_caches,
+                                        weighted_pagerank)
+    S = 10 ** 9
+    g = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("a", "c", 1)]
+    df = spark.createDataFrame(g, ["src", "dst", "weight"])
+    wpr = {r["node"]: r["rank"]
+           for r in weighted_pagerank(df, iterations=4).collect()}
+    plain = {r["node"]: r["rank"]
+             for r in pagerank(
+                 spark.createDataFrame([(s, d) for s, d, _ in g],
+                                       ["src", "dst"]),
+                 iterations=4, scale=S).collect()}
+    assert wpr == plain                            # uniform == unweighted
+    skew = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1)], ["src", "dst", "weight"])
+    got = {r["node"]: r["rank"]
+           for r in weighted_pagerank(skew, iterations=1).collect()}
+    base = (S * 15) // 100
+    assert got["b"] == base + (85 * ((S * 9) // 10)) // 100
+    assert got["c"] == base + (85 * ((S * 1) // 10)) // 100
+    dropped = spark.createDataFrame(
+        [("a", "b", 0), ("a", "c", 2), ("a", "c", 3)],
+        ["src", "dst", "weight"])
+    out = weighted_pagerank(dropped, iterations=1)
+    got2 = {r["node"]: r["rank"] for r in out.collect()}
+    assert "b" not in got2                         # zero weight dropped
+    assert got2["c"] == base + (85 * S) // 100     # 5/5 of a's mass
+    again = {r["node"]: r["rank"]
+             for r in weighted_pagerank(df.repartition(7),
+                                        iterations=4).collect()}
+    assert again == wpr
+    release_caches(out)
+
+
 def test_cap_per_group_exact_and_prefilter_agree(spark):
     """Domain caps: at most ``cap`` rows per group, chosen as the hash-
     smallest keys — deterministic across runs.  The opt-in mega-domain

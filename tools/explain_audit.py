@@ -1209,6 +1209,22 @@ def main():
          and "value" not in p),
     ])
 
+    # weighted pagerank + SCD2 as-of lookup (r5)
+    audit("kg_entity_pagerank_weighted_result",
+          qs["kg_entity_pagerank_weighted"](spark, SF_DIR), [
+              ("final read is checkpoint-truncated",
+               lambda p: "Scan ExistingRDD" in p
+               or "LocalTableScan" in p),
+          ])
+    audit("orders_dim_asof", qs["orders_dim_asof"](spark, SF_DIR), [
+        ("version lookup is an equality join on the key (no cartesian)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no single-reducer exchange outside the tiny dim build",
+         lambda p: p.count("Exchange SinglePartition") == 0
+         or "Window" in p),
+    ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
