@@ -149,6 +149,68 @@ def revenue_by_region(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_items")))
 
 
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 analog (shipping priority): top-10 unshipped orders of
+    the BUILDING segment by revenue — the classic selective 3-way join
+    + grouped top-k.  Filters sit on each table BEFORE the joins (scan
+    pushdown: segment on customer, date on orders and lineitem), the
+    dimension side is the already-filtered customer (semi-join shape),
+    and the top-10 is sort+limit (TakeOrderedAndProject — never a
+    global window)."""
+    d = "TIMESTAMP_NTZ '1995-03-15 00:00:00'"
+    cust = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.expr(f"o_orderdate < {d}"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.expr(f"l_shipdate > {d}"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
+                     F.col("l_orderkey").asc())
+            .limit(10))
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 analog (local supplier volume): revenue per ASIA nation
+    for 1996 orders where the supplier and the customer share a nation —
+    the 6-way join with the EXTRA non-key equality (c_nationkey =
+    s_nationkey) that makes join ORDER matter.  nation/region broadcast
+    (tiny dims), the fact-side joins stay keyed, and the co-nationality
+    predicate rides inside the supplier join condition so no post-join
+    filter materializes the cross-nation pairs."""
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region")
+                         .where(F.col("r_name") == "ASIA"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 "
+                            "00:00:00' AND o_orderdate < TIMESTAMP_NTZ "
+                            "'1997-01-01 00:00:00'"))
+              .select("o_orderkey", "o_custkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(supp, (li["l_suppkey"] == supp["s_suppkey"])
+                  & (cust["c_nationkey"] == supp["s_nationkey"]))
+            .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+            .join(region, nation["n_regionkey"] == region["r_regionkey"])
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
 def top_customer_per_nation(spark, sf_dir):
     """W1 argmax analog: deterministic window top-1 (R:133-160)."""
     cust = _t(spark, sf_dir, "customer")
@@ -3330,6 +3392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_pagerank_weighted": kg_entity_pagerank_weighted,
         "kg_entity_ppr": kg_entity_ppr,
         "orders_dim_asof": orders_dim_asof,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "kg_label_prop": kg_label_prop,
         "documents_bm25_topk": documents_bm25_topk,
         "orders_skyline": orders_skyline,
@@ -4248,6 +4312,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY 1, 2
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
         """,
         "revenue_by_region": """
             SELECT r_name,

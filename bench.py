@@ -282,7 +282,8 @@ def main():
                  "kg_partition_plan", "events_user_active_time",
                  "orders_brand_rules", "documents_dup_evidence",
                  "events_skew_report", "kg_entity_pagerank_weighted",
-                 "orders_dim_asof"):
+                 "orders_dim_asof", "q3_shipping_priority",
+                 "q5_local_supplier_volume"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

@@ -1225,6 +1225,30 @@ def main():
          or "Window" in p),
     ])
 
+    # TPC-H Q3/Q5 analogs (r5): filters pushed to every scan, keyed
+    # fact joins, broadcast dims, top-k as TakeOrdered
+    audit("q3_shipping_priority",
+          qs["q3_shipping_priority"](spark, SF_DIR), [
+              ("date/segment filters pushed to the scans",
+               lambda p: "PushedFilters" in p
+               and p.count("IsNotNull") >= 2),
+              ("top-10 is TakeOrderedAndProject (no global window)",
+               lambda p: "TakeOrderedAndProject" in p),
+              ("no cartesian",
+               lambda p: "CartesianProduct" not in p),
+          ])
+    audit("q5_local_supplier_volume",
+          qs["q5_local_supplier_volume"](spark, SF_DIR), [
+              ("nation/region ride broadcast joins",
+               lambda p: "BroadcastHashJoin" in p),
+              ("co-nationality predicate inside a keyed join "
+               "(no post-join cartesian)",
+               lambda p: "CartesianProduct" not in p
+               and "BroadcastNestedLoopJoin" not in p),
+              ("final aggregate partial-combines map-side",
+               lambda p: "partial_sum" in p or "partial_count" in p),
+          ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
