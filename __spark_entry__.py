@@ -211,6 +211,33 @@ def q5_local_supplier_volume(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_items")))
 
 
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 analog (large-volume customers): top-20 orders whose
+    total line quantity exceeds 300 — the classic GROUP-BY-HAVING
+    semi-join: the qualifying order set reduces FIRST (one map-side-
+    combinable quantity sum + having), rides as a semi-join into the
+    fact joins, and the final top-20 is sort+limit with deterministic
+    tiebreaks.  Quantities are integer-valued doubles; the sum is exact
+    and cast to long so the oracle value-hashes."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("qty"))
+           .where(F.col("qty") > 300)
+           .select("l_orderkey"))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (li.join(big, "l_orderkey", "left_semi")
+            .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+            .orderBy(F.col("o_totalprice").desc(),
+                     F.col("o_orderdate").asc(),
+                     F.col("o_orderkey").asc())
+            .limit(20))
+
+
 def top_customer_per_nation(spark, sf_dir):
     """W1 argmax analog: deterministic window top-1 (R:133-160)."""
     cust = _t(spark, sf_dir, "customer")
@@ -3394,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_dim_asof": orders_dim_asof,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q18_large_volume_customer": q18_large_volume_customer,
         "kg_label_prop": kg_label_prop,
         "documents_bm25_topk": documents_bm25_topk,
         "orders_skyline": orders_skyline,
@@ -4343,6 +4371,20 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "q18_large_volume_customer": """
+            WITH big AS (SELECT l_orderkey FROM lineitem
+                         GROUP BY 1 HAVING sum(l_quantity) > 300)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice,
+                   sum(l_quantity)::BIGINT AS total_qty
+            FROM lineitem
+            JOIN big USING (l_orderkey)
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2, 3, 4, 5
+            ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+            LIMIT 20
         """,
         "revenue_by_region": """
             SELECT r_name,

@@ -1249,6 +1249,20 @@ def main():
                lambda p: "partial_sum" in p or "partial_count" in p),
           ])
 
+    # TPC-H Q18 analog (r5): qualifying orders reduce first and ride a
+    # LEFT SEMI join; top-20 is TakeOrdered
+    audit("q18_large_volume_customer",
+          qs["q18_large_volume_customer"](spark, SF_DIR), [
+              ("qualifying set rides a left-semi join",
+               lambda p: "LeftSemi" in p),
+              ("quantity sums partial-combine map-side",
+               lambda p: "partial_sum" in p),
+              ("top-20 is TakeOrderedAndProject (no global window)",
+               lambda p: "TakeOrderedAndProject" in p),
+              ("no cartesian",
+               lambda p: "CartesianProduct" not in p),
+          ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
