@@ -156,7 +156,9 @@ def q3_shipping_priority(spark, sf_dir):
     pushdown: segment on customer, date on orders and lineitem), the
     dimension side is the already-filtered customer (semi-join shape),
     and the top-10 is sort+limit (TakeOrderedAndProject — never a
-    global window)."""
+    global window).  Revenue in integer cents (the Q10 lesson: a double
+    sum diverges at the cent with summation order near a rounding
+    boundary)."""
     d = "TIMESTAMP_NTZ '1995-03-15 00:00:00'"
     cust = (_t(spark, sf_dir, "customer")
             .where(F.col("c_mktsegment") == "BUILDING")
@@ -170,10 +172,11 @@ def q3_shipping_priority(spark, sf_dir):
     return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
             .join(cust, orders["o_custkey"] == cust["c_custkey"])
             .groupBy("l_orderkey", "o_orderdate")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue"))
-            .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
+            .agg(F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100, 0)
+                       .cast("long")).alias("revenue_cents"))
+            .orderBy(F.col("revenue_cents").desc(),
+                     F.col("o_orderdate").asc(),
                      F.col("l_orderkey").asc())
             .limit(10))
 
@@ -205,9 +208,9 @@ def q5_local_supplier_volume(spark, sf_dir):
             .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
             .join(region, nation["n_regionkey"] == region["r_regionkey"])
             .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue"),
+            .agg(F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100, 0)
+                       .cast("long")).alias("revenue_cents"),
                  F.count(F.lit(1)).alias("n_items")))
 
 
@@ -235,6 +238,39 @@ def q18_large_volume_customer(spark, sf_dir):
             .orderBy(F.col("o_totalprice").desc(),
                      F.col("o_orderdate").asc(),
                      F.col("o_orderkey").asc())
+            .limit(20))
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 analog (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter — return-flag and date
+    filters pushed to the scans, nation broadcast, revenue grouped per
+    customer, top-20 via sort+limit with the customer key as the
+    deterministic tiebreak.  Revenue is summed in INTEGER CENTS
+    (per-row round(price·(1−disc)·100) — the IEEE product is
+    bit-identical in both engines, and the integer sum is order-free;
+    a double sum over this many rows per group diverges at the cent
+    with summation order — caught by the oracle on first run)."""
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 "
+                            "00:00:00' AND o_orderdate < TIMESTAMP_NTZ "
+                            "'1996-04-01 00:00:00'"))
+              .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100, 0)
+                       .cast("long")).alias("revenue_cents"))
+            .orderBy(F.col("revenue_cents").desc(),
+                     F.col("c_custkey").asc())
             .limit(20))
 
 
@@ -3422,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q18_large_volume_customer": q18_large_volume_customer,
+        "q10_returned_items": q10_returned_items,
         "kg_label_prop": kg_label_prop,
         "documents_bm25_topk": documents_bm25_topk,
         "orders_skyline": orders_skyline,
@@ -4343,8 +4380,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                     AS revenue
+                   sum(round(l_extendedprice * (1 - l_discount) * 100))
+                     ::BIGINT AS revenue_cents
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -4352,13 +4389,13 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1995-03-15'
               AND l_shipdate > TIMESTAMP '1995-03-15'
             GROUP BY 1, 2
-            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
             LIMIT 10
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                     AS revenue,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100))
+                     ::BIGINT AS revenue_cents,
                    count(*) AS n_items
             FROM customer
             JOIN orders ON c_custkey = o_custkey
@@ -4371,6 +4408,21 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100))
+                     ::BIGINT AS revenue_cents
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue_cents DESC, c_custkey ASC
+            LIMIT 20
         """,
         "q18_large_volume_customer": """
             WITH big AS (SELECT l_orderkey FROM lineitem

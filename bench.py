@@ -283,7 +283,8 @@ def main():
                  "orders_brand_rules", "documents_dup_evidence",
                  "events_skew_report", "kg_entity_pagerank_weighted",
                  "orders_dim_asof", "q3_shipping_priority",
-                 "q5_local_supplier_volume", "q18_large_volume_customer"):
+                 "q5_local_supplier_volume", "q18_large_volume_customer",
+                 "q10_returned_items"):
         timed(name, lambda n=name: run_query(n))
 
     # -- headline: stage-1 extraction throughput (docs/sec) ---------------

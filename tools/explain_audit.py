@@ -1263,6 +1263,17 @@ def main():
                lambda p: "CartesianProduct" not in p),
           ])
 
+    # TPC-H Q10 analog (r5): returnflag/date filters pushed, nation
+    # broadcast, top-20 TakeOrdered
+    audit("q10_returned_items", qs["q10_returned_items"](spark, SF_DIR), [
+        ("returnflag filter pushed to the lineitem scan",
+         lambda p: "l_returnflag" in p and "PushedFilters" in p),
+        ("nation rides a broadcast join",
+         lambda p: "BroadcastHashJoin" in p),
+        ("top-20 is TakeOrderedAndProject (no global window)",
+         lambda p: "TakeOrderedAndProject" in p),
+    ])
+
     # BPE application (r5): the merge chain must be a pure projection
     # (chained replaces — no per-round jobs), with one word-keyed join
     # and a map-side-combinable per-doc sum
