@@ -75,17 +75,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, entity, n_mentions) for the inline dictionary."""
+    """(doc_id, entity, n_mentions) for the inline dictionary.
+
+    The dictionary rides as one array-of-structs LITERAL projection with a
+    foldable ``\\b<alias>\\b`` pattern per entity — each regex compiles
+    ONCE in codegen.  The former broadcast-crossJoin shape built the
+    pattern from the joined alias COLUMN, so the per-expression regex
+    cache (which holds the last pattern only) missed on every row as the
+    5 aliases cycled — five regex recompiles per document, the dominant
+    term of every kg_* entry that starts from mentions.  Same patterns,
+    same counts, same rows."""
     docs = _t(spark, sf_dir, "documents")
-    aliases = spark.createDataFrame(FLAT_ALIASES, ["alias", "entity"])
-    hits = (docs.crossJoin(F.broadcast(aliases))
-            .select(
-                "doc_id", "entity",
-                F.size(F.expr(
-                    r"regexp_extract_all(lower(text), concat('\\b', alias, '\\b'), 0)"
-                )).cast("long").alias("n_mentions"))
+    lt = docs.select("doc_id", F.lower(F.col("text")).alias("_lt"))
+    pairs = F.array(*[
+        F.struct(
+            F.lit(entity).alias("entity"),
+            F.size(F.regexp_extract_all(
+                F.col("_lt"), F.lit(rf"\b{alias}\b"), F.lit(0)))
+            .cast("long").alias("n_mentions"))
+        for alias, entity in FLAT_ALIASES])
+    return (lt.select("doc_id", F.explode(pairs).alias("_p"))
+            .select("doc_id", F.col("_p.entity").alias("entity"),
+                    F.col("_p.n_mentions").alias("n_mentions"))
             .where(F.col("n_mentions") > 0))
-    return hits
 
 
 # ---------------------------------------------------------------------------
@@ -2815,16 +2827,31 @@ def kg_walk_counts(spark, sf_dir):
     de = ments.select(
         F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
         F.col("entity").alias("dst"))
+    # checkpoint the edge list: it feeds all three hops (the lazy union
+    # subtree would re-run the mention regex scan twice per consumer —
+    # six corpus scans per action)
     edges = (de.union(de.select(F.col("dst").alias("src"),
-                                F.col("src").alias("dst"))))
-    e1 = edges.where(F.col("src") == "E_SPARK").select(
-        F.col("dst").alias("n1"))
-    e2 = e1.join(edges.select(F.col("src").alias("n1"),
-                              F.col("dst").alias("n2")), "n1")
-    e3 = e2.join(edges.select(F.col("src").alias("n2"),
-                              F.col("dst").alias("n3")), "n2")
-    return (e3.groupBy(F.col("n3").alias("node"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_walks")))
+                                F.col("src").alias("dst")))
+             .localCheckpoint(eager=True))
+    # matrix-vector form of the A³ row: aggregate walk COUNTS at every
+    # hop instead of enumerating walks — each join then carries ≤|V|
+    # (node, count) rows, never the walk tuples themselves, and the final
+    # per-endpoint sum is the identical A³ entry (Σ over intermediate
+    # nodes of count·adjacency ≡ the walk count, exactly).  The former
+    # enumerate-then-count shape shipped every 3-walk through two joins
+    # and one giant count — the candidate-explosion anti-pattern the
+    # optimization guide's §2.3 "aggregate before you shuffle" names.
+    w1 = (edges.where(F.col("src") == "E_SPARK")
+          .groupBy(F.col("dst").alias("n1"))
+          .agg(F.count(F.lit(1)).alias("c1")))
+    w2 = (w1.join(edges.select(F.col("src").alias("n1"),
+                               F.col("dst").alias("n2")), "n1")
+          .groupBy("n2").agg(F.sum("c1").alias("c2")))
+    w3 = (w2.join(edges.select(F.col("src").alias("n2"),
+                               F.col("dst").alias("n3")), "n2")
+          .groupBy(F.col("n3").alias("node"))
+          .agg(F.sum("c2").cast("long").alias("n_walks")))
+    return w3
 
 
 def kg_partition_plan(spark, sf_dir):

@@ -275,23 +275,30 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
                 ).alias("bucket")))).alias("bb")) \
         .select("doc_id", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
+    # persist the banded frame: the candidate self-join consumes it on BOTH
+    # sides, and without the cache each side re-runs the whole
+    # signature+banding pipeline (the 64 min-aggregates, the most expensive
+    # stage here) — two full signature computations inside one job (no
+    # exchange reuse: the two subtrees differ by their projections).  The
+    # eager count (materialize=True) fills the cache in one deterministic
+    # job before the join touches it (r5 measured cold-cache races among
+    # concurrent consumers re-running the pipeline).
+    banded = banded.persist()
+    if materialize:
+        banded.count()
     ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     # the candidate-pair frame is consumed THREE times by the verify stage
     # (doc_a filter, doc_b filter, final semi-join) — persist so each
-    # consumer reads the cache instead of recomputing the signature+banding
-    # pipeline (the 64 min-aggregates, the most expensive stage here).
-    # NOTE materialize=True makes construction EAGER: the LSH job runs
-    # here, at build time, so the three consumer subtrees deterministically
-    # hit a fully materialized cache (concurrent first-touch of a cold
-    # cache serializes per-partition in the block manager, but scheduling
-    # then decides how much of the pipeline overlaps — the measured
-    # 9.1s/9.4s quiet-window numbers are WITH this barrier).
+    # consumer reads the cache instead of recomputing the LSH join.
     cands = (ca.join(cb, ["band", "bucket"])
              .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b").distinct().persist())
     if materialize:
         cands.count()
+        # the verify stage never reads banded again — release it now so the
+        # block manager isn't pinning signature rows through verification
+        banded.unpersist()
     # the df-cut is a lazy agg+join over the CACHED shingle frame (skew-safe
     # partial aggregation — a windowed count per shingle would funnel every
     # row of a boilerplate shingle through one partition at corpus scale);
@@ -303,8 +310,9 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
     # the whole point of LSH is to never run the full co-occurrence join
     out = _jaccard_of_pairs(cands, sh_kept, threshold)
     # expose the persisted intermediates so callers can release them after
-    # materializing (operators.release_caches)
-    out._recrun_caches = [sh, cands] + out._jp_caches
+    # materializing (operators.release_caches); banded is already released
+    # on the materialize path but stays marked for plan-only callers
+    out._recrun_caches = [sh, banded, cands] + out._jp_caches
     return out
 
 

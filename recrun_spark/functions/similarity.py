@@ -56,6 +56,18 @@ def cosine_sim(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_pre(a, b, na, nb):
+    """cosine with PRE-COMPUTED norms: dot(a,b) / (na * nb).  Identical
+    IEEE op sequence to ``cosine_sim`` (sum-of-squares, sqrt, multiply,
+    divide — same order), so the double is bit-identical; the norms are
+    just hoisted into a projection computed once per row instead of once
+    per PAIR.  A k-way score (corpus × K centroids, corpus × Q queries)
+    otherwise re-aggregates each side's norm k times — 3× the array
+    traffic of the dot product alone (guide §2.3: don't recompute what a
+    projection can carry)."""
+    return _dot(a, b) / (na * nb)
+
+
 def cosine_topk(embeddings: DataFrame, query_ids, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_dp: int = 4) -> DataFrame:
@@ -67,14 +79,19 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 5,
     vecs = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vec"))
+    vecs = vecs.withColumn("_vn", _norm(F.col("vec")))
     queries = (embeddings
                .where(F.col(id_col).isin(list(query_ids)))
                .select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qvec")))
+    queries = queries.withColumn("_qn", _norm(F.col("qvec")))
+    # norms hoisted out of the pair score (see _cosine_pre): each corpus
+    # row's norm is computed once, not once per query
     scored = (vecs.crossJoin(F.broadcast(queries))
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine_sim(F.col("qvec"), F.col("vec")),
+                      F.round(_cosine_pre(F.col("qvec"), F.col("vec"),
+                                          F.col("_qn"), F.col("_vn")),
                               round_dp).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -124,13 +141,16 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     vecs_a = embeddings.select(F.col(id_col).alias("id_a"),
                                F.col(vec_col).cast("array<double>")
                                .alias("vec_a"))
+    vecs_a = vecs_a.withColumn("_na", _norm(F.col("vec_a")))
     vecs_b = embeddings.select(F.col(id_col).alias("id_b"),
                                F.col(vec_col).cast("array<double>")
                                .alias("vec_b"))
+    vecs_b = vecs_b.withColumn("_nb", _norm(F.col("vec_b")))
     if method == "exact":
         return (vecs_a.join(vecs_b, F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b",
-                        F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")),
+                        F.round(_cosine_pre(F.col("vec_a"), F.col("vec_b"),
+                                            F.col("_na"), F.col("_nb")),
                                 round_dp).alias("sim"))
                 .where(F.col("sim") >= threshold))
     if method != "bucketed":
@@ -162,7 +182,8 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
             .distinct())
     out = (cand.join(vecs_a, "id_a").join(vecs_b, "id_b")
            .select("id_a", "id_b",
-                   F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")),
+                   F.round(_cosine_pre(F.col("vec_a"), F.col("vec_b"),
+                                       F.col("_na"), F.col("_nb")),
                            round_dp).alias("sim"))
            .where(F.col("sim") >= threshold))
     # expose the cached intermediate so long-lived sessions can release it
@@ -254,46 +275,76 @@ def _bucket_ranks(embeddings: DataFrame, n_centroids: int,
     trade-off, bounded by coarse_nprobe; both paths are deterministic
     (hash-ordered centroids, rounded cosines, bucket-ascending ties), so
     a SQL oracle reproduces them exactly."""
+    scored = _bucket_scored(embeddings, n_centroids, id_col, vec_col, cents,
+                            strategy=strategy, assignment=assignment,
+                            coarse_nprobe=coarse_nprobe,
+                            fine_broadcast_max_centroids=
+                            fine_broadcast_max_centroids)
+    w2 = Window.partitionBy(id_col).orderBy(F.col("csim").desc(),
+                                            F.col("bucket").asc())
+    return scored.withColumn("_r", F.row_number().over(w2))
+
+
+def _bucket_scored(embeddings: DataFrame, n_centroids: int,
+                   id_col: str, vec_col: str,
+                   cents: DataFrame | None = None,
+                   strategy: str = "hash_sample",
+                   assignment: str | None = None,
+                   coarse_nprobe: int = 4,
+                   fine_broadcast_max_centroids: int =
+                   FINE_BROADCAST_MAX_CENTROIDS) -> DataFrame:
+    """(id_col, bucket, csim) — every (vector, candidate-centroid) cosine,
+    unranked.  Shared by the window-ranked multi-probe path
+    (``_bucket_ranks``) and the aggregate top-1 path (``assign_buckets``).
+    All centroid/vector norms are hoisted into per-frame projections
+    (``_cosine_pre``) so each side's norm is aggregated once per ROW, not
+    once per pair — same doubles, a third of the array traffic."""
     if assignment is None:
         assignment = ("two_level"
                       if n_centroids >= TWO_LEVEL_MIN_CENTROIDS else "flat")
     if cents is None:
         cents = _centroids(embeddings, n_centroids, id_col, vec_col,
                            strategy=strategy)
+    cents = cents.withColumn("_kn", _norm(F.col("cvec")))
     vecs = embeddings.select(F.col(id_col),
                              F.col(vec_col).cast("array<double>").alias("vec"))
+    vecs = vecs.withColumn("_vn", _norm(F.col("vec")))
     import math
     n_coarse = max(1, math.isqrt(n_centroids))
     if assignment == "flat" or n_coarse >= n_centroids:
         scored = (vecs.crossJoin(F.broadcast(cents))
                   .select(id_col, "bucket",
-                          F.round(cosine_sim(F.col("vec"), F.col("cvec")), 6)
+                          F.round(_cosine_pre(F.col("vec"), F.col("cvec"),
+                                              F.col("_vn"), F.col("_kn")), 6)
                           .alias("csim")))
     elif assignment == "two_level":
         coarse = (cents.where(F.col("bucket") <= n_coarse)
                   .select(F.col("bucket").alias("cell"),
-                          F.col("cvec").alias("cellvec")))
+                          F.col("cvec").alias("cellvec"),
+                          F.col("_kn").alias("_celln")))
         # fine centroid -> its nearest coarse cell (K·√K comparisons,
         # metadata-scale — both sides are centroid frames)
         wf = Window.partitionBy("bucket").orderBy(
             F.col("_cs").desc(), F.col("cell").asc())
         f2c = (cents.crossJoin(F.broadcast(coarse))
-               .select("bucket", "cvec", "cell",
-                       F.round(cosine_sim(F.col("cvec"), F.col("cellvec")),
+               .select("bucket", "cvec", "_kn", "cell",
+                       F.round(_cosine_pre(F.col("cvec"), F.col("cellvec"),
+                                           F.col("_kn"), F.col("_celln")),
                                6).alias("_cs"))
                .withColumn("_fr", F.row_number().over(wf))
                .where(F.col("_fr") == 1)
-               .select("bucket", "cvec", "cell"))
+               .select("bucket", "cvec", "_kn", "cell"))
         # vector -> its coarse_nprobe nearest cells (n·√K comparisons)
         wv = Window.partitionBy(id_col).orderBy(
             F.col("_cc").desc(), F.col("cell").asc())
         vc = (vecs.crossJoin(F.broadcast(coarse))
-              .select(id_col, "vec", "cell",
-                      F.round(cosine_sim(F.col("vec"), F.col("cellvec")),
+              .select(id_col, "vec", "_vn", "cell",
+                      F.round(_cosine_pre(F.col("vec"), F.col("cellvec"),
+                                          F.col("_vn"), F.col("_celln")),
                               6).alias("_cc"))
               .withColumn("_cr", F.row_number().over(wv))
               .where(F.col("_cr") <= coarse_nprobe)
-              .select(id_col, "vec", "cell"))
+              .select(id_col, "vec", "_vn", "cell"))
         # rank only the fine centroids living in the probed cells — an
         # equi-join on the cell key, never vector×all-centroids.  Below the
         # size ceiling the K-row fine table broadcasts (zero shuffle);
@@ -306,15 +357,14 @@ def _bucket_ranks(embeddings: DataFrame, n_centroids: int,
             f2c_side = f2c.hint("shuffle_hash")
         scored = (vc.join(f2c_side, "cell")
                   .select(id_col, "bucket",
-                          F.round(cosine_sim(F.col("vec"), F.col("cvec")), 6)
+                          F.round(_cosine_pre(F.col("vec"), F.col("cvec"),
+                                              F.col("_vn"), F.col("_kn")), 6)
                           .alias("csim")))
     else:
         raise ValueError(
             f"assignment must be 'flat', 'two_level' or None, "
             f"got {assignment!r}")
-    w2 = Window.partitionBy(id_col).orderBy(F.col("csim").desc(),
-                                            F.col("bucket").asc())
-    return scored.withColumn("_r", F.row_number().over(w2))
+    return scored
 
 
 def assign_buckets(embeddings: DataFrame, n_centroids: int = 16,
@@ -327,13 +377,25 @@ def assign_buckets(embeddings: DataFrame, n_centroids: int = 16,
                    FINE_BROADCAST_MAX_CENTROIDS) -> DataFrame:
     """(vec_id, bucket) — nearest centroid by cosine; centroids are a
     deterministic hash-stratified sample of the corpus (see _centroids);
-    assignment is flat or two-level coarse→fine (see _bucket_ranks)."""
-    ranked = _bucket_ranks(embeddings, n_centroids, id_col, vec_col, cents,
-                           strategy=strategy, assignment=assignment,
-                           coarse_nprobe=coarse_nprobe,
-                           fine_broadcast_max_centroids=
-                           fine_broadcast_max_centroids)
-    return ranked.where(F.col("_r") == 1).select(id_col, "bucket")
+    assignment is flat or two-level coarse→fine (see _bucket_scored).
+
+    Top-1 selection is a ``max_by`` over the (csim, -bucket) struct — the
+    same (csim desc, bucket asc) choice the old row_number window made,
+    but as a map-side-combinable aggregate: the window shuffled and
+    sorted every (vector, centroid) score row; the aggregate combines to
+    one row per vector before the exchange (guide §2.3 "aggregate before
+    you shuffle").  csim/bucket pairs are unique per vector (one score
+    per centroid), so the argmax is deterministic."""
+    scored = _bucket_scored(embeddings, n_centroids, id_col, vec_col, cents,
+                            strategy=strategy, assignment=assignment,
+                            coarse_nprobe=coarse_nprobe,
+                            fine_broadcast_max_centroids=
+                            fine_broadcast_max_centroids)
+    return (scored.groupBy(id_col)
+            .agg(F.max_by(
+                "bucket",
+                F.struct(F.col("csim").alias("s"),
+                         (-F.col("bucket")).alias("nb"))).alias("bucket")))
 
 
 def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
@@ -350,8 +412,11 @@ def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
     Corpus bucket assignment is flat or two-level coarse→fine (see
     _bucket_ranks); query-side probing stays flat — the query set is tiny,
     so its K comparisons per query are noise."""
+    # persist the (tiny) centroid frame: it feeds both the corpus bucket
+    # assignment and the query probe — unpersisted, each broadcast build
+    # re-ran the TakeOrdered centroid pass over the corpus
     cents = _centroids(embeddings, n_centroids, id_col, vec_col,
-                       strategy=centroid_strategy)
+                       strategy=centroid_strategy).persist()
     buckets = assign_buckets(embeddings, n_centroids, id_col, vec_col,
                              cents=cents, assignment=assignment,
                              coarse_nprobe=coarse_nprobe,
@@ -360,29 +425,36 @@ def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
     vecs = (embeddings.select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).cast("array<double>").alias("vec"))
             .join(buckets.withColumnRenamed(id_col, "neighbor_id"),
-                  "neighbor_id"))
+                  "neighbor_id")
+            .withColumn("_vn", _norm(F.col("vec"))))
     queries = (embeddings
                .where(F.col(id_col).isin(list(query_ids)))
                .select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec")))
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+               .withColumn("_qn", _norm(F.col("qvec"))))
     qprobe = (queries.crossJoin(F.broadcast(cents))
-              .select("query_id", "qvec", "bucket",
-                      F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6)
-                      .alias("csim")))
+              .select("query_id", "qvec", "_qn", "bucket",
+                      F.round(_cosine_pre(F.col("qvec"), F.col("cvec"),
+                                          F.col("_qn"), _norm(F.col("cvec"))),
+                              6).alias("csim")))
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(),
                                                 F.col("bucket").asc())
     qb = (qprobe.withColumn("_r", F.row_number().over(wq))
-          .where(F.col("_r") <= nprobe).select("query_id", "qvec", "bucket"))
+          .where(F.col("_r") <= nprobe)
+          .select("query_id", "qvec", "_qn", "bucket"))
     scored = (vecs.join(F.broadcast(qb), "bucket")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine_sim(F.col("qvec"), F.col("vec")),
+                      F.round(_cosine_pre(F.col("qvec"), F.col("vec"),
+                                          F.col("_qn"), F.col("_vn")),
                               round_dp).alias("sim")))
     wr = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(wr))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "sim"))
+    out = (scored.withColumn("rank", F.row_number().over(wr))
+           .where(F.col("rank") <= k)
+           .select("query_id", "neighbor_id", "rank", "sim"))
+    out._recrun_caches = [cents]
+    return out
 
 
 # ---------------------------------------------------------------------------

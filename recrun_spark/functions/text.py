@@ -756,8 +756,16 @@ def phonetic_blocks(documents: DataFrame, text_col: str = "text") -> DataFrame:
              .distinct()
              .select(F.regexp_replace("raw", "[^a-z]", "").alias("word"))
              .where(F.col("word") != "").distinct())
+    from pyspark.sql import Window
     coded = words.select("word", phonetic_key(F.col("word")).alias("code"))
-    sizes = coded.groupBy("code").agg(F.count(F.lit(1)).alias("block_n"))
-    return (coded.join(sizes, "code")
-            .select("word", "code", F.col("block_n").cast("long")
-                    .alias("block_n")))
+    # block size via a code-keyed window over the coded vocab — the former
+    # groupBy + join-back re-derived the whole distinct-vocab + Soundex
+    # pipeline on the aggregate side (no exchange reuse: the partial
+    # aggregate sits below the agg-side exchange), i.e. two corpus token
+    # distincts and two regex passes per run.  One window = one pipeline
+    # pass; the partition key is the Soundex code (≤ 26·10³ classes over
+    # the vocab, never corpus rows), so no partition outgrows vocab scale.
+    w = Window.partitionBy("code")
+    return coded.select("word", "code",
+                        F.count(F.lit(1)).over(w).cast("long")
+                        .alias("block_n"))

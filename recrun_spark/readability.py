@@ -198,6 +198,20 @@ RE_TITLE_SEP = re.compile(r" [|\-] ")
 RE_TITLE_KEEP_LHS = re.compile(r"(.*) [|\-] .*")
 RE_TITLE_DROP_TO_SEP = re.compile(r".*?[|\-] ")
 
+
+def _ws_norm(t: str) -> str:
+    """``RE_WHITESPACE.sub(" ", t)`` with a C-speed identity fast path:
+    when the only whitespace is single ASCII spaces, every match is a
+    lone space replaced by a space, so the sub is an exact identity —
+    skip the per-character regex rebuild.  The non-space members of the
+    JS class are \\t\\n\\x0b\\x0c\\r plus non-ASCII codepoints, all
+    excluded by the containment checks."""
+    if ("  " not in t and "\t" not in t and "\n" not in t
+            and "\r" not in t and "\x0b" not in t and "\x0c" not in t
+            and t.isascii()):
+        return t
+    return RE_WHITESPACE.sub(" ", t)
+
 TEXT_NODE = 3
 
 # the reference's accidental global `text` (R:123) — single-threaded per
@@ -304,7 +318,7 @@ class Element:
         ret = []
         for ch in self.children:
             if ch.node_type == TEXT_NODE:
-                ret.append(RE_WHITESPACE.sub(" ", ch.text))
+                ret.append(_ws_norm(ch.text))
             else:
                 if ch.name == "p" or ch.name in HEADER_TAGS:
                     ret.append("\n")
@@ -778,14 +792,23 @@ class Readability:
     # R:689-700 — HTML output with <br>-run → paragraph rewrite (T5)
     def get_html(self, node: Element) -> str:
         html = node.get_inner_html()
-        html = RE_BR_BEFORE_P.sub("", html)
-        html = RE_WS_BEFORE_BR.sub("", html)
-        html = RE_BR_RUN.sub("</p><p>", html)
+        # all three rewrite regexes require a literal "<br/>" somewhere
+        # (RE_WS_BEFORE_BR via lookahead); one C-speed containment check
+        # skips three full-document regex scans on br-less documents —
+        # byte-identical output (a no-match sub returns its input)
+        if "<br/>" in html:
+            html = RE_BR_BEFORE_P.sub("", html)
+            html = RE_WS_BEFORE_BR.sub("", html)
+            html = RE_BR_RUN.sub("</p><p>", html)
         return js_trim(html)
 
     # R:702-705 — formatted text, trimmed, 3+ newline runs collapsed to 2
     def get_text(self, node: Element) -> str:
-        return RE_NEWLINE_RUNS.sub("", js_trim(node.get_formatted_text()))
+        text = js_trim(node.get_formatted_text())
+        # RE_NEWLINE_RUNS only matches a \n\n\n run — same guard rationale
+        if "\n\n\n" in text:
+            text = RE_NEWLINE_RUNS.sub("", text)
+        return text
 
     def get_next_page(self) -> str:
         top_score, top_link = 49.0, ""

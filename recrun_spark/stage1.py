@@ -101,8 +101,17 @@ def _extract_arrow_batches(batches, settings: Settings,
     ])
     for batch in batches:
         doc_ids, kinds, texts, refs, offs, bounds = _unpack_spans_batch(batch)
-        titles, nexts, tlens, scores, retained = [], [], [], [], []
+        titles, nexts, tlens, scores = [], [], [], []
         art_texts, art_htmls = [], []
+        # retained spans are assembled as FLAT columns + list offsets and
+        # turned into a ListArray(StructArray) directly — the former
+        # dict-per-span list comprehension (then pa.array() re-parsing every
+        # dict) was ~30% of the whole stage wall on top of the fold
+        r_kinds: list = []
+        r_texts: list = []
+        r_refs: list = []
+        r_offs: list = []
+        r_bounds = [0]
         for i in range(len(doc_ids)):
             s, e = bounds[i], bounds[i + 1]
             try:
@@ -120,18 +129,29 @@ def _extract_arrow_batches(batches, settings: Settings,
             nexts.append(rec["next_page"])
             tlens.append(rec["text_length"])
             scores.append(rec["score"])
-            retained.append(
-                [{"kind": k, "text": t, "media_ref": m, "offset": int(o)}
-                 for k, t, m, o in rec["retained_spans"]])
+            for k, t, m, o in rec["retained_spans"]:
+                r_kinds.append(k)
+                r_texts.append(t)
+                r_refs.append(m)
+                r_offs.append(int(o))
+            r_bounds.append(len(r_kinds))
             art_texts.append(rec["text"])
             art_htmls.append(rec["html"])
+        span_struct = pa.StructArray.from_arrays(
+            [pa.array(r_kinds, pa.string()),
+             pa.array(r_texts, pa.string()),
+             pa.array(r_refs, pa.string()),
+             pa.array(r_offs, pa.int32())],
+            names=["kind", "text", "media_ref", "offset"])
+        retained_arr = pa.ListArray.from_arrays(
+            pa.array(r_bounds, pa.int32()), span_struct)
         yield pa.RecordBatch.from_arrays([
             pa.array(doc_ids, pa.string()),
             pa.array(titles, pa.string()),
             pa.array(nexts, pa.string()),
             pa.array(tlens, pa.int32()),
             pa.array(scores, pa.int32()),
-            pa.array(retained, out_schema.field("retained_spans").type),
+            retained_arr,
             pa.array(art_texts, pa.string()),
             pa.array(art_htmls, pa.string()),
         ], schema=out_schema)
