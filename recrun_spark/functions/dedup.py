@@ -65,11 +65,18 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text",
             .select("doc_id", "canonical_doc_id"))
 
 
+def _shingle_toks(text_col: str) -> Column:
+    """The exact token stream the shingle ops normalize to — shared with
+    the exact-collapse fingerprint in dedup_clusters so that equal token
+    streams ⇔ equal shingle sets, by construction."""
+    return F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^a-z0-9 ]", " ")), r"\s+")
+
+
 def shingles(documents: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams of the normalized text."""
-    toks = F.split(F.trim(F.regexp_replace(
-        F.lower(F.col(text_col)), r"[^a-z0-9 ]", " ")), r"\s+")
+    toks = _shingle_toks(text_col)
     d = documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     sh = d.select(
         "doc_id",
@@ -239,6 +246,24 @@ def minhash_signatures(documents: DataFrame, k: int = MH_K, n: int = 3,
                                      k, seed)
 
 
+def _banded_from_sig(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) — LSH band buckets from the signature array
+    (xxhash64 of the band's slice; engine-internal, never oracle-facing)."""
+    rows = k // bands
+    return sig.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bnd: F.struct(
+                bnd.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(F.slice("sig", bnd * rows + 1, rows),
+                                     lambda v: v.cast("string")))
+                ).alias("bucket")))).alias("bb")) \
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
                       k: int = MH_K, bands: int = LSH_BANDS, n: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
@@ -254,7 +279,6 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
     for plan-only callers (explain/audit, lazy composition) — the frames
     are still marked for caching, but no Spark job runs until an action.
     """
-    rows = k // bands
     # shingle the corpus ONCE: the same persisted frame feeds signature
     # computation AND the df-cut behind candidate verification (three
     # consumers — without the persist, three full shingle passes).
@@ -263,18 +287,7 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
     # signatures the minhash_sigs query publishes.
     sh = shingles(documents, n, text_col, id_col).persist()
     sig = _signatures_from_shingles(sh, k, seed)
-    banded = sig.select(
-        "doc_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda bnd: F.struct(
-                bnd.alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.transform(F.slice("sig", bnd * rows + 1, rows),
-                                     lambda v: v.cast("string")))
-                ).alias("bucket")))).alias("bb")) \
-        .select("doc_id", F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"))
+    banded = _banded_from_sig(sig, k, bands)
     # persist the banded frame: the candidate self-join consumes it on BOTH
     # sides, and without the cache each side re-runs the whole
     # signature+banding pipeline (the 64 min-aggregates, the most expensive
@@ -328,28 +341,93 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.6,
     one representative per cluster).  All pieces are the scale-safe ones:
     banded LSH candidates, O(log n)-round large/small-star CC, one
     broadcast-free left join back to the corpus.
+
+    EXACT-DUPLICATE COLLAPSE (guide §8 — decide with small rows): byte-
+    identical token streams are grouped FIRST (md5 of the shingle token
+    stream, so equal fingerprint ⇔ equal shingle set by construction) and
+    only one REPRESENTATIVE per group runs through signatures, banding
+    and verification — a mega-cluster of g identical crawls costs 1 doc,
+    not g²/2 candidate pairs.  The df-cut keeps counting document
+    frequency over the FULL corpus (not the collapsed one), so every
+    pairwise Jaccard is numerically unchanged.  The result is IDENTICAL
+    to the uncollapsed computation: identical docs always band together
+    and verify at Jaccard 1.0 ≥ threshold (when they have ≥1 kept
+    shingle), so each exact group is a clique that lands in its
+    representative's component; groups whose shingles were all df-cut
+    never pair in the original either and map to themselves.
     """
     from ..operators import connected_components
-    # keep the LSH candidate barrier (materialize=True default): folding
-    # it into the CC checkpoint job was TRIED-AND-MEASURED in r5 — the
-    # 2000-doc control improved 5.6→4.9 s, but at 50k docs / 8 cores the
-    # verify job's three cold-cache consumers of `cands` race and
-    # recompute the signature pipeline, 12.0 s → 41.9 s median.  The
-    # eager count is one extra small job that guarantees every consumer
-    # hits a warm cache.
-    pairs = minhash_lsh_pairs(documents, threshold, text_col=text_col,
-                              id_col=id_col, **lsh_kwargs)
+    k = lsh_kwargs.get("k", MH_K)
+    bands = lsh_kwargs.get("bands", LSH_BANDS)
+    n = lsh_kwargs.get("n", 3)
+    seed = lsh_kwargs.get("seed", 7)
+    max_freq = lsh_kwargs.get("max_shingle_freq", 1000)
+
+    # per-doc exact fingerprint over the SAME token stream the shingles
+    # normalize to; a doc_id appearing with conflicting texts (fp min !=
+    # max) is left uncollapsed (fp NULL → its own representative), which
+    # matches the original semantics of unioned shingle sets per doc_id
+    fp_row = F.md5(F.concat_ws(" ", _shingle_toks(text_col)))
+    fpd = (documents.select(F.col(id_col).alias("doc_id"),
+                            fp_row.alias("_fp"))
+           .groupBy("doc_id")
+           .agg(F.min("_fp").alias("_fmin"), F.max("_fp").alias("_fmax"),
+                F.count(F.lit(1)).alias("_nrow"),
+                F.count("_fp").alias("_nfp")))
+    fmap = fpd.select(
+        "doc_id",
+        F.when((F.col("_nfp") == F.col("_nrow"))
+               & (F.col("_fmin") == F.col("_fmax")), F.col("_fmin"))
+        .alias("fp"))
+    rep = (fmap.where(F.col("fp").isNotNull())
+           .groupBy("fp").agg(F.min("doc_id").alias("rep")))
+    # doc -> representative (itself when uncollapsible); persisted — it
+    # feeds the rep universe, the group sizes, and the final expansion
+    docmap = (fmap.join(rep, "fp", "left")
+              .select("doc_id", F.coalesce("rep", "doc_id").alias("rep"))
+              .persist())
+    reps = docmap.select(F.col("rep").alias("doc_id")).distinct()
+
+    # the r5 candidate-barrier discipline (banded/cands persisted + eagerly
+    # counted) — signatures and banding run over REPRESENTATIVES only;
+    # the shingle frame and the df-cut stay full-corpus
+    sh = shingles(documents, n, text_col, id_col).persist()
+    sig = _signatures_from_shingles(
+        sh.join(reps, "doc_id", "left_semi"), k, seed)
+    banded = _banded_from_sig(sig, k, bands).persist()
+    banded.count()
+    ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (ca.join(cb, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct().persist())
+    cands.count()
+    banded.unpersist()
+    sh_kept = _df_cut(sh, max_freq)
+    pairs = _jaccard_of_pairs(cands, sh_kept, threshold)
+
     comp = connected_components(
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst")), "src", "dst")
-    docs = documents.select(F.col(id_col).alias("doc_id")).distinct()
-    out = (docs.join(comp, docs["doc_id"] == comp["node"], "left")
+    # expansion: component(rep) if the rep paired; else the rep itself for
+    # real groups (≥2 members) with ≥1 surviving kept shingle (the clique
+    # the uncollapsed run would have formed at Jaccard 1.0); else identity
+    gsz = docmap.groupBy("rep").agg(F.count(F.lit(1)).alias("_gn"))
+    kept_reps = (sh_kept.join(reps, "doc_id", "left_semi")
+                 .select(F.col("doc_id").alias("rep")).distinct()
+                 .withColumn("_kept", F.lit(1)))
+    out = (docmap.join(comp, docmap["rep"] == comp["node"], "left")
+           .join(gsz, "rep")
+           .join(kept_reps, "rep", "left")
            .select("doc_id",
-                   F.coalesce("component", "doc_id")
+                   F.coalesce(
+                       F.col("component"),
+                       F.when((F.col("_gn") >= 2)
+                              & F.col("_kept").isNotNull(), F.col("rep")),
+                       F.col("doc_id"))
                    .alias("canonical_doc_id")))
-    # propagate the LSH stage's persisted handles so callers
-    # (operators.release_caches) can free them after materializing
-    out._recrun_caches = getattr(pairs, "_recrun_caches", [])
+    out._recrun_caches = ([sh, docmap, banded, cands]
+                          + list(getattr(pairs, "_jp_caches", [])))
     return out
 
 

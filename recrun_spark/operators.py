@@ -154,7 +154,11 @@ def pagerank(edges: DataFrame, iterations: int = 10,
              .union(e.select(F.col("dst").alias("node"))).distinct()
              .persist())
     # out-degree rides WITH the edge list (joined once, cached) so each
-    # iteration is ONE ranks×edges equi-join, not two
+    # iteration is ONE ranks×edges equi-join, not two.  (Pre-partitioning
+    # this cache on the join key was tried and MEASURED SLOWER here: the
+    # explicit repartition pins fixed-width stages that AQE otherwise
+    # coalesces, costing more per round than the exchange it removes; at
+    # cluster scale the equivalent win is bucketed edge storage.)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e2 = e.join(deg, "src").persist()
     base = (scale * (100 - damping_pct)) // 100
@@ -163,12 +167,19 @@ def pagerank(edges: DataFrame, iterations: int = 10,
         contrib = (e2.join(r.withColumnRenamed("node", "src"), "src")
                    .select("dst",
                            F.expr("rank div out_deg").alias("c")))
-        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        r = (nodes.join(agg, nodes["node"] == agg["dst"], "left")
-             .select("node",
-                     (F.lit(base).cast("long")
-                      + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100"))
-                     .cast("long").alias("rank"))
+        # dangling/zero-in-degree nodes keep a row via a zero-contribution
+        # union INTO the same aggregate — the former per-round
+        # nodes-left-join stage (its own exchange + AQE stage job) is
+        # folded away; Σc is unchanged by the +0 rows, so the trajectory
+        # is bit-identical
+        zero = nodes.select(F.col("node").alias("dst"),
+                            F.lit(0).cast("long").alias("c"))
+        agg = contrib.unionByName(zero).groupBy("dst").agg(
+            F.sum("c").alias("s"))
+        r = (agg.select(F.col("dst").alias("node"),
+                        (F.lit(base).cast("long")
+                         + F.expr(f"{damping_pct} * s div 100"))
+                        .cast("long").alias("rank"))
              .localCheckpoint(eager=True))
     r._recrun_caches = [e, nodes, e2]
     return r
@@ -206,6 +217,8 @@ def personalized_pagerank(edges: DataFrame, seeds, iterations: int = 3,
              .union(e.select(F.col("dst").alias("node"))).distinct()
              .persist())
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # zero-contribution union replacing the per-round nodes left join —
+    # the pagerank restructure, trajectory-identical (Σc unchanged by +0)
     e2 = e.join(deg, "src").persist()
     base = (scale * (100 - damping_pct)) // 100
     is_seed = F.col("node").isin(seeds)
@@ -214,13 +227,15 @@ def personalized_pagerank(edges: DataFrame, seeds, iterations: int = 3,
     for _ in range(iterations):
         contrib = (e2.join(r.withColumnRenamed("node", "src"), "src")
                    .select("dst", F.expr("rank div out_deg").alias("c")))
-        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        r = (nodes.join(agg, nodes["node"] == agg["dst"], "left")
-             .select("node",
-                     (F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
-                      .cast("long")
-                      + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100"))
-                     .cast("long").alias("rank"))
+        zero = nodes.select(F.col("node").alias("dst"),
+                            F.lit(0).cast("long").alias("c"))
+        agg = (contrib.unionByName(zero)
+               .groupBy("dst").agg(F.sum("c").alias("s")))
+        r = (agg.select(F.col("dst").alias("node"),
+                        (F.when(F.col("dst").isin(seeds), F.lit(base))
+                         .otherwise(F.lit(0)).cast("long")
+                         + F.expr(f"{damping_pct} * s div 100"))
+                        .cast("long").alias("rank"))
              .localCheckpoint(eager=True))
     r._recrun_caches = [e, nodes, e2]
     return r
@@ -254,6 +269,8 @@ def weighted_pagerank(edges: DataFrame, iterations: int = 4,
          .groupBy("src", "dst").agg(F.sum("w").alias("w"))
          .persist())
     sw = e.groupBy("src").agg(F.sum("w").alias("sw"))
+    # the pagerank restructure: zero-contribution union folding the
+    # per-round nodes left join into the aggregate (trajectory-identical)
     e2 = e.join(sw, "src").persist()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node"))).distinct()
@@ -263,12 +280,14 @@ def weighted_pagerank(edges: DataFrame, iterations: int = 4,
     for _ in range(iterations):
         contrib = (e2.join(r.withColumnRenamed("node", "src"), "src")
                    .select("dst", F.expr("rank * w div sw").alias("c")))
-        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        r = (nodes.join(agg, nodes["node"] == agg["dst"], "left")
-             .select("node",
-                     (F.lit(base)
-                      + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100"))
-                     .cast("long").alias("rank"))
+        zero = nodes.select(F.col("node").alias("dst"),
+                            F.lit(0).cast("long").alias("c"))
+        agg = (contrib.unionByName(zero)
+               .groupBy("dst").agg(F.sum("c").alias("s")))
+        r = (agg.select(F.col("dst").alias("node"),
+                        (F.lit(base)
+                         + F.expr(f"{damping_pct} * s div 100"))
+                        .cast("long").alias("rank"))
              .localCheckpoint(eager=True))
     r._recrun_caches = [e, e2, nodes]
     return r
@@ -1551,17 +1570,23 @@ def hash_walks(edges: DataFrame, walk_len: int = 4, seed: int = 23,
              .localCheckpoint(eager=True))
     outs = [walks.select("start", F.lit(0).alias("step"),
                          F.col("cur").alias("node"))]
+    # stay-in-place rides INSIDE the per-step argmin as a sentinel
+    # candidate: h60 < 2^60 for every real neighbor, so the 2^62 sentinel
+    # loses whenever any out-neighbor exists and wins exactly at a dead
+    # end — semantics equal the former pick-then-left-join-coalesce at
+    # one join stage (and its exchange) less per step
+    sentinel = F.lit(1 << 62).cast("long")
     for r in range(1, walk_len + 1):
         h = _hash60(F.concat(F.col("s"), F.lit(f"|{r}|{seed}|"),
                              F.col("t")))
-        pick = (walks.join(e, walks.cur == e.s)
-                .select("start", h.alias("h"), "t")
-                .groupBy("start")
-                .agg(F.min(F.struct("h", "t")).alias("m"))
-                .select("start", F.col("m.t").alias("nxt")))
-        walks = (walks.join(pick, "start", "left")
-                 .select("start",
-                         F.coalesce("nxt", "cur").alias("cur"))
+        cands = (walks.join(e, walks.cur == e.s)
+                 .select("start", h.alias("h"), "t")
+                 .unionByName(walks.select(
+                     "start", sentinel.alias("h"),
+                     F.col("cur").alias("t"))))
+        walks = (cands.groupBy("start")
+                 .agg(F.min(F.struct("h", "t")).alias("m"))
+                 .select("start", F.col("m.t").alias("cur"))
                  .localCheckpoint(eager=True))
         outs.append(walks.select("start", F.lit(r).alias("step"),
                                  F.col("cur").alias("node")))

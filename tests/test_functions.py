@@ -3403,3 +3403,81 @@ def test_hash_walks_semantics(spark):
     other = sorted(map(tuple, hash_walks(df, walk_len=3,
                                          seed=99).collect()))
     assert len(other) == len(again)
+
+
+def test_dedup_clusters_exact_collapse_equivalence(spark):
+    """r6 optimization: dedup_clusters collapses exact-duplicate token
+    streams to one representative before LSH (signatures/banding/verify
+    run on representatives; the df-cut stays full-corpus).  The result
+    must be IDENTICAL to the uncollapsed shape — LSH pairs over all docs
+    -> CC -> left join — including the edge cases the expansion rule
+    covers: a mega exact group (clique at Jaccard 1.0), an exact group
+    whose every shingle is df-cut (never pairs; maps to itself), near-
+    but-not-exact dups bridging groups, and unique singletons."""
+    from pyspark.sql import functions as F
+
+    from recrun_spark.functions.dedup import dedup_clusters
+    from recrun_spark.operators import connected_components, release_caches
+
+    rows = []
+    # mega exact group: 12 identical docs (distinct shingles survive a
+    # df-cut at max_shingle_freq >= 12 only if we keep the cut high; use
+    # the default 1000 so they survive)
+    mega = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(12):
+        rows.append((f"m{i:02d}", mega))
+    # a NEAR duplicate of the mega text (not exact): bridges into the
+    # mega component via a real LSH pair
+    rows.append(("n00", mega + " lambda"))
+    # an exact group whose single shingle is df-cut away: 30 docs of a
+    # 2-token text (one fallback shingle with df=30 > max_shingle_freq=20
+    # when we pass a low cut) — these must map to THEMSELVES
+    for i in range(30):
+        rows.append((f"c{i:02d}", "common boilerplate"))
+    # unique singletons
+    for i in range(8):
+        rows.append((f"u{i}", f"unique text number {i} with words w{i} x{i} y{i} z{i}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for threshold, cut in ((0.6, 1000), (0.6, 20), (0.9, 20)):
+        # reference = the uncollapsed shape with the SAME df-cut, built
+        # from the dedup internals (all docs through signatures/banding)
+        from recrun_spark.functions import dedup as D
+        sh = D.shingles(docs).persist()
+        sig = D._signatures_from_shingles(sh, D.MH_K, 7)
+        banded = D._banded_from_sig(sig, D.MH_K, D.LSH_BANDS).persist()
+        banded.count()
+        ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+        cands = (ca.join(cb, ["band", "bucket"])
+                 .where(F.col("doc_a") < F.col("doc_b"))
+                 .select("doc_a", "doc_b").distinct().persist())
+        cands.count()
+        pairs = D._jaccard_of_pairs(cands, D._df_cut(sh, cut), threshold)
+        comp = connected_components(
+            pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst")), "src", "dst")
+        ids = docs.select("doc_id").distinct()
+        ref = {r["doc_id"]: r["canonical_doc_id"]
+               for r in (ids.join(comp, ids["doc_id"] == comp["node"],
+                                  "left")
+                         .select("doc_id",
+                                 F.coalesce("component", "doc_id")
+                                 .alias("canonical_doc_id"))).collect()}
+        for c in [sh, banded, cands] + list(pairs._jp_caches):
+            c.unpersist()
+
+        out = dedup_clusters(docs, threshold, max_shingle_freq=cut)
+        got = {r["doc_id"]: r["canonical_doc_id"] for r in out.collect()}
+        release_caches(out)
+        assert got == ref, (threshold, cut,
+                            {k: (got[k], ref[k]) for k in got
+                             if got[k] != ref[k]})
+    # sanity on the shape itself: the mega group collapsed to one
+    # canonical, the df-cut group maps to itself under cut=20
+    out = dedup_clusters(docs, 0.6, max_shingle_freq=20)
+    got = {r["doc_id"]: r["canonical_doc_id"] for r in out.collect()}
+    release_caches(out)
+    assert {got[f"m{i:02d}"] for i in range(12)} == {"m00"}
+    assert all(got[f"c{i:02d}"] == f"c{i:02d}" for i in range(30))
+    assert all(got[f"u{i}"] == f"u{i}" for i in range(8))
