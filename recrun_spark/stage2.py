@@ -136,8 +136,22 @@ def detect_mentions(extractions: DataFrame, surfaces: list) -> DataFrame:
                  pa.array(o_off, pa.int32()), pa.array(o_start, pa.int32())],
                 schema=out_schema)
 
-    return extractions.select("doc_id", "retained_spans").mapInArrow(
-        fn, schema=MENTION_SCHEMA)
+    src = extractions.select("doc_id", "retained_spans")
+    # parallelism floor for the Python fold: a narrow upstream (a limit()
+    # collapses to one partition, a single unsplittable input file, a
+    # 1-partition cache) would run the per-doc automaton nearly serially
+    # on an idle cluster.  Only rebalance when the input has FEWER
+    # partitions than the default parallelism — at production scale scans
+    # carry many splits and this is a no-op, so the operator stays a pure
+    # map there (guide §2.5: fix input skew right after the read).
+    try:
+        n_parts = src.rdd.getNumPartitions()
+        target = spark.sparkContext.defaultParallelism
+        if n_parts < target:
+            src = src.repartition(target)
+    except Exception:
+        pass
+    return src.mapInArrow(fn, schema=MENTION_SCHEMA)
 
 
 def link_mentions(mentions: DataFrame, aliases: DataFrame,
