@@ -48,17 +48,35 @@ def assemble_triples(extractions: DataFrame, linked_mentions: DataFrame,
         F.col("doc_id").alias("obj"),
         "doc_id")
 
-    a, b = ents.alias("a"), ents.alias("b")
-    co_mentioned = (a.join(b, "doc_id")
-                    .where(F.col("a.entity") < F.col("b.entity"))
-                    .select(F.col("a.entity").alias("subj"),
+    # co-mentions from the per-doc SORTED entity array, pairs expanded
+    # row-locally — one doc-keyed aggregate instead of the former ents×ents
+    # self-join (two exchanges + a sort-merge for pairs whose per-doc
+    # fan-out is small and bounded; the array shape is the standard
+    # inverted-index pair expansion).  sort_array + i<j indexing yields
+    # exactly the a.entity < b.entity pairs, already distinct per doc.
+    arr = (ents.groupBy("doc_id")
+           .agg(F.sort_array(F.collect_set("entity")).alias("es"))
+           .where(F.size("es") >= 2))
+    co_mentioned = (arr
+                    .select("doc_id", F.explode(F.flatten(F.transform(
+                        F.sequence(F.lit(0), F.size("es") - 2),
+                        lambda i: F.transform(
+                            F.slice("es", i + 2, F.size("es")),
+                            lambda y: F.struct(
+                                F.get("es", i).alias("subj"),
+                                y.alias("obj")))))).alias("p"))
+                    .select(F.col("p.subj").alias("subj"),
                             F.lit("co_mentioned_with").alias("pred"),
-                            F.col("b.entity").alias("obj"),
+                            F.col("p.obj").alias("obj"),
                             "doc_id"))
 
+    # filter INSIDE the span array before exploding: non-img spans (the
+    # overwhelming majority) never materialize as rows
     imgs = (extractions
-            .select("doc_id", F.explode("retained_spans").alias("s"))
-            .where((F.col("s.kind") == "img") & (F.col("s.media_ref") != ""))
+            .select("doc_id", F.explode(F.filter(
+                "retained_spans",
+                lambda s: (s["kind"] == "img") & (s["media_ref"] != "")))
+                .alias("s"))
             .select("doc_id", F.col("s.media_ref").alias("media_ref"))
             .distinct())
     illustrated = (ents.join(imgs, "doc_id")
@@ -72,13 +90,19 @@ def assemble_triples(extractions: DataFrame, linked_mentions: DataFrame,
                  .select(F.col("next_page").alias("subj"),
                          F.lit("next_page_of").alias("pred"),
                          F.col("doc_id").alias("obj"),
-                         "doc_id"))
+                         "doc_id")
+                 .distinct())
 
+    # no global dropDuplicates: every branch is duplicate-free by
+    # construction (ents and imgs are DISTINCT frames, co-mention pairs
+    # come i<j from a per-doc set, and the small next_page branch carries
+    # its own distinct against duplicated input doc_ids), and the four
+    # preds are disjoint — the former triple-wide dedup exchange shuffled
+    # every output row to remove nothing.
     out = (mentioned_in
            .unionByName(co_mentioned)
            .unionByName(illustrated)
-           .unionByName(next_page)
-           .dropDuplicates(list(TRIPLE_COLS)))
+           .unionByName(next_page))
     # expose the persisted intermediate so long-lived sessions can release
     # it after materializing (pipeline.py and bench.py do)
     out._recrun_ents = ents
