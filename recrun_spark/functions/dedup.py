@@ -323,9 +323,11 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6,
     # the whole point of LSH is to never run the full co-occurrence join
     out = _jaccard_of_pairs(cands, sh_kept, threshold)
     # expose the persisted intermediates so callers can release them after
-    # materializing (operators.release_caches); banded is already released
-    # on the materialize path but stays marked for plan-only callers
-    out._recrun_caches = [sh, banded, cands] + out._jp_caches
+    # materializing (operators.release_caches); on the materialize path
+    # banded was already released at the candidate barrier, so only
+    # plan-only callers still hold its handle
+    out._recrun_caches = ([sh, cands] if materialize
+                          else [sh, banded, cands]) + out._jp_caches
     return out
 
 
@@ -426,7 +428,8 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.6,
                               & F.col("_kept").isNotNull(), F.col("rep")),
                        F.col("doc_id"))
                    .alias("canonical_doc_id")))
-    out._recrun_caches = ([sh, docmap, banded, cands]
+    # banded was released at the candidate barrier above — not listed
+    out._recrun_caches = ([sh, docmap, cands]
                           + list(getattr(pairs, "_jp_caches", [])))
     return out
 
