@@ -620,21 +620,29 @@ def kmeans_quantized(embeddings: DataFrame, k: int = 8, iters: int = 4,
         if _ == iters:
             break
         dim = len(cents[0])
-        sums = (assigned.groupBy("cluster")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     *[F.sum(F.get(F.col("q"), i)).alias(f"s{i}")
-                       for i in range(dim)])
+        # centroid update via posexplode to (cluster, pos) cells — one sum
+        # + one count instead of the former dim separate per-dimension sum
+        # aggregates (65-expression codegen per round); k·dim rows come
+        # back, same metadata scale, identical integer sums
+        rows = (assigned.select("cluster",
+                                F.posexplode("q").alias("pos", "v"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
                 .collect())
-        by_c = {r["cluster"]: r for r in sums}
+        by_c: dict = {}
+        for r in rows:
+            by_c.setdefault(r["cluster"], {})[r["pos"]] = r
+
+        def tdiv(s, n):                  # truncate toward zero (SQL div)
+            return s // n if s >= 0 else -((-s) // n)
+
         nxt = []
         for j, old in enumerate(cents):
-            r = by_c.get(j)
-            if r is None:
+            g = by_c.get(j)
+            if g is None:
                 nxt.append(old)          # empty cluster keeps its centroid
             else:
-                def tdiv(s, n):          # truncate toward zero (SQL div)
-                    return s // n if s >= 0 else -((-s) // n)
-                nxt.append([tdiv(int(r[f"s{i}"]), int(r["n"]))
+                nxt.append([tdiv(int(g[i]["s"]), int(g[i]["n"]))
                             for i in range(dim)])
         cents = nxt
     out = assigned.select(F.col("_id").alias(id_col), "cluster", "dist2")
