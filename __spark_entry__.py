@@ -2937,9 +2937,22 @@ def orders_brand_rules(spark, sf_dir):
                   F.col("p_brand").alias("b")).distinct().persist())
     n_orders = ob.select("o").distinct().count()
     counts = ob.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
-    a = ob.select("o", F.col("b").alias("ante"))
-    c = ob.select("o", F.col("b").alias("cons"))
-    pairs = (a.join(c, "o").where(F.col("ante") != F.col("cons"))
+    # ordered brand pairs from the per-order brand set, expanded
+    # row-locally (the stage-4 co-mention pattern) — one order-keyed
+    # aggregate instead of the ob×ob self-join (two exchanges + join for
+    # pairs whose per-order fan-out is bounded by the brand count);
+    # identical (ante, cons) multiset
+    bsets = (ob.groupBy("o")
+             .agg(F.sort_array(F.collect_set("b")).alias("bs"))
+             .where(F.size("bs") >= 2))
+    pairs = (bsets
+             .select(F.explode(F.flatten(F.transform(
+                 "bs", lambda x: F.transform(
+                     F.filter("bs", lambda y: y != x),
+                     lambda y: F.struct(x.alias("ante"),
+                                        y.alias("cons")))))).alias("p"))
+             .select(F.col("p.ante").alias("ante"),
+                     F.col("p.cons").alias("cons"))
              .groupBy("ante", "cons")
              .agg(F.count(F.lit(1)).alias("n_ab"))
              .where(F.col("n_ab") >= 5))
