@@ -1048,8 +1048,14 @@ def main():
               ("no python UDF", lambda p: "BatchEvalPython" not in p),
               ("vocab explode is a row-local generator",
                lambda p: "Generate" in p),
-              ("block-size count partial-aggregates map-side",
-               lambda p: "partial_count" in p),
+              # r6: block size is ONE code-keyed window pass over the coded
+              # vocab (the former groupBy+join-back re-derived the whole
+              # distinct-vocab pipeline on the aggregate side); the window
+              # partition key is the Soundex code, never a global window
+              ("block-size count is a code-partitioned window",
+               lambda p: "Window" in p
+               and "partitionBy=[code" in p.replace(" ", "")
+               or "windowspecdefinition(code" in p),
               ("no cartesian, no single-reducer exchange",
                lambda p: "CartesianProduct" not in p
                and "Exchange SinglePartition" not in p),
