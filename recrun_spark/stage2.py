@@ -136,7 +136,16 @@ def detect_mentions(extractions: DataFrame, surfaces: list) -> DataFrame:
                  pa.array(o_off, pa.int32()), pa.array(o_start, pa.int32())],
                 schema=out_schema)
 
-    src = extractions.select("doc_id", "retained_spans")
+    # ship only the spans the automaton consumes: the Python loop skips
+    # every non-text/empty span anyway, so filtering the array JVM-side
+    # is semantics-identical and cuts the Arrow transport (img/link/
+    # header spans never cross the boundary); span_offset rides in the
+    # struct, unaffected by the filter
+    src = extractions.select(
+        "doc_id",
+        F.filter("retained_spans",
+                 lambda s: (s["kind"] == "text") & (s["text"] != ""))
+        .alias("retained_spans"))
     # parallelism floor for the Python fold: a narrow upstream (a limit()
     # collapses to one partition, a single unsplittable input file, a
     # 1-partition cache) would run the per-doc automaton nearly serially
